@@ -1,0 +1,44 @@
+"""dataflows_ray — a Ray-Data-native data-processing engine.
+
+From-scratch re-expression of the datahq/dataflows capability surface
+(chainable flow steps over named resources) as lazy ``ray.data.Dataset``
+pipelines: Arrow batches, actor pools for stateful stages, native
+groupby/sort/join shuffles, streaming execution with backpressure.
+"""
+
+from .core.flow import Flow, Step, row_fn, rows_fn, package_fn
+from .core.package import EnginePackage, PackageStream, ResourceDescriptor
+from .core.exceptions import FlowError, StepError, ValidationError
+from .sources.load import load, iterable_loader, read_parquet_with_row_ids, ROW_ID
+from .stages.fields import (
+    add_field, add_computed_field, select_fields, delete_fields, rename_fields)
+from .stages.filtering import filter_rows, find_replace
+from .stages.schema_ops import (
+    set_type, validate, update_package, add_metadata, update_resource,
+    update_schema, set_primary_key)
+from .stages.reshape import (
+    unpivot, concatenate, duplicate, delete_resource, sources, conditional,
+    update_stats, finalizer, printer)
+from .stages.sort import sort_rows
+from .stages.dedup import deduplicate
+from .stages.join import join, join_with_self
+from .stages.agg import grouped_aggregate
+from .sinks.dump import dump_to_path, dump_to_zip
+from .sinks.checkpoint import checkpoint
+
+__all__ = [
+    "Flow", "Step", "row_fn", "rows_fn", "package_fn",
+    "EnginePackage", "PackageStream", "ResourceDescriptor",
+    "FlowError", "StepError", "ValidationError",
+    "load", "iterable_loader", "read_parquet_with_row_ids", "ROW_ID",
+    "add_field", "add_computed_field", "select_fields", "delete_fields",
+    "rename_fields", "filter_rows", "find_replace",
+    "set_type", "validate", "update_package", "add_metadata",
+    "update_resource", "update_schema", "set_primary_key",
+    "unpivot", "concatenate", "duplicate", "delete_resource", "sources",
+    "conditional", "update_stats", "finalizer", "printer",
+    "sort_rows", "deduplicate", "join", "join_with_self",
+    "grouped_aggregate", "dump_to_path", "dump_to_zip", "checkpoint",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,214 @@
+"""Flow: ordered chain of steps over ``{resource_name: ray.data.Dataset}``.
+
+Parity target: reference ``dataflows/base/flow.py:8-55`` —
+- ``Flow(*steps)`` holds the chain; nested Flows splice (``flow.py:16-19``);
+- plain functions dispatch by first parameter name (``row``/``rows``/
+  ``package``, ``flow.py:38-53``);
+- bare iterables become loaders (``flow.py:44-45``);
+- a checkpoint step captures and rewrites the upstream chain
+  (``flow.py:21-28`` with ``processors/checkpoint.py:36-47``).
+
+Ray-Data mapping: steps transform a ``PackageStream`` (descriptors + lazy
+Datasets). Nothing executes until a consuming step (dump) or a consuming
+call (``results()`` / ``process()``); Ray's streaming executor then runs the
+whole plan with backpressure.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import ray.data
+
+from .exceptions import StepError
+from .package import PackageStream
+from .udf import dispatch_kind, make_row_batch_fn, make_rows_batch_fn, StatefulRowsAdapter
+
+# Rows per Arrow batch for generic row-UDF shims; vectorized stages pick
+# their own. Kept moderate so batch × concurrency fits worker heaps at scale.
+DEFAULT_BATCH_SIZE = 8192
+
+
+class Step:
+    """Base protocol: a step transforms a PackageStream.
+
+    Mirrors reference ``DataStreamProcessor`` (``datastream_processor.py:24-128``)
+    collapsed into one phase: descriptor mutation and Dataset-plan extension
+    both happen in ``__flow_step__`` (plan time; data flows only on execution).
+    """
+
+    name: str = "step"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:  # pragma: no cover
+        raise NotImplementedError
+
+
+class _FnStep(Step):
+    """A plain user function dispatched by parameter name."""
+
+    def __init__(self, fn: Callable, kind: str, resources=None, stateful: bool = False):
+        self.fn = fn
+        self.kind = kind
+        self.resources = resources
+        self.stateful = stateful
+        self.name = getattr(fn, "__name__", "fn")
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        from .package import select_resources
+
+        if self.kind == "package":
+            result = self.fn(stream)
+            return result if isinstance(result, PackageStream) else stream
+        names = select_resources(stream, self.resources)
+        for name in names:
+            ds = stream.get(name)
+            if self.kind == "row":
+                batch_fn = make_row_batch_fn(self.fn)
+                stream.set(name, ds.map_batches(
+                    batch_fn, batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE))
+            elif self.kind == "rows":
+                if self.stateful:
+                    # One ordered actor sees every batch: reference
+                    # whole-resource generator semantics (rows_processor.py).
+                    fn = self.fn
+                    stream.set(name, ds.map_batches(
+                        StatefulRowsAdapter, fn_constructor_args=(fn,),
+                        batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE,
+                        concurrency=1))
+                else:
+                    batch_fn = make_rows_batch_fn(self.fn)
+                    stream.set(name, ds.map_batches(
+                        batch_fn, batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE))
+        return stream
+
+
+class Flow:
+    """Composable chain of steps; itself usable as a step (splices)."""
+
+    def __init__(self, *chain: Any):
+        self.chain: List[Any] = list(chain)
+
+    # -- public API (reference flow.py results/process/datastream) -------
+    def results(self, sort: bool = False) -> Tuple[List[List[dict]], PackageStream, Dict]:
+        """Execute and collect all rows per resource (small data / tests
+        only — this materializes; mirrors reference ``results()``)."""
+        stream = self._run()
+        results = []
+        for name in stream.resource_names():
+            rows = _execute(lambda ds=stream.get(name): ds.take_all(), name)
+            if sort:
+                rows = sorted(rows, key=lambda r: tuple(str(v) for v in r.values()))
+            results.append(rows)
+        return results, stream, stream.merged_stats()
+
+    def process(self) -> Tuple[PackageStream, Dict]:
+        """Execute for side effects (dumps); drains each resource."""
+        stream = self._run()
+        for name in stream.resource_names():
+            ds = stream.get(name)
+            # Consuming without collecting: count() executes the plan.
+            n = _execute(lambda: ds.count(), name)
+            stream.stats.append({f"count_of_rows__{name}": n})
+        return stream, stream.merged_stats()
+
+    def datasets(self) -> PackageStream:
+        """Build the plan and return the PackageStream WITHOUT consuming.
+        Lazy: downstream code can keep composing or write the datasets."""
+        return self._run()
+
+    # -- chain machinery --------------------------------------------------
+    def _run(self, initial: Optional[PackageStream] = None) -> PackageStream:
+        stream = initial or PackageStream()
+        steps = self._preprocess(self._normalize(self.chain))
+        for position, step in enumerate(steps):
+            try:
+                stream = step.__flow_step__(stream)
+            except StepError:
+                raise
+            except Exception as exc:  # wrap with provenance (exceptions parity)
+                raise StepError(exc, step_name=getattr(step, "name", type(step).__name__),
+                                position=position) from exc
+        return stream
+
+    def _normalize(self, chain: List[Any]) -> List[Step]:
+        steps: List[Step] = []
+        for link in chain:
+            if link is None:
+                continue
+            if isinstance(link, Flow):
+                steps.extend(link._normalize(link.chain))  # splice (flow.py:16-19)
+            elif isinstance(link, Step):
+                steps.append(link)
+            elif callable(link) and hasattr(link, "__flow_step__"):
+                steps.append(link)
+            elif callable(link):
+                steps.append(_FnStep(link, dispatch_kind(link)))
+            elif isinstance(link, ray.data.Dataset):
+                steps.append(_DatasetStep(link))
+            elif hasattr(link, "__iter__"):
+                from ..sources.load import iterable_loader
+                steps.append(iterable_loader(link))
+            else:
+                raise TypeError(f"Cannot use {link!r} as a flow step")
+        return steps
+
+    def _preprocess(self, steps: List[Step]) -> List[Step]:
+        """checkpoint rewrite — reference ``flow.py:21-28`` +
+        ``checkpoint.py:36-47``: a checkpoint step replaces the entire
+        upstream chain on hit, or appends a checkpoint dump on miss."""
+        out: List[Step] = []
+        for step in steps:
+            handler = getattr(step, "preprocess_chain", None)
+            if handler is not None:
+                out = handler(out)
+            else:
+                out.append(step)
+        return out
+
+
+def _execute(consume: Callable[[], Any], resource_name: str):
+    """Run a consuming call, wrapping Ray-side execution failures in
+    StepError so callers get reference-style error provenance
+    (``datastream_processor.py:88-97``)."""
+    import ray.exceptions
+
+    try:
+        return consume()
+    except StepError:
+        raise
+    except ray.exceptions.RayError as exc:
+        cause = getattr(exc, "cause", None) or exc
+        raise StepError(cause, step_name=f"execution[{resource_name}]",
+                        position=-1) from exc
+
+
+class _DatasetStep(Step):
+    """A bare ray.data.Dataset used as a flow link becomes a resource."""
+
+    _counter = [0]
+
+    def __init__(self, ds: ray.data.Dataset, name: Optional[str] = None):
+        self.ds = ds
+        if name is None:
+            _DatasetStep._counter[0] += 1
+            name = f"res_{_DatasetStep._counter[0]}"
+        self.name = name
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        stream.set(self.name, self.ds)
+        return stream
+
+
+def row_fn(fn: Callable, resources=None) -> Step:
+    """Explicit row-UDF step (bypass name dispatch)."""
+    return _FnStep(fn, "row", resources=resources)
+
+
+def rows_fn(fn: Callable, resources=None, stateful: bool = False) -> Step:
+    """Explicit rows-UDF step; ``stateful=True`` runs one ordered actor."""
+    return _FnStep(fn, "rows", resources=resources, stateful=stateful)
+
+
+def package_fn(fn: Callable) -> Step:
+    """Explicit package-UDF step: ``fn(stream) -> stream | None``."""
+    return _FnStep(fn, "package")

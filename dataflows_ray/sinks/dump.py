@@ -1,0 +1,135 @@
+"""dump_to_path: write resources + a datapackage manifest with counters.
+
+Parity target: reference ``dataflows/dumpers/to_path.py:7-26`` +
+``dumpers/file_dumper.py:30-161`` + ``dumpers/dumper_base.py:9-116``
+(row counts, byte sizes, optional content hashes accumulated into the
+package descriptor; temp-file-then-copy writes).
+
+Ray-Data mapping: each resource is written as a DIRECTORY of part files
+(``write_parquet`` / ``write_csv`` / ``write_json``) — partitioned output
+is the resumable/scale-correct layout (never one giant file). Counters
+come from the written parquet FILE METADATA (rows) and the filesystem
+(bytes) — no second pass over data. Hashes are per-output-file md5,
+computed only when ``add_filehash=True`` (a full re-read; off by default
+at scale). The dumped resource is replaced by a read-back of the output,
+so downstream steps never recompute the upstream pipeline.
+
+A dump step is a CONSUMPTION point: the write executes when the step is
+applied (the reference's equivalent drain happens at ``results()``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from typing import Dict, List, Optional
+
+import pyarrow.parquet as pq
+import ray.data
+
+from ..core.flow import Step
+from ..core.package import PackageStream, select_resources
+
+
+def _dir_stats(path: str, fmt: str, add_filehash: bool) -> Dict:
+    n_rows = 0
+    n_bytes = 0
+    hashes = {}
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            fp = os.path.join(root, f)
+            n_bytes += os.path.getsize(fp)
+            if fmt == "parquet" and f.endswith(".parquet"):
+                n_rows += pq.read_metadata(fp).num_rows
+            if add_filehash:
+                h = hashlib.md5()
+                with open(fp, "rb") as fh:
+                    for chunk in iter(lambda: fh.read(1 << 20), b""):
+                        h.update(chunk)
+                hashes[os.path.relpath(fp, path)] = h.hexdigest()
+    out = {"bytes": n_bytes}
+    if fmt == "parquet":
+        out["count_of_rows"] = n_rows
+    if add_filehash:
+        out["hashes"] = hashes
+    return out
+
+
+class dump_to_path(Step):
+    def __init__(self, out_path: str = ".", format: str = "parquet",
+                 resources=None, add_filehash: bool = False,
+                 min_rows_per_file: Optional[int] = None, readback: bool = True):
+        self.out_path = out_path
+        self.format = format
+        self.resources = resources
+        self.add_filehash = add_filehash
+        self.min_rows_per_file = min_rows_per_file
+        self.readback = readback
+        self.name = f"dump_to_path({out_path})"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        os.makedirs(self.out_path, exist_ok=True)
+        manifest: Dict = {"name": stream.package.metadata.get("name", "datapackage"),
+                          "resources": []}
+        for rname in select_resources(stream, self.resources):
+            ds = stream.get(rname)
+            res_dir = os.path.join(self.out_path, rname)
+            staged = res_dir + ".staged"
+            if os.path.exists(staged):
+                shutil.rmtree(staged)
+            if self.format == "parquet":
+                kwargs = {}
+                if self.min_rows_per_file:
+                    kwargs["min_rows_per_file"] = self.min_rows_per_file
+                ds.write_parquet(staged, **kwargs)
+            elif self.format == "csv":
+                ds.write_csv(staged)
+            elif self.format == "json":
+                ds.write_json(staged)
+            else:
+                raise ValueError(f"Unsupported dump format: {self.format}")
+            # atomic commit per resource (reference stream.py:33-36 pattern)
+            if os.path.exists(res_dir):
+                shutil.rmtree(res_dir)
+            os.replace(staged, res_dir)
+            stats = _dir_stats(res_dir, self.format, self.add_filehash)
+            manifest["resources"].append({
+                "name": rname, "path": rname, "format": self.format, **stats})
+            stream.stats.append(
+                {f"{k}__{rname}": v for k, v in stats.items() if k != "hashes"})
+            if self.format == "parquet" and self.readback:
+                # read back: downstream consumers don't recompute upstream
+                stream.set(rname, ray.data.read_parquet(res_dir))
+        # atomic manifest write
+        tmp = os.path.join(self.out_path, "datapackage.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2, default=str)
+        os.replace(tmp, os.path.join(self.out_path, "datapackage.json"))
+        return stream
+
+
+class dump_to_zip(Step):
+    """Reference ``dumpers/to_zip.py:6-21``: dump then zip the directory."""
+
+    def __init__(self, out_file: str, format: str = "parquet", resources=None):
+        self.out_file = out_file
+        self.format = format
+        self.resources = resources
+        self.name = f"dump_to_zip({out_file})"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        import tempfile
+        import zipfile
+
+        with tempfile.TemporaryDirectory() as tmpdir:
+            inner = dump_to_path(tmpdir, format=self.format,
+                                 resources=self.resources, readback=False)
+            stream = inner.__flow_step__(stream)
+            with zipfile.ZipFile(self.out_file, "w") as zf:
+                for root, _dirs, files in os.walk(tmpdir):
+                    for f in files:
+                        fp = os.path.join(root, f)
+                        zf.write(fp, os.path.relpath(fp, tmpdir))
+        return stream

@@ -1,0 +1,268 @@
+"""Join / join_with_self: keyed aggregation + hash join.
+
+Parity target: reference ``dataflows/processors/join.py:174-392``:
+- ``KeyCalc`` (``join.py:13-26``): key = list of fields OR a format string
+  over row fields; ``{#}`` is the 1-based row number (needs ``__row_id__``);
+- per-key running aggregation of ``fields`` (see ``stages/agg.py``) with
+  ``'*'`` expansion (``join.py:140-148``) and name/aggregate defaults
+  (``join.py:128-137``);
+- modes ``inner`` (drop unmatched target), ``half-outer`` (null-fill
+  unmatched target), ``full-outer`` (also emit unmatched SOURCE keys with
+  the target key fields restored from the source key values,
+  ``join.py:216-217,251-255``);
+- ``join_with_self`` / deduplication mode (``target_key=None``): emit one
+  row per distinct source key with finalized aggregates — i.e. group-by
+  (``join.py:223-235``).
+
+Ray-Data mapping: compute an explicit key column on both sides
+(vectorized for single-field keys, in-batch loop for format strings), run
+``grouped_aggregate`` on the source, then either:
+- ``strategy='shuffle'``: ``Dataset.join`` (hash-partitioned shuffle join,
+  both sides large); or
+- ``strategy='broadcast'``: ``ray.put`` the aggregated source once and
+  probe it inside ``map_batches`` on the target — no shuffle of the big
+  side. This is the 100-TB-correct plan when the aggregated (distinct-key)
+  side fits in the object store, which is the common dims-into-facts case.
+- ``strategy='auto'`` (default): materialize the aggregated source (its
+  size is #distinct keys, already reduced), then pick broadcast if it is
+  under ``broadcast_limit`` rows else shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..core.flow import Step, DEFAULT_BATCH_SIZE
+from ..core.package import PackageStream
+from ..sources.load import ROW_ID
+from .agg import grouped_aggregate, HOLISTIC
+
+JOIN_KEY = "__join_key__"
+BROADCAST_LIMIT = 2_000_000  # rows of aggregated (distinct-key) source
+
+
+class KeyCalc:
+    """Reference ``join.py:13-26``: list-of-fields or format-string key."""
+
+    def __init__(self, key_spec: Union[str, List[str]]):
+        if isinstance(key_spec, list):
+            self.key_list = list(key_spec)
+            self.key_spec = ":".join("{%s}" % k for k in key_spec)
+            self.simple = True
+        else:
+            self.key_spec = key_spec
+            self.key_list = re.findall(r"\{(.*?)\}", key_spec)
+            self.simple = False
+        self.uses_row_number = "#" in self.key_list
+
+    def add_key_column(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        spec, uses_rn = self.key_spec, self.uses_row_number
+
+        def fn(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            if uses_rn:
+                # {#} is the 1-based row number == __row_id__ + 1
+                keys = [spec.format(**{**r, "#": int(r.get(ROW_ID, -2)) + 1})
+                        for r in rows]
+            else:
+                keys = [spec.format(**r) for r in rows]
+            return batch.append_column(JOIN_KEY, pa.array(keys, type=pa.string()))
+
+        return ds.map_batches(fn, batch_format="pyarrow",
+                              batch_size=DEFAULT_BATCH_SIZE)
+
+
+def _fix_fields(fields: Dict[str, Any]) -> Dict[str, Dict[str, Any]]:
+    out: Dict[str, Dict[str, Any]] = {}
+    for field in sorted(fields.keys()):
+        spec = fields[field] or {}
+        spec = dict(spec)
+        spec.setdefault("name", field)
+        spec.setdefault("aggregate", "any")
+        out[field] = spec
+    return out
+
+
+def _expand_star(fields: Dict[str, Dict], source_cols: List[str]) -> Dict[str, Dict]:
+    if "*" not in fields:
+        return fields
+    spec = fields.pop("*")
+    existing = {s["name"] for s in fields.values()}
+    for col in source_cols:
+        if col not in existing and col not in (JOIN_KEY, ROW_ID):
+            fields[col] = {**spec, "name": col}
+    return fields
+
+
+class join(Step):
+    def __init__(self, source_name: str, source_key, target_name: str,
+                 target_key, fields: Dict[str, Any] = None, mode: str = "half-outer",
+                 source_delete: bool = True, full: Optional[bool] = None,
+                 strategy: str = "auto", num_partitions: int = 64):
+        if full is not None:  # deprecated flag (join.py:188-194)
+            mode = "half-outer" if full else "inner"
+        assert mode in ("inner", "half-outer", "full-outer")
+        self.source_name = source_name
+        self.source_key = KeyCalc(source_key)
+        self.target_name = target_name
+        self.target_key = KeyCalc(target_key) if target_key is not None else None
+        self.fields = fields or {}
+        self.mode = mode
+        self.source_delete = source_delete
+        self.strategy = strategy
+        self.num_partitions = num_partitions
+        self.name = f"join({source_name}->{target_name})"
+
+    # -- aggregation of the source side ----------------------------------
+    def _aggregate_source(self, source: ray.data.Dataset):
+        fields = _expand_star(_fix_fields(dict(self.fields)), source.columns())
+        keyed = self.source_key.add_key_column(source)
+        specs = [{"target": tgt, "source": spec["name"], "aggregate": spec["aggregate"]}
+                 for tgt, spec in fields.items()]
+        if self.mode == "full-outer" and self.target_key is not None:
+            # preserve source key field values for key restoration
+            # (reference join.py:216-217,251-255)
+            for i, kf in enumerate(self.source_key.key_list):
+                specs.append({"target": f"__key_{i}__", "source": kf,
+                              "aggregate": "first"})
+        agg = grouped_aggregate(keyed, [JOIN_KEY], specs)
+        return agg, fields
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        source = stream.get(self.source_name)
+        target = stream.get(self.target_name) if self.target_key is not None else None
+        agg, fields = self._aggregate_source(source)
+
+        if self.target_key is None:
+            # deduplication / group-by mode: the aggregate IS the result
+            result = agg.drop_columns([JOIN_KEY]) if not self.source_delete else agg.drop_columns([JOIN_KEY])
+            stream.set(self.source_name, result)
+            return stream
+
+        keyed_target = self.target_key.add_key_column(target)
+        field_names = list(fields.keys())
+
+        strategy = self.strategy
+        agg_mat = None
+        if strategy == "auto":
+            agg_mat = agg.materialize()
+            strategy = ("broadcast"
+                        if agg_mat.count() <= BROADCAST_LIMIT and self.mode != "full-outer"
+                        else "shuffle")
+            agg = agg_mat
+
+        if strategy == "broadcast":
+            result = _broadcast_join(keyed_target, agg, field_names, self.mode)
+        else:
+            result = _shuffle_join(keyed_target, agg, field_names, self.mode,
+                                   self.target_key, self.num_partitions)
+        stream.set(self.target_name, result)
+        if self.source_delete:
+            stream.drop(self.source_name)
+        return stream
+
+
+def _broadcast_join(keyed_target: ray.data.Dataset, agg: ray.data.Dataset,
+                    field_names: List[str], mode: str) -> ray.data.Dataset:
+    """Broadcast the aggregated source (``ray.put`` once) and probe per
+    batch — zero shuffle of the target side."""
+    agg_df = agg.to_pandas().set_index(JOIN_KEY)
+    ref = ray.put(agg_df)
+
+    class Probe:
+        def __init__(self):
+            self.lookup: pd.DataFrame = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch[JOIN_KEY].to_pylist()
+            hit = np.array([k in self.lookup.index for k in keys])
+            joined = self.lookup.reindex(keys)
+            if mode == "inner":
+                batch = batch.filter(pa.array(hit))
+                joined = joined[hit]
+            for col in field_names:
+                vals = joined[col].tolist() if col in joined.columns else [None] * len(batch)
+                if col in batch.column_names:
+                    # half-outer miss keeps the target's own value (join.py:245-249)
+                    own = batch[col].to_pylist()
+                    vals = [v if h else o for v, o, h in
+                            zip(vals, own, hit if mode != "inner" else [True] * len(own))]
+                    batch = batch.drop_columns([col])
+                vals = [None if (isinstance(v, float) and np.isnan(v)) else v for v in vals]
+                batch = batch.append_column(col, pa.array(vals))
+            return batch
+
+    return keyed_target.map_batches(
+        Probe, batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE, concurrency=4
+    ).drop_columns([JOIN_KEY])
+
+
+def _shuffle_join(keyed_target: ray.data.Dataset, agg: ray.data.Dataset,
+                  field_names: List[str], mode: str, target_key: KeyCalc,
+                  num_partitions: int) -> ray.data.Dataset:
+    join_type = {"inner": "inner", "half-outer": "left_outer",
+                 "full-outer": "full_outer"}[mode]
+    # Drop clashing non-key columns from the target (the source aggregate
+    # wins for its field names — join.py:245 row.update(extra) semantics
+    # apply only on hit; for shuffle path we suffix and coalesce).
+    tgt_cols = keyed_target.columns()
+    clash = [c for c in field_names if c in tgt_cols]
+    joined = keyed_target.join(
+        agg, join_type=join_type, num_partitions=num_partitions,
+        on=(JOIN_KEY,), left_suffix="__t", right_suffix="__s")
+
+    key_restore = [(f"__key_{i}__", kf) for i, kf in enumerate(target_key.key_list)] \
+        if mode == "full-outer" else []
+
+    def post(batch: pa.Table) -> pa.Table:
+        # coalesce clashed columns: source value on hit else target value
+        for col in clash:
+            s_col, t_col = f"{col}__s", f"{col}__t"
+            if s_col in batch.column_names and t_col in batch.column_names:
+                import pyarrow.compute as pc
+                merged = pc.coalesce(batch[s_col], batch[t_col])
+                batch = batch.drop_columns([s_col, t_col]).append_column(col, merged)
+        # full-outer: restore target key fields from preserved source keys
+        for aux, kf in key_restore:
+            if aux in batch.column_names and kf in batch.column_names:
+                import pyarrow.compute as pc
+                restored = pc.coalesce(batch[kf], pc.cast(batch[aux], batch[kf].type))
+                idx = batch.schema.get_field_index(kf)
+                batch = batch.set_column(idx, kf, restored)
+        drop = [c for c in batch.column_names
+                if c.startswith("__key_") or c == JOIN_KEY or c.endswith("__s") or c.endswith("__t")]
+        return batch.drop_columns(drop) if drop else batch
+
+    return joined.map_batches(post, batch_format="pyarrow",
+                              batch_size=DEFAULT_BATCH_SIZE)
+
+
+class join_with_self(Step):
+    """Group-by: one output row per distinct key with finalized aggregates.
+
+    Reference ``join.py:384-385`` (join_with_self = join with
+    ``target_key=None``, ``source_delete=True``).
+    """
+
+    def __init__(self, resource_name: str, join_key, fields: Dict[str, Any],
+                 resource_rename: Optional[str] = None):
+        self.inner = join(resource_name, join_key, resource_name, None,
+                          fields, source_delete=True)
+        self.resource_rename = resource_rename
+        self.name = f"join_with_self({resource_name})"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        stream = self.inner.__flow_step__(stream)
+        if self.resource_rename:
+            src = self.inner.source_name
+            ds = stream.get(src)
+            stream.drop(src)
+            stream.set(self.resource_rename, ds)
+        return stream

@@ -1,0 +1,272 @@
+"""Type casting, validation and descriptor mutation.
+
+Parity targets:
+- ``dataflows/processors/set_type.py:10-72`` — update field descriptor by
+  name regex + re-cast the stream under an error policy; optional
+  ``transform(v, field_name, row)`` pre-cast hook.
+- ``dataflows/base/schema_validator.py:53-84`` — error policies ``raise``
+  (default) / ``ignore`` (keep bad value) / ``drop`` (drop row) / ``clear``
+  (null the cell).
+- ``dataflows/processors/validate.py:9-61`` — schema-cast validation,
+  field-predicate and row-predicate forms.
+- ``dataflows/processors/update_package.py:4-18``, ``update_resource.py``,
+  ``update_schema.py``, ``set_primary_key.py:5-24`` — metadata-only.
+
+Ray-Data mapping: casts are vectorized per batch (pandas ``to_numeric`` /
+``to_datetime`` for error LOCATION, Arrow cast for the clean fast path);
+policies become mask-filter (drop), null-fill (clear), passthrough
+(ignore), or a raised ``ValidationError`` surfaced through the consuming
+call. Decimal policy (SURVEY §1.2): frictionless ``number`` maps to
+float64; oracles compare with tolerance.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..core.exceptions import ValidationError
+from ..core.flow import Step, DEFAULT_BATCH_SIZE
+from ..core.package import PackageStream, select_resources
+
+_BOOL_TRUE = {"true", "True", "TRUE", "1", "yes", "t"}
+_BOOL_FALSE = {"false", "False", "FALSE", "0", "no", "f"}
+
+
+def _cast_series(s: pd.Series, ftype: str, fmt: Optional[str]):
+    """Return (cast_series, failure_mask). Failures = non-null values that
+    could not be cast."""
+    notnull = s.notna()
+    if ftype == "integer":
+        out = pd.to_numeric(s, errors="coerce")
+        fail = notnull & out.isna()
+        # non-integral floats are cast failures for 'integer'
+        fail |= notnull & out.notna() & (out % 1 != 0)
+        out = out.where(~fail)
+        return out.astype("Int64"), fail
+    if ftype == "number":
+        out = pd.to_numeric(s, errors="coerce").astype("float64")
+        return out, notnull & out.isna()
+    if ftype == "string":
+        out = s.astype("object").where(~notnull, None)
+        out = out.where(~notnull, None)
+        out[notnull] = s[notnull].astype(str)
+        return out, pd.Series(False, index=s.index)
+    if ftype == "boolean":
+        def conv(v):
+            if isinstance(v, bool):
+                return v
+            if str(v) in _BOOL_TRUE:
+                return True
+            if str(v) in _BOOL_FALSE:
+                return False
+            return None
+        out = s.map(lambda v: conv(v) if v is not None and v == v else None)
+        return out.astype("boolean"), notnull & out.isna()
+    if ftype in ("date", "datetime"):
+        out = pd.to_datetime(s, format=fmt, errors="coerce")
+        fail = notnull & out.isna()
+        if ftype == "date":
+            out = out.dt.date.where(out.notna(), None)
+        return out, fail
+    if ftype == "any" or ftype is None:
+        return s, pd.Series(False, index=s.index)
+    raise ValueError(f"Unsupported cast type: {ftype}")
+
+
+class _CastKernel:
+    """Batch fn casting a set of (column, type, format) with a policy."""
+
+    def __init__(self, casts: List[Dict[str, Any]], on_error: str,
+                 transform: Optional[Callable] = None):
+        self.casts = casts
+        self.on_error = on_error
+        self.transform = transform
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        drop_mask = pd.Series(False, index=df.index)
+        for cast in self.casts:
+            col, ftype, fmt = cast["name"], cast["type"], cast.get("format")
+            if col not in df.columns:
+                continue
+            src = df[col]
+            if self.transform is not None:
+                rows = df.to_dict("records")
+                src = pd.Series(
+                    [self.transform(v, field_name=col, row=r)
+                     for v, r in zip(src.tolist(), rows)], index=df.index)
+            out, fail = _cast_series(src, ftype, fmt)
+            if fail.any():
+                if self.on_error == "raise":
+                    bad = src[fail].iloc[0]
+                    raise ValidationError(
+                        f"Failed to cast value {bad!r} to {ftype} in field '{col}'",
+                        field=col)
+                if self.on_error == "drop":
+                    drop_mask |= fail
+                elif self.on_error == "ignore":
+                    # keep the original (uncast) column entirely — Arrow
+                    # columns are homogeneous, so partial non-cast is
+                    # represented by leaving the column unchanged
+                    continue
+                # 'clear': failures already null in `out`
+            df[col] = out
+        if drop_mask.any():
+            df = df[~drop_mask]
+        return df
+
+
+class set_type(Step):
+    """Reference ``processors/set_type.py:10-72``."""
+
+    def __init__(self, name: str, resources=None, regex: bool = True,
+                 on_error: str = "raise", transform: Optional[Callable] = None,
+                 **options):
+        self.pattern = name
+        self.regex = regex
+        self.resources = resources
+        self.on_error = on_error
+        self.transform = transform
+        self.options = options
+        self.name = f"set_type({name})"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        ftype = self.options.get("type")
+        fmt = self.options.get("format")
+        for rname in select_resources(stream, self.resources):
+            ds = stream.get(rname)
+            cols = ds.columns()
+            if self.regex:
+                rx = re.compile("^" + self.pattern + "$")
+                matched = [c for c in cols if rx.match(c)]
+            else:
+                matched = [c for c in cols if c == self.pattern]
+            if not matched:
+                raise ValueError(f"set_type: no field matches {self.pattern}")
+            casts = [{"name": c, "type": ftype, "format": fmt} for c in matched]
+            kernel = _CastKernel(casts, self.on_error, self.transform)
+            stream.set(rname, ds.map_batches(
+                kernel, batch_format="pandas", batch_size=DEFAULT_BATCH_SIZE))
+            desc = stream.descriptor(rname)
+            for c in matched:
+                fd = desc.field_descriptor(c)
+                if fd is None:
+                    desc.fields.append({"name": c, **self.options})
+                else:
+                    fd.update(self.options)
+        return stream
+
+
+class validate(Step):
+    """Reference ``processors/validate.py:9-61``: field-predicate
+    (``validate(col, fn)``), row-predicate (``validate(fn)``), or
+    schema-cast (no args: re-cast per descriptor fields)."""
+
+    def __init__(self, *args, resources=None, on_error: str = "raise"):
+        self.args = args
+        self.resources = resources
+        self.on_error = on_error
+        self.name = "validate"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        on_error = self.on_error
+        for rname in select_resources(stream, self.resources):
+            ds = stream.get(rname)
+            if len(self.args) == 2:
+                col, pred = self.args
+
+                def fn(df: pd.DataFrame) -> pd.DataFrame:
+                    ok = df[col].map(lambda v: bool(pred(v)))
+                    return _route(df, ok, on_error, col)
+            elif len(self.args) == 1:
+                pred = self.args[0]
+
+                def fn(df: pd.DataFrame) -> pd.DataFrame:
+                    ok = pd.Series([bool(pred(r)) for r in df.to_dict("records")],
+                                   index=df.index)
+                    return _route(df, ok, on_error, None)
+            else:
+                desc = stream.descriptor(rname)
+                casts = [f for f in desc.fields if f.get("type")]
+                kernel = _CastKernel(casts, on_error)
+                fn = kernel
+            stream.set(rname, ds.map_batches(
+                fn, batch_format="pandas", batch_size=DEFAULT_BATCH_SIZE))
+        return stream
+
+
+def _route(df: pd.DataFrame, ok: pd.Series, on_error: str, col: Optional[str]):
+    if ok.all():
+        return df
+    if on_error == "raise":
+        bad = df[~ok].iloc[0].to_dict()
+        raise ValidationError(f"Row failed validation: {bad}", field=col)
+    if on_error == "drop":
+        return df[ok]
+    return df  # 'ignore'
+
+
+class update_package(Step):
+    def __init__(self, **metadata):
+        self.metadata = metadata
+        self.name = "update_package"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        stream.package.metadata.update(self.metadata)
+        return stream
+
+
+add_metadata = update_package  # reference alias (add_metadata.py)
+
+
+class update_resource(Step):
+    def __init__(self, resources, **props):
+        self.resources = resources
+        self.props = props
+        self.name = "update_resource"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        for rname in select_resources(stream, self.resources):
+            desc = stream.descriptor(rname)
+            new_name = self.props.get("name")
+            desc.metadata.update(self.props)
+            if new_name and new_name != rname:
+                ds = stream.get(rname)
+                stream.drop(rname)
+                desc.name = new_name
+                stream.set(new_name, ds)
+                stream.package.resources[new_name] = desc
+        return stream
+
+
+class update_schema(Step):
+    def __init__(self, resources, **props):
+        self.resources = resources
+        self.props = props
+        self.name = "update_schema"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        for rname in select_resources(stream, self.resources):
+            desc = stream.descriptor(rname)
+            if "missingValues" in self.props:
+                desc.missing_values = self.props["missingValues"]
+            if "primaryKey" in self.props:
+                desc.primary_key = list(self.props["primaryKey"])
+            desc.metadata.setdefault("schema", {}).update(self.props)
+        return stream
+
+
+class set_primary_key(Step):
+    def __init__(self, primary_key: List[str], resources=None):
+        self.primary_key = list(primary_key)
+        self.resources = resources
+        self.name = "set_primary_key"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        for rname in select_resources(stream, self.resources):
+            stream.descriptor(rname).primary_key = list(self.primary_key)
+        return stream

@@ -1,0 +1,206 @@
+"""Micro-batch streaming engine: source epochs -> partitioned stateful
+join -> watermark -> exactly-once sink.
+
+North-rule pipeline (BASELINE.json): clip and transcript substreams from
+the audio table are hash-partitioned on ``clip_id`` and joined statefully
+with event-time watermarks; output is committed per epoch through the
+2PC sink (``sink.py``) with per-partition lineage, resumable from the
+manifest + state snapshots.
+
+Topology per epoch:
+
+1. SPLIT (shuffle map): one Ray task per input row-group reads its rows
+   (parallel, metadata-scheduled) and splits them into P partition pairs
+   ``(clips_table, transcripts_table, max_event_ms)`` returned as P
+   separate objects (``num_returns=P``) — genuine shuffle routing, no
+   driver materialization, no re-reads.
+2. JOIN (reduce): partition p's ``JoinStateActor`` ingests its objects,
+   emits matches + expirations against the current watermark, and stages
+   its output parquet for the epoch (phase 1 of 2PC).
+3. WATERMARK: actors report per-partition max event time; the tracker
+   computes min-of-maxes - allowed_lateness for the NEXT epoch.
+4. COMMIT: the driver commits the epoch (phase 2) with partition metrics
+   and the actors' state snapshots.
+
+Skew: hot ``clip_id`` prefixes are spread by hashing the FULL clip_id
+(clip ids are unique; the hot dimension is the speaker prefix, which pure
+clip_id hashing already spreads uniformly). For aggregations keyed by
+speaker, ``pipelines/audio.py`` salts the speaker key explicitly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from .join_state import JoinStateActor, _deserialize
+from .sink import ExactlyOnceSink
+from .watermark import WatermarkTracker
+
+CLIP_COLS = ["clip_id", "sr_hz", "dur_ms", "codec", "speaker", "event_ms"]
+TRANSCRIPT_COLS = ["clip_id", "transcript", "transcript_event_ms"]
+
+
+def _hash_partition(keys: pa.Array, num_partitions: int) -> np.ndarray:
+    """Deterministic hash partitioning of a string key column (vectorized
+    FNV-style over bytes via numpy; stable across processes, unlike
+    Python's seeded hash())."""
+    import zlib
+    return np.array([zlib.crc32(k.encode()) % num_partitions
+                     for k in keys.to_pylist()], dtype=np.int64)
+
+
+@ray.remote
+def _split_rowgroup(path: str, row_group: int, num_partitions: int,
+                    include_audio_bytes: bool):
+    """Read one row group and split into per-partition (clips, transcripts,
+    max_event_ms) tuples — one return value per partition."""
+    pf = pq.ParquetFile(path)
+    cols = CLIP_COLS + TRANSCRIPT_COLS[1:]
+    if include_audio_bytes:
+        cols = ["bytes"] + cols
+    tbl = pf.read_row_group(row_group, columns=list(dict.fromkeys(cols)))
+    parts = _hash_partition(tbl["clip_id"].combine_chunks(), num_partitions)
+    out = []
+    clip_cols = (["bytes"] if include_audio_bytes else []) + CLIP_COLS
+    for p in range(num_partitions):
+        mask = pa.array(parts == p)
+        sub = tbl.filter(mask)
+        clips = sub.select(clip_cols)
+        transcripts = sub.select(TRANSCRIPT_COLS).rename_columns(
+            ["clip_id", "transcript", "event_ms"])
+        max_ms = -1
+        if len(sub):
+            max_ms = max(
+                pa.compute.max(sub["event_ms"]).as_py(),
+                pa.compute.max(sub["transcript_event_ms"]).as_py())
+        out.append((clips, transcripts, max_ms))
+    return tuple(out) if num_partitions > 1 else out[0]
+
+
+class StreamingJoinEngine:
+    """Drives the clip<->transcript stateful join over epochs of the audio
+    table with exactly-once output and checkpoint resume."""
+
+    def __init__(self, input_path: str, out_dir: str, num_partitions: int = 8,
+                 rowgroups_per_epoch: int = 4, allowed_lateness_ms: int = 60_000,
+                 include_audio_bytes: bool = False, emit_unmatched: bool = True):
+        self.input_path = input_path
+        self.out_dir = out_dir
+        self.num_partitions = num_partitions
+        self.rowgroups_per_epoch = rowgroups_per_epoch
+        self.allowed_lateness_ms = allowed_lateness_ms
+        self.include_audio_bytes = include_audio_bytes
+        self.emit_unmatched = emit_unmatched
+        self.sink = ExactlyOnceSink(out_dir)
+
+    # -- source planning (metadata only) ----------------------------------
+    def plan_epochs(self) -> List[List[Dict]]:
+        paths = []
+        if os.path.isdir(self.input_path):
+            for root, _d, files in os.walk(self.input_path):
+                paths.extend(os.path.join(root, f)
+                             for f in sorted(files) if f.endswith(".parquet"))
+            paths.sort()
+        else:
+            paths = [self.input_path]
+        tasks = []
+        for p in paths:
+            meta = pq.read_metadata(p)
+            for rg in range(meta.num_row_groups):
+                tasks.append({"path": p, "row_group": rg})
+        epochs = [tasks[i:i + self.rowgroups_per_epoch]
+                  for i in range(0, len(tasks), self.rowgroups_per_epoch)]
+        return epochs
+
+    def run(self, max_epochs: Optional[int] = None,
+            crash_after_stage_of_epoch: Optional[int] = None) -> Dict:
+        """Process all (or max_epochs) uncommitted epochs. Returns metrics.
+
+        ``crash_after_stage_of_epoch``: test hook — raise after phase 1 of
+        that epoch, before commit, to exercise exactly-once recovery.
+        """
+        P = self.num_partitions
+        actors = [JoinStateActor.remote(
+            p, emit_unmatched=self.emit_unmatched) for p in range(P)]
+        tracker = WatermarkTracker.remote(P, self.allowed_lateness_ms)
+
+        # -- resume: restore state + watermark from the committed manifest
+        committed = set(self.sink.committed_epochs())
+        state = self.sink.latest_state()
+        if state is not None:
+            ray.get([actors[p].restore.remote(state["actors"][p])
+                     for p in range(P)])
+            ray.get(tracker.restore.remote(state["watermark"]))
+
+        epochs = self.plan_epochs()
+        total_rows = 0
+        n_done = 0
+        for epoch_id, tasks in enumerate(epochs):
+            if epoch_id in committed:
+                continue
+            if max_epochs is not None and n_done >= max_epochs:
+                break
+            wm = ray.get(tracker.watermark.remote())
+            # 1. split (shuffle map) — P returns per task
+            split_refs = [
+                _split_rowgroup.options(num_returns=P if P > 1 else 1).remote(
+                    t["path"], t["row_group"], P, self.include_audio_bytes)
+                for t in tasks]
+            if P == 1:
+                per_part = [split_refs]
+            else:
+                per_part = [[task_refs[p] for task_refs in split_refs]
+                            for p in range(P)]
+            # 2. join + stage (phase 1 of 2PC) in each partition actor
+            stage_refs = [
+                actors[p].process_and_stage.remote(
+                    epoch_id, per_part[p], wm, self.out_dir)
+                for p in range(P)]
+            stats = ray.get(stage_refs)
+            # 3. watermark advance from per-partition maxima
+            for s in stats:
+                ray.get(tracker.report.remote(s["partition"], s["max_event_ms"]))
+            new_wm = ray.get(tracker.watermark.remote())
+            if crash_after_stage_of_epoch == epoch_id:
+                raise RuntimeError(f"injected crash after staging epoch {epoch_id}")
+            # 4. commit (phase 2) with state snapshots for resume
+            snaps = ray.get([a.snapshot.remote() for a in actors])
+            wm_snap = ray.get(tracker.snapshot.remote())
+            self.sink.commit(
+                epoch_id,
+                [{"partition": s["partition"], "rows": s["rows"],
+                  "bytes": s["bytes"], "matched": s["matched"],
+                  "expired": s["expired"]} for s in stats],
+                new_wm,
+                state_snapshots={"actors": snaps, "watermark": wm_snap})
+            total_rows += sum(s["rows"] for s in stats)
+            n_done += 1
+
+        # final flush: end-of-stream watermark releases remaining state
+        if n_done and (max_epochs is None):
+            flush_epoch = len(epochs)
+            if flush_epoch not in committed:
+                stats = ray.get([
+                    actors[p].process_and_stage.remote(
+                        flush_epoch, [], 2**62, self.out_dir)
+                    for p in range(P)])
+                snaps = ray.get([a.snapshot.remote() for a in actors])
+                wm_snap = ray.get(tracker.snapshot.remote())
+                self.sink.commit(
+                    flush_epoch,
+                    [{"partition": s["partition"], "rows": s["rows"],
+                      "bytes": s["bytes"], "matched": s["matched"],
+                      "expired": s["expired"]} for s in stats],
+                    2**62, state_snapshots={"actors": snaps, "watermark": wm_snap})
+                total_rows += sum(s["rows"] for s in stats)
+        for a in actors:
+            ray.kill(a)
+        ray.kill(tracker)
+        return {"epochs_processed": n_done, "rows_emitted": total_rows,
+                "committed_rows": self.sink.committed_row_count()}

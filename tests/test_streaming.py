@@ -1,0 +1,137 @@
+"""Streaming layer: synth determinism, PCM decode SNR, windows, the
+stateful stream-stream join engine, and exactly-once crash/resume."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+from dataflows_ray.streaming.audio import (
+    decode_pcm, encode_pcm16, regen_clip, snr_db, synth_clip_batch,
+    write_audio_dataset)
+from dataflows_ray.streaming.engine import StreamingJoinEngine
+from dataflows_ray.streaming.sink import ExactlyOnceSink
+from dataflows_ray.streaming.windows import (
+    assign_session, assign_sliding, assign_tumbling)
+from dataflows_ray.pipelines.audio import decode_stage, windowed_speaker_aggregate
+
+
+def test_synth_deterministic():
+    a = synth_clip_batch(100, 5)
+    b = synth_clip_batch(100, 5)
+    assert a.equals(b)
+    # shard-independence: generating [100,105) row-by-row matches the batch
+    c = pa.concat_tables([synth_clip_batch(100 + i, 1) for i in range(5)])
+    assert a.equals(c)
+
+
+def test_pcm_decode_snr():
+    t = synth_clip_batch(0, 10)
+    for row in t.to_pylist():
+        wave = decode_pcm(row["bytes"], row["codec"])
+        # re-encode/decode round trip: SNR far above the 30 dB bar
+        wave2 = decode_pcm(encode_pcm16(wave), "pcm16")
+        assert snr_db(wave, wave2) >= 30
+        assert len(wave) == int(row["sr_hz"] * row["dur_ms"] / 1000)
+
+
+def test_per_row_invariant_vs_regenerated_reference():
+    # input_hint invariant: decoded-PCM allclose (SNR>=30dB) + transcript eq
+    t = synth_clip_batch(50, 5)
+    for i, row in enumerate(t.to_pylist()):
+        ref = regen_clip(50 + i)
+        assert ref["transcript"] == row["transcript"]
+        w1 = decode_pcm(row["bytes"], row["codec"])
+        w2 = decode_pcm(ref["bytes"], ref["codec"])
+        assert snr_db(w1, w2) >= 30
+
+
+def _ts_ds(ts_list, key="k"):
+    return ray.data.from_arrow(pa.table({
+        "k": [key] * len(ts_list), "event_ms": ts_list}))
+
+
+def test_tumbling_window():
+    ds = assign_tumbling(_ts_ds([0, 500, 999, 1000, 2500]), "event_ms", 1000)
+    rows = sorted(ds.take_all(), key=lambda r: r["event_ms"])
+    assert [r["window_start"] for r in rows] == [0, 0, 0, 1000, 2000]
+    assert [r["window_end"] for r in rows] == [1000, 1000, 1000, 2000, 3000]
+
+
+def test_sliding_window():
+    ds = assign_sliding(_ts_ds([0, 1500]), "event_ms", 2000, 1000)
+    rows = ds.take_all()
+    by_ts = {}
+    for r in rows:
+        by_ts.setdefault(r["event_ms"], []).append(r["window_start"])
+    assert sorted(by_ts[0]) == [0]          # windows (-1000,0] clipped at 0
+    assert sorted(by_ts[1500]) == [0, 1000]
+
+
+def test_session_window():
+    ds = _ts_ds([0, 100, 5000, 5100, 20000])
+    out = assign_session(ds, ["k"], "event_ms", gap_ms=2000)
+    rows = sorted(out.take_all(), key=lambda r: r["event_ms"])
+    starts = [r["window_start"] for r in rows]
+    assert starts == [0, 0, 5000, 5000, 20000]
+    assert rows[0]["window_end"] == 100 + 2000
+
+
+@pytest.fixture(scope="module")
+def audio_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("audio"))
+    write_audio_dataset(d, 2000, rows_per_file=500)
+    return d
+
+
+def test_streaming_join_end_to_end(audio_dir, tmp_path):
+    out = str(tmp_path / "sink")
+    eng = StreamingJoinEngine(audio_dir, out, num_partitions=4,
+                              rowgroups_per_epoch=1)
+    metrics = eng.run()
+    # every clip has exactly one transcript -> exactly n_clips joined rows
+    sink = ExactlyOnceSink(out)
+    res = sink.read_output()
+    assert res.count() == 2000
+    df = res.to_pandas()
+    assert df["clip_id"].nunique() == 2000      # no dupes (exactly-once)
+    assert df["transcript"].notna().all()        # all matched
+
+
+def test_exactly_once_crash_resume(audio_dir, tmp_path):
+    out = str(tmp_path / "sink2")
+    eng = StreamingJoinEngine(audio_dir, out, num_partitions=2,
+                              rowgroups_per_epoch=1)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        eng.run(crash_after_stage_of_epoch=2)
+    committed_before = set(ExactlyOnceSink(out).committed_epochs())
+    assert 2 not in committed_before  # epoch 2 staged but not committed
+    # resume: fresh engine instance (fresh actors) replays from manifest
+    eng2 = StreamingJoinEngine(audio_dir, out, num_partitions=2,
+                               rowgroups_per_epoch=1)
+    eng2.run()
+    sink = ExactlyOnceSink(out)
+    df = sink.read_output().to_pandas()
+    assert len(df) == 2000
+    assert df["clip_id"].nunique() == 2000  # exactly-once: no dupes, no loss
+
+
+def test_decode_stage_with_snr_validation(audio_dir):
+    ds = ray.data.read_parquet(audio_dir).limit(50)
+    out = decode_stage(ds, concurrency=2, batch_size=16, validate_snr=True)
+    rows = out.take_all()
+    assert all(r["snr_db"] >= 30 for r in rows)
+    assert all(r["n_samples"] > 0 for r in rows)
+
+
+def test_windowed_speaker_aggregate(audio_dir):
+    ds = ray.data.read_parquet(
+        audio_dir, columns=["speaker", "event_ms", "dur_ms"])
+    agg = windowed_speaker_aggregate(ds, window_ms=600_000)
+    df = agg.to_pandas()
+    assert df["n_clips"].sum() == 2000
+    # every (speaker, window) unique after the salt-merge stage
+    assert not df.duplicated(["speaker", "window_start"]).any()

@@ -1,0 +1,236 @@
+"""Wide/stateful operators: join, join_with_self, dedup, sort, unpivot,
+concatenate — conformance ports of reference tests/test_lib.py scenarios."""
+
+import pytest
+
+from dataflows_ray import (
+    Flow, iterable_loader, join, join_with_self, deduplicate, sort_rows,
+    unpivot, concatenate, set_primary_key, duplicate, delete_resource,
+    sources, conditional, update_package, finalizer,
+)
+
+
+def characters():
+    # reference test_lib.py join fixtures (semantics, not data, mirrored)
+    return [
+        {"first_name": "Louise", "house": "Lannister", "age": 23},
+        {"first_name": "Jaime", "house": "Lannister", "age": 34},
+        {"first_name": "Tyrion", "house": "Lannister", "age": 39},
+        {"first_name": "Jon", "house": "Stark", "age": 17},
+        {"first_name": "Arya", "house": "Stark", "age": 11},
+    ]
+
+
+def houses():
+    return [{"house": "Lannister"}, {"house": "Stark"}]
+
+
+def test_join_half_outer_with_aggregations():
+    results, _, _ = Flow(
+        iterable_loader(characters(), name="chars"),
+        iterable_loader(houses(), name="houses"),
+        join("chars", ["house"], "houses", ["house"], {
+            "avg_age": {"name": "age", "aggregate": "avg"},
+            "max_age": {"name": "age", "aggregate": "max"},
+            "min_age": {"name": "age", "aggregate": "min"},
+            "sum_age": {"name": "age", "aggregate": "sum"},
+            "count": {"aggregate": "count"},
+        }),
+    ).results()
+    rows = sorted(results[0], key=lambda r: r["house"])
+    lann, stark = rows
+    assert lann["house"] == "Lannister"
+    assert lann["sum_age"] == 96 and lann["count"] == 3
+    assert lann["max_age"] == 39 and lann["min_age"] == 23
+    assert lann["avg_age"] == 32.0
+    assert stark["sum_age"] == 28 and stark["count"] == 2
+
+
+def test_join_inner_drops_unmatched():
+    target = [{"house": "Lannister"}, {"house": "Targaryen"}]
+    results, _, _ = Flow(
+        iterable_loader(characters(), name="chars"),
+        iterable_loader(target, name="houses"),
+        join("chars", ["house"], "houses", ["house"],
+             {"count": {"aggregate": "count"}}, mode="inner"),
+    ).results()
+    assert [r["house"] for r in results[0]] == ["Lannister"]
+
+
+def test_join_half_outer_null_fill():
+    target = [{"house": "Lannister"}, {"house": "Targaryen"}]
+    results, _, _ = Flow(
+        iterable_loader(characters(), name="chars"),
+        iterable_loader(target, name="houses"),
+        join("chars", ["house"], "houses", ["house"],
+             {"count": {"aggregate": "count"}}, mode="half-outer"),
+    ).results()
+    rows = {r["house"]: r for r in results[0]}
+    assert rows["Lannister"]["count"] == 3
+    assert rows["Targaryen"]["count"] is None
+
+
+def test_join_full_outer_emits_unmatched_source_keys():
+    target = [{"house": "Targaryen", "seat": "Dragonstone"}]
+    results, _, _ = Flow(
+        iterable_loader(characters(), name="chars"),
+        iterable_loader(target, name="houses"),
+        join("chars", ["house"], "houses", ["house"],
+             {"count": {"aggregate": "count"}}, mode="full-outer",
+             strategy="shuffle"),
+    ).results()
+    rows = {r["house"]: r for r in results[0]}
+    # unmatched source keys appear with restored key fields (join.py:251-255)
+    assert set(rows) == {"Targaryen", "Lannister", "Stark"}
+    assert rows["Lannister"]["count"] == 3
+    assert rows["Targaryen"]["count"] is None
+
+
+def test_join_with_self_group_by():
+    results, _, _ = Flow(
+        iterable_loader(characters(), name="chars"),
+        join_with_self("chars", ["house"], {
+            "house": {"aggregate": "first"},
+            "n": {"aggregate": "count"},
+            "names": {"name": "first_name", "aggregate": "array"},
+            "name_set": {"name": "first_name", "aggregate": "set"},
+            "median_age": {"name": "age", "aggregate": "median"},
+        }),
+    ).results()
+    rows = sorted(results[0], key=lambda r: r["house"])
+    lann, stark = rows
+    assert lann["n"] == 3 and stark["n"] == 2
+    assert sorted(lann["names"]) == ["Jaime", "Louise", "Tyrion"]
+    assert lann["name_set"] == ["Jaime", "Louise", "Tyrion"]  # sorted set
+    assert lann["median_age"] == 34
+    assert stark["median_age"] == 14  # (11+17)/2
+
+
+def test_join_with_self_counters():
+    data = [{"k": 1, "w": "a"}, {"k": 1, "w": "b"}, {"k": 1, "w": "a"}]
+    results, _, _ = Flow(
+        iterable_loader(data, name="t"),
+        join_with_self("t", ["k"], {
+            "k": {"aggregate": "first"},
+            "wc": {"name": "w", "aggregate": "counters"},
+        }),
+    ).results()
+    assert results[0][0]["wc"] == [["a", 2], ["b", 1]]
+
+
+def test_deduplicate_keep_first():
+    data = [
+        {"a": 1, "b": "x"}, {"a": 1, "b": "y"},
+        {"a": 2, "b": "z"}, {"a": 2, "b": "z"},
+    ]
+    results, _, _ = Flow(
+        iterable_loader(data, name="t", row_ids=True),
+        set_primary_key(["a"]),
+        deduplicate(),
+    ).results()
+    rows = sorted(results[0], key=lambda r: r["a"])
+    # keep FIRST occurrence (reference deduplicate.py:6-31)
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "z")]
+
+
+def test_sort_rows_numeric_with_negatives():
+    data = [{"x": 3.5}, {"x": -1.2}, {"x": 0.0}, {"x": -100}, {"x": 7}]
+    results, _, _ = Flow(
+        iterable_loader(data, name="t"), sort_rows(["x"]),
+    ).results()
+    assert [r["x"] for r in results[0]] == [-100, -1.2, 0.0, 3.5, 7]
+
+
+def test_sort_rows_format_key_and_reverse():
+    data = [{"a": "b", "b": 1}, {"a": "a", "b": 2}, {"a": "b", "b": 0}]
+    results, _, _ = Flow(
+        iterable_loader(data, name="t"), sort_rows("{a}"),
+    ).results()
+    assert [r["a"] for r in results[0]] == ["a", "b", "b"]
+    results, _, _ = Flow(
+        iterable_loader(data, name="t"), sort_rows(["b"], reverse=True),
+    ).results()
+    assert [r["b"] for r in results[0]] == [2, 1, 0]
+
+
+def test_sort_rows_stable():
+    data = [{"k": 1, "i": 0}, {"k": 0, "i": 1}, {"k": 1, "i": 2},
+            {"k": 0, "i": 3}, {"k": 1, "i": 4}]
+    results, _, _ = Flow(
+        iterable_loader(data, name="t", row_ids=True),
+        sort_rows(["k"]),
+    ).results()
+    assert [r["i"] for r in results[0]] == [1, 3, 0, 2, 4]
+
+
+def test_unpivot():
+    data = [{"name": "r1", "2000": 1, "2001": 2},
+            {"name": "r2", "2000": 3, "2001": 4}]
+    results, _, _ = Flow(
+        iterable_loader(data, name="t"),
+        unpivot(
+            [{"name": r"(2\d{3})", "keys": {"year": r"\1"}}],
+            [{"name": "year", "type": "integer"}],
+            {"name": "value", "type": "integer"},
+        ),
+    ).results()
+    assert results[0] == [
+        {"year": 2000, "name": "r1", "value": 1},
+        {"year": 2001, "name": "r1", "value": 2},
+        {"year": 2000, "name": "r2", "value": 3},
+        {"year": 2001, "name": "r2", "value": 4},
+    ]
+
+
+def test_concatenate():
+    a = [{"col_a": 1, "extra": "x"}, {"col_a": 2, "extra": "y"}]
+    b = [{"col_b": 3}, {"col_b": 4}]
+    results, _, _ = Flow(
+        iterable_loader(a, name="a"),
+        iterable_loader(b, name="b"),
+        concatenate({"val": ["col_a", "col_b"], "extra": None},
+                    target={"name": "out"}),
+    ).results()
+    vals = sorted(r["val"] for r in results[0])
+    assert vals == [1, 2, 3, 4]
+    extras = {r["val"]: r["extra"] for r in results[0]}
+    assert extras[1] == "x" and extras[3] is None
+
+
+def test_duplicate_and_delete_resource():
+    results, stream, _ = Flow(
+        iterable_loader([{"x": 1}], name="a"),
+        duplicate("a", "b"),
+    ).results()
+    assert len(results) == 2 and results[0] == results[1]
+    results, stream, _ = Flow(
+        iterable_loader([{"x": 1}], name="a"),
+        duplicate("a", "b"),
+        delete_resource(["a"]),
+    ).results()
+    assert len(results) == 1
+
+
+def test_sources_and_conditional():
+    results, _, _ = Flow(
+        iterable_loader([{"x": 1}], name="a"),
+        sources(Flow(iterable_loader([{"y": 2}], name="b"))),
+    ).results()
+    assert len(results) == 2
+    results, _, _ = Flow(
+        iterable_loader([{"x": 1}], name="a"),
+        conditional(lambda s: "a" in s.resource_names(),
+                    Flow(iterable_loader([{"y": 2}], name="b"))),
+        conditional(lambda s: "zz" in s.resource_names(),
+                    Flow(iterable_loader([{"y": 3}], name="c"))),
+    ).results()
+    assert len(results) == 2
+
+
+def test_finalizer_runs():
+    seen = []
+    Flow(
+        iterable_loader([{"x": 1}], name="a"),
+        finalizer(lambda: seen.append(True)),
+    ).results()
+    assert seen == [True]
