@@ -1,0 +1,137 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS logical CPUs (default 32).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": sec, "unit": "sec", "queries": {...},
+   "sf": ..., "num_cpus": N}
+
+``--scaling``: runs the headline audio streaming pipeline twice in fresh
+subprocesses at num_cpus=8 and num_cpus=32 on the SAME input and reports
+both throughputs + scaling efficiency = (T_8 / T_32) / (32/8)
+(evidence for the north rule's two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dataflows_ray.pipelines.relational import (
+        q01_pricing_summary, q05_priority_counts, q12_tumbling_hour,
+        q16_token_counts, q17_exact_dedup, q18_knn_cosine, _audio_path)
+    from dataflows_ray.pipelines.audio import decode_stage, windowed_speaker_aggregate
+    from dataflows_ray.streaming.engine import StreamingJoinEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+    import ray.data
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # warm the page cache (untimed) so we measure compute + shuffle
+    ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    timed("q01_pricing_summary", lambda: q01_pricing_summary(SF_DIR).to_pandas())
+    timed("q05_priority_counts", lambda: q05_priority_counts(SF_DIR).to_pandas())
+    timed("q12_tumbling_hour", lambda: q12_tumbling_hour(SF_DIR).to_pandas())
+    timed("q16_token_counts", lambda: q16_token_counts(SF_DIR).count())
+    timed("q17_exact_dedup", lambda: q17_exact_dedup(SF_DIR).count())
+    timed("q18_knn_cosine", lambda: q18_knn_cosine(SF_DIR).to_pandas())
+
+    # headline: audio decode + windowed stream-stream join (clips/sec)
+    audio = _audio_path(SF_DIR)
+    n_clips = ray.data.read_parquet(audio).count()
+
+    def audio_pipeline():
+        ds = ray.data.read_parquet(audio)
+        decoded = decode_stage(ds, concurrency=max(2, NUM_CPUS // 4),
+                               batch_size=256)
+        agg = windowed_speaker_aggregate(
+            decoded.select_columns(["speaker", "event_ms", "dur_ms"]),
+            window_ms=600_000)
+        return agg.to_pandas()
+
+    timed("audio_decode_windowed_agg", audio_pipeline)
+
+    sink_dir = f"/tmp/bench_sink_{NUM_CPUS}"
+    if os.path.exists(sink_dir):
+        shutil.rmtree(sink_dir)
+
+    def stream_join():
+        eng = StreamingJoinEngine(audio, sink_dir,
+                                  num_partitions=max(4, NUM_CPUS // 4),
+                                  rowgroups_per_epoch=4)
+        eng.run()
+        return ExactlyOnceSink(sink_dir).committed_row_count()
+
+    rows = timed("audio_stream_join", stream_join)
+    assert rows == n_clips, f"exactly-once violated: {rows} != {n_clips}"
+
+    headline = timings["audio_decode_windowed_agg"] + timings["audio_stream_join"]
+    clips_per_sec = round(n_clips / max(1e-9, headline), 1)
+    return {
+        "metric": "headline audio windowed-join wall time (decode+agg+stateful join)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "clips_per_sec": clips_per_sec,
+        "n_clips": n_clips,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"clips_per_sec_{lo}": r_lo["clips_per_sec"],
+        f"clips_per_sec_{hi}": r_hi["clips_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_clips": r_hi["n_clips"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        result = run_benchmarks()
+        print(json.dumps(result))
+        import ray
+        ray.shutdown()

@@ -11,7 +11,8 @@ from .core.package import EnginePackage, PackageStream, ResourceDescriptor
 from .core.exceptions import FlowError, StepError, ValidationError
 from .sources.load import load, iterable_loader, read_parquet_with_row_ids, ROW_ID
 from .stages.fields import (
-    add_field, add_computed_field, select_fields, delete_fields, rename_fields)
+    add_field, add_computed_field, select_fields, delete_fields,
+    rename_fields, derive)
 from .stages.filtering import filter_rows, find_replace
 from .stages.schema_ops import (
     set_type, validate, update_package, add_metadata, update_resource,
@@ -32,7 +33,7 @@ __all__ = [
     "FlowError", "StepError", "ValidationError",
     "load", "iterable_loader", "read_parquet_with_row_ids", "ROW_ID",
     "add_field", "add_computed_field", "select_fields", "delete_fields",
-    "rename_fields", "filter_rows", "find_replace",
+    "rename_fields", "derive", "filter_rows", "find_replace",
     "set_type", "validate", "update_package", "add_metadata",
     "update_resource", "update_schema", "set_primary_key",
     "unpivot", "concatenate", "duplicate", "delete_resource", "sources",

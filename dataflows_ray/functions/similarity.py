@@ -54,9 +54,9 @@ class _TopKScorer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(_batch_matrix(batch, self.vec_col))
+        m = _normalize(_batch_matrix(batch, self.vec_col)).astype(np.float64)
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        scores = m @ self.qm.T  # (n, q)
+        scores = m @ self.qm.T.astype(np.float64)  # (n, q) in float64
         k = min(self.k, len(ids))
         out_q, out_id, out_s = [], [], []
         for qi, qid in enumerate(self.query_ids):
@@ -85,7 +85,9 @@ def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray,
         batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nlargest(k, "score")
+        # deterministic tie-break: score desc, then vec_id asc
+        return group.sort_values(["score", "vec_id"],
+                                 ascending=[False, True]).head(k)
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 

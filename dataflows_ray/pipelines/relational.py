@@ -1,0 +1,584 @@
+"""Query catalog: one entry per operator family, each with a DuckDB oracle.
+
+These are the driver-verified pipelines (`__ray_entry__.queries()` /
+``oracle_sql()``). Every callable takes ``sf_dir`` and returns a Dataset /
+DataFrame / Arrow table whose COLUMN NAMES match the oracle SQL exactly.
+Float aggregates are rounded identically on both sides (driver compares
+order-insensitive value hashes).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import (
+    Flow, load, filter_rows, find_replace, select_fields, rename_fields,
+    derive, set_type, join, join_with_self, deduplicate, sort_rows, unpivot,
+    concatenate, set_primary_key, read_parquet_with_row_ids,
+)
+from ..sources.load import ROW_ID
+from ..streaming.windows import (
+    assign_session, assign_sliding, assign_tumbling, WINDOW_START)
+
+HOUR_MS = 3_600_000
+
+
+def _ds(stream, name):
+    return stream.get(name)
+
+
+def _round(col, n=2):
+    return lambda t: pc.round(t[col], ndigits=n)
+
+
+# ---------------------------------------------------------------------------
+# relational / operator-conformance queries
+# ---------------------------------------------------------------------------
+
+def q01_pricing_summary(sf_dir: str):
+    """Flagship: filter -> derive -> group-by aggregate (TPC-H Q1 shape)."""
+    stream = Flow(
+        load(f"{sf_dir}/lineitem.parquet", name="lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity",
+                      "l_extendedprice", "l_discount", "l_shipdate"]),
+        filter_rows(batch_predicate=lambda t: pc.less_equal(
+            t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us")))),
+        derive("disc_price", lambda t: pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))),
+        join_with_self("lineitem", ["l_returnflag", "l_linestatus"], {
+            "l_returnflag": {"aggregate": "first"},
+            "l_linestatus": {"aggregate": "first"},
+            "sum_qty": {"name": "l_quantity", "aggregate": "sum"},
+            "sum_base_price": {"name": "l_extendedprice", "aggregate": "sum"},
+            "sum_disc_price": {"name": "disc_price", "aggregate": "sum"},
+            "avg_disc": {"name": "l_discount", "aggregate": "avg"},
+            "count_order": {"aggregate": "count"},
+        }),
+        derive("sum_qty", lambda t: pc.round(t["sum_qty"], ndigits=2)),
+        derive("sum_base_price", lambda t: pc.round(t["sum_base_price"], ndigits=2)),
+        derive("sum_disc_price", lambda t: pc.round(t["sum_disc_price"], ndigits=2)),
+        derive("avg_disc", lambda t: pc.round(t["avg_disc"], ndigits=4)),
+    ).datasets()
+    return _ds(stream, "lineitem")
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q02_filter_project(sf_dir: str):
+    stream = Flow(
+        load(f"{sf_dir}/lineitem.parquet", name="lineitem",
+             columns=["l_orderkey", "l_quantity", "l_discount", "l_returnflag"]),
+        filter_rows(batch_predicate=lambda t: pc.and_(
+            pc.greater_equal(t["l_quantity"], pa.scalar(45.0)),
+            pc.less(t["l_discount"], pa.scalar(0.05)))),
+        select_fields(["l_orderkey", "l_quantity", "l_returnflag"]),
+    ).datasets()
+    return _ds(stream, "lineitem")
+
+
+Q02_SQL = """
+SELECT l_orderkey, l_quantity, l_returnflag
+FROM lineitem WHERE l_quantity >= 45 AND l_discount < 0.05
+"""
+
+
+def q03_top_orders(sf_dir: str):
+    stream = Flow(
+        load(f"{sf_dir}/orders.parquet", name="orders",
+             columns=["o_orderkey", "o_totalprice"]),
+        sort_rows(["o_totalprice"], reverse=True),
+    ).datasets()
+    return _ds(stream, "orders").limit(10)
+
+
+Q03_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC LIMIT 10
+"""
+
+
+def q04_customer_nation_join(sf_dir: str):
+    stream = Flow(
+        load(f"{sf_dir}/customer.parquet", name="customer",
+             columns=["c_custkey", "c_nationkey", "c_acctbal"]),
+        load(f"{sf_dir}/nation.parquet", name="nation",
+             columns=["n_nationkey", "n_name"]),
+        join("customer", ["c_nationkey"], "nation", ["n_nationkey"], {
+            "n_customers": {"aggregate": "count"},
+            "total_acctbal": {"name": "c_acctbal", "aggregate": "sum"},
+        }, mode="half-outer"),
+        derive("total_acctbal", lambda t: pc.round(
+            pc.cast(t["total_acctbal"], pa.float64()), ndigits=2)),
+        select_fields(["n_name", "n_customers", "total_acctbal"]),
+    ).datasets()
+    return _ds(stream, "nation")
+
+
+Q04_SQL = """
+SELECT n_name, n_customers, total_acctbal
+FROM nation LEFT JOIN (
+  SELECT c_nationkey, count(*) AS n_customers,
+         round(sum(c_acctbal), 2) AS total_acctbal
+  FROM customer GROUP BY c_nationkey
+) c ON n_nationkey = c_nationkey
+"""
+
+
+def q05_priority_counts(sf_dir: str):
+    stream = Flow(
+        load(f"{sf_dir}/orders.parquet", name="orders",
+             columns=["o_orderkey", "o_orderpriority"]),
+        load(f"{sf_dir}/lineitem.parquet", name="lineitem",
+             columns=["l_orderkey"]),
+        join("orders", ["o_orderkey"], "lineitem", ["l_orderkey"],
+             {"o_orderpriority": {"aggregate": "any"}}, mode="inner"),
+        join_with_self("lineitem", ["o_orderpriority"], {
+            "o_orderpriority": {"aggregate": "first"},
+            "n_lineitems": {"aggregate": "count"},
+        }),
+    ).datasets()
+    return _ds(stream, "lineitem")
+
+
+Q05_SQL = """
+SELECT o_orderpriority, count(*) AS n_lineitems
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q06_full_outer_parties(sf_dir: str):
+    stream = Flow(
+        load(f"{sf_dir}/supplier.parquet", name="supplier",
+             columns=["s_suppkey", "s_nationkey"]),
+        load(f"{sf_dir}/customer.parquet", name="customer",
+             columns=["c_custkey", "c_nationkey"]),
+        join_with_self("supplier", ["s_nationkey"], {
+            "s_nationkey": {"aggregate": "first"},
+            "n_supp": {"aggregate": "count"},
+        }),
+        join("customer", ["c_nationkey"], "supplier", ["s_nationkey"],
+             {"n_cust": {"aggregate": "count"}}, mode="full-outer",
+             strategy="shuffle"),
+    ).datasets()
+    return _ds(stream, "supplier")
+
+
+Q06_SQL = """
+SELECT coalesce(s.s_nationkey, c.c_nationkey) AS s_nationkey,
+       s.n_supp, c.n_cust
+FROM (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+      GROUP BY s_nationkey) s
+FULL OUTER JOIN (SELECT c_nationkey, count(*) AS n_cust FROM customer
+                 GROUP BY c_nationkey) c
+ON s.s_nationkey = c.c_nationkey
+"""
+
+
+def q07_dedup_documents(sf_dir: str):
+    stream = Flow(
+        load(f"{sf_dir}/documents.parquet", name="documents", row_ids=True),
+        set_primary_key(["text"]),
+        deduplicate(),
+        select_fields(["doc_id"]),
+    ).datasets()
+    return _ds(stream, "documents")
+
+
+Q07_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q08_unpivot_part(sf_dir: str):
+    stream = Flow(
+        load(f"{sf_dir}/part.parquet", name="part",
+             columns=["p_partkey", "p_size", "p_retailprice"]),
+        unpivot(
+            [{"name": "(p_size|p_retailprice)", "keys": {"attr": r"\1"}}],
+            [{"name": "attr", "type": "string"}],
+            {"name": "value", "type": "number"},
+        ),
+    ).datasets()
+    return _ds(stream, "part")
+
+
+Q08_SQL = """
+SELECT 'p_size' AS attr, p_partkey, CAST(p_size AS DOUBLE) AS value FROM part
+UNION ALL
+SELECT 'p_retailprice' AS attr, p_partkey, p_retailprice AS value FROM part
+"""
+
+
+def q09_concat_parties(sf_dir: str):
+    stream = Flow(
+        load(f"{sf_dir}/customer.parquet", name="customer",
+             columns=["c_name", "c_acctbal", "c_nationkey"]),
+        load(f"{sf_dir}/supplier.parquet", name="supplier",
+             columns=["s_name", "s_acctbal", "s_nationkey"]),
+        concatenate({
+            "name": ["c_name", "s_name"],
+            "acctbal": ["c_acctbal", "s_acctbal"],
+            "nationkey": ["c_nationkey", "s_nationkey"],
+        }, target={"name": "parties"}),
+    ).datasets()
+    return _ds(stream, "parties")
+
+
+Q09_SQL = """
+SELECT c_name AS name, c_acctbal AS acctbal, c_nationkey AS nationkey FROM customer
+UNION ALL
+SELECT s_name, s_acctbal, s_nationkey FROM supplier
+"""
+
+
+def q10_find_replace(sf_dir: str):
+    stream = Flow(
+        load(f"{sf_dir}/events.parquet", name="events",
+             columns=["event_id", "event_type"]),
+        find_replace([{"name": "event_type",
+                       "patterns": [{"find": "i", "replace": "y"}]}]),
+    ).datasets()
+    return _ds(stream, "events")
+
+
+Q10_SQL = """
+SELECT event_id, regexp_replace(event_type, 'i', 'y', 'g') AS event_type
+FROM events
+"""
+
+
+def q11_set_type_cast(sf_dir: str):
+    stream = Flow(
+        load(f"{sf_dir}/lineitem.parquet", name="lineitem",
+             columns=["l_returnflag", "l_quantity"]),
+        set_type("l_quantity", type="integer"),
+        join_with_self("lineitem", ["l_returnflag"], {
+            "l_returnflag": {"aggregate": "first"},
+            "qty": {"name": "l_quantity", "aggregate": "sum"},
+        }),
+    ).datasets()
+    return _ds(stream, "lineitem")
+
+
+Q11_SQL = """
+SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# event-time windows over the events table
+# ---------------------------------------------------------------------------
+
+def _events_ms(sf_dir: str):
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts", "value"])
+
+    def to_ms(t: pa.Table) -> pa.Table:
+        ms = pc.cast(pc.cast(t["ts"], pa.int64()), pa.int64())  # us since epoch
+        ms = pc.divide(ms, pa.scalar(1000))
+        return t.append_column("ms", ms)
+
+    return ds.map_batches(to_ms, batch_format="pyarrow")
+
+
+def q12_tumbling_hour(sf_dir: str):
+    ds = assign_tumbling(_events_ms(sf_dir), "ms", HOUR_MS)
+    from ..stages.agg import grouped_aggregate
+    out = grouped_aggregate(ds, ["event_type", WINDOW_START], [
+        {"target": "n", "aggregate": "count"},
+        {"target": "sum_value", "source": "value", "aggregate": "sum"},
+    ])
+
+    def post(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index("sum_value")
+        return t.set_column(idx, "sum_value", pc.round(t["sum_value"], ndigits=2))
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+Q12_SQL = f"""
+SELECT event_type,
+       (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY event_type, window_start
+"""
+
+
+def q13_sliding_2h(sf_dir: str):
+    ds = assign_sliding(_events_ms(sf_dir), "ms", 2 * HOUR_MS, HOUR_MS)
+    from ..stages.agg import grouped_aggregate
+    return grouped_aggregate(ds, [WINDOW_START],
+                             [{"target": "n", "aggregate": "count"}])
+
+
+Q13_SQL = f"""
+SELECT window_start, count(*) AS n FROM (
+  SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start FROM events
+  UNION ALL
+  SELECT (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} - {HOUR_MS} FROM events
+) GROUP BY window_start
+"""
+
+
+def q14_session_windows(sf_dir: str):
+    GAP = 30 * 60 * 1000
+    ds = assign_session(_events_ms(sf_dir), ["user_id"], "ms", GAP)
+    from ..stages.agg import grouped_aggregate
+    return grouped_aggregate(ds, ["user_id", WINDOW_START],
+                             [{"target": "n_events", "aggregate": "count"}])
+
+
+Q14_SQL = """
+SELECT user_id, min(ms) AS window_start, count(*) AS n_events FROM (
+  SELECT user_id, ms, sum(is_new) OVER (
+      PARTITION BY user_id ORDER BY ms
+      ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (
+    SELECT user_id, epoch_ms(ts) AS ms,
+           CASE WHEN ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+                     < 1800000 THEN 0 ELSE 1 END AS is_new
+    FROM events)
+) GROUP BY user_id, grp
+"""
+
+
+def q15_median_by_type(sf_dir: str):
+    import ray.data
+    from ..stages.agg import grouped_aggregate
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = grouped_aggregate(ds, ["event_type"], [
+        {"target": "med_value", "source": "value", "aggregate": "median"},
+        {"target": "min_value", "source": "value", "aggregate": "min"},
+        {"target": "max_value", "source": "value", "aggregate": "max"},
+    ])
+
+    def post(t: pa.Table) -> pa.Table:
+        for c in ("med_value", "min_value", "max_value"):
+            idx = t.schema.get_field_index(c)
+            t = t.set_column(idx, c, pc.round(pc.cast(t[c], pa.float64()), ndigits=4))
+        return t
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+Q15_SQL = """
+SELECT event_type, round(median(value), 4) AS med_value,
+       round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text, dedup, similarity
+# ---------------------------------------------------------------------------
+
+def q16_token_counts(sf_dir: str):
+    import ray.data
+    from ..functions.text import token_count_vectorized
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return token_count_vectorized(ds).select_columns(["doc_id", "ws_tokens"])
+
+
+Q16_SQL = r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens
+FROM documents
+"""
+
+
+def q17_exact_dedup(sf_dir: str):
+    import ray.data
+    from ..functions.dedup import exact_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return exact_dedup(ds).select_columns(["doc_id"])
+
+
+Q17_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q18_knn_cosine(sf_dir: str):
+    import ray.data
+    from ..functions.similarity import brute_force_topk
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qtbl = tbl.filter(pc.is_in(tbl["vec_id"], value_set=pa.array([0, 1, 2])))
+    queries = np.vstack([np.asarray(v) for v in qtbl["embedding"].to_pylist()])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, queries, qtbl["vec_id"].to_pylist(), k=5)
+
+    def post(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index("score")
+        return t.set_column(
+            idx, "score", pc.round(pc.cast(t["score"], pa.float64()), ndigits=4))
+
+    return out.map_batches(post, batch_format="pyarrow")
+
+
+Q18_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2))
+SELECT query_id, vec_id, round(sim, 4) AS score FROM (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS sim,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY sim DESC, e.vec_id) AS rn
+  FROM embeddings e CROSS JOIN q
+) WHERE rn <= 5
+"""
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
+
+def q19_text_analysis(sf_dir: str):
+    import ray.data
+    from ..functions.text import analyze_text
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return analyze_text(ds, concurrency=2).select_columns(
+        ["doc_id", "lang_pred", "quality", "n_tokens", "fingerprint"])
+
+
+def q20_minhash_dedup(sf_dir: str):
+    import ray.data
+    from ..functions.dedup import minhash_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    deduped, _pairs = minhash_dedup(ds, threshold=0.7)
+    return deduped.select_columns(["doc_id"])
+
+
+def q21_simhash(sf_dir: str):
+    import ray.data
+    from ..functions.dedup import simhash_signatures
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return simhash_signatures(ds, concurrency=2).select_columns(
+        ["doc_id", "simhash"])
+
+
+def q22_knn_lsh(sf_dir: str):
+    from ..functions.similarity import lsh_topk
+    import ray.data
+    import pyarrow.parquet as pq
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    qtbl = tbl.filter(pc.is_in(tbl["vec_id"], value_set=pa.array([0, 1, 2])))
+    queries = np.vstack([np.asarray(v) for v in qtbl["embedding"].to_pylist()])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return lsh_topk(ds, queries, qtbl["vec_id"].to_pylist(), k=5, bits=8)
+
+
+def _audio_path(sf_dir: str) -> str:
+    """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n = max(500, int(float(sf) * 200_000))
+    path = f"/tmp/dataflows_ray_audio/sf{sf}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..streaming.audio import write_audio_dataset
+        write_audio_dataset(path, n, rows_per_file=max(250, n // 8))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+def q23_audio_windowed_agg(sf_dir: str):
+    import ray.data
+    from .audio import windowed_speaker_aggregate
+    ds = ray.data.read_parquet(_audio_path(sf_dir),
+                               columns=["speaker", "event_ms", "dur_ms"])
+    return windowed_speaker_aggregate(ds, window_ms=600_000)
+
+
+def q24_audio_stream_join(sf_dir: str):
+    import shutil
+    from ..streaming.engine import StreamingJoinEngine
+    from ..streaming.sink import ExactlyOnceSink
+    path = _audio_path(sf_dir)
+    out = f"/tmp/dataflows_ray_sink/{os.path.basename(sf_dir.rstrip('/'))}"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingJoinEngine(path, out, num_partitions=4,
+                              rowgroups_per_epoch=2)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["clip_id", "speaker", "event_ms", "transcript"])
+
+
+def q25_audio_decode(sf_dir: str):
+    import ray.data
+    from .audio import decode_stage
+    ds = ray.data.read_parquet(_audio_path(sf_dir)).limit(200)
+    return decode_stage(ds, concurrency=2, batch_size=64,
+                        validate_snr=True).select_columns(
+        ["clip_id", "n_samples", "rms", "snr_db"])
+
+
+QUERIES: Dict[str, Callable[[str], Any]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_filter_project": q02_filter_project,
+    "q03_top_orders": q03_top_orders,
+    "q04_customer_nation_join": q04_customer_nation_join,
+    "q05_priority_counts": q05_priority_counts,
+    "q06_full_outer_parties": q06_full_outer_parties,
+    "q07_dedup_documents": q07_dedup_documents,
+    "q08_unpivot_part": q08_unpivot_part,
+    "q09_concat_parties": q09_concat_parties,
+    "q10_find_replace": q10_find_replace,
+    "q11_set_type_cast": q11_set_type_cast,
+    "q12_tumbling_hour": q12_tumbling_hour,
+    "q13_sliding_2h": q13_sliding_2h,
+    "q14_session_windows": q14_session_windows,
+    "q15_median_by_type": q15_median_by_type,
+    "q16_token_counts": q16_token_counts,
+    "q17_exact_dedup": q17_exact_dedup,
+    "q18_knn_cosine": q18_knn_cosine,
+    "q19_text_analysis": q19_text_analysis,
+    "q20_minhash_dedup": q20_minhash_dedup,
+    "q21_simhash": q21_simhash,
+    "q22_knn_lsh": q22_knn_lsh,
+    "q23_audio_windowed_agg": q23_audio_windowed_agg,
+    "q24_audio_stream_join": q24_audio_stream_join,
+    "q25_audio_decode": q25_audio_decode,
+}
+
+ORACLES: Dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_filter_project": Q02_SQL,
+    "q03_top_orders": Q03_SQL,
+    "q04_customer_nation_join": Q04_SQL,
+    "q05_priority_counts": Q05_SQL,
+    "q06_full_outer_parties": Q06_SQL,
+    "q07_dedup_documents": Q07_SQL,
+    "q08_unpivot_part": Q08_SQL,
+    "q09_concat_parties": Q09_SQL,
+    "q10_find_replace": Q10_SQL,
+    "q11_set_type_cast": Q11_SQL,
+    "q12_tumbling_hour": Q12_SQL,
+    "q13_sliding_2h": Q13_SQL,
+    "q14_session_windows": Q14_SQL,
+    "q15_median_by_type": Q15_SQL,
+    "q16_token_counts": Q16_SQL,
+    "q17_exact_dedup": Q17_SQL,
+    "q18_knn_cosine": Q18_SQL,
+}

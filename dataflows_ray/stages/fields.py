@@ -167,6 +167,36 @@ def _apply_computed(batch: pa.Table, spec: Dict[str, Any]) -> pa.Table:
     return batch.append_column(target, col)
 
 
+class derive(Step):
+    """Engine extension (no reference equivalent): a VECTORIZED computed
+    column — ``fn`` receives the Arrow batch and returns the new column
+    (pa.Array / np.ndarray). This is the scale-correct alternative to
+    ``add_computed_field(operation=callable)``'s per-row loop; use it in
+    hot paths."""
+
+    def __init__(self, name: str, fn: Callable[[pa.Table], Any], resources=None):
+        self.field_name = name
+        self.fn = fn
+        self.resources = resources
+        self.name = f"derive({name})"
+
+    def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        fname, fn = self.field_name, self.fn
+
+        def batch_fn(batch: pa.Table) -> pa.Table:
+            col = fn(batch)
+            if not isinstance(col, (pa.Array, pa.ChunkedArray)):
+                col = pa.array(col)
+            if fname in batch.column_names:
+                batch = batch.drop_columns([fname])
+            return batch.append_column(fname, col)
+
+        for rname in select_resources(stream, self.resources):
+            stream.set(rname, stream.get(rname).map_batches(
+                batch_fn, batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE))
+        return stream
+
+
 def _expand_regex(patterns: Sequence[str], columns: List[str]) -> List[str]:
     out: List[str] = []
     for p in patterns:

@@ -30,15 +30,27 @@ class filter_rows(Step):
     def __init__(self, condition: Optional[Callable[[dict], bool]] = None,
                  equals: Sequence[Dict[str, Any]] = (),
                  not_equals: Sequence[Dict[str, Any]] = (),
+                 batch_predicate: Optional[Callable[[pa.Table], Any]] = None,
                  resources=None):
         self.condition = condition
         self.equals = list(equals)
         self.not_equals = list(not_equals)
+        # engine extension: vectorized predicate batch -> boolean mask
+        # (the scale-correct path; `condition` is the per-row escape hatch)
+        self.batch_predicate = batch_predicate
         self.resources = resources
         self.name = "filter_rows"
 
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
-        if self.condition is not None:
+        if self.batch_predicate is not None:
+            pred = self.batch_predicate
+
+            def fn(batch: pa.Table) -> pa.Table:
+                mask = pred(batch)
+                if not isinstance(mask, (pa.Array, pa.ChunkedArray)):
+                    mask = pa.array(mask)
+                return batch.filter(pc.fill_null(pc.cast(mask, pa.bool_()), False))
+        elif self.condition is not None:
             cond = self.condition
 
             def fn(batch: pa.Table) -> pa.Table:

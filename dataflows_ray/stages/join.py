@@ -105,7 +105,7 @@ class join(Step):
     def __init__(self, source_name: str, source_key, target_name: str,
                  target_key, fields: Dict[str, Any] = None, mode: str = "half-outer",
                  source_delete: bool = True, full: Optional[bool] = None,
-                 strategy: str = "auto", num_partitions: int = 64):
+                 strategy: str = "auto", num_partitions: Optional[int] = None):
         if full is not None:  # deprecated flag (join.py:188-194)
             mode = "half-outer" if full else "inner"
         assert mode in ("inner", "half-outer", "full-outer")
@@ -206,9 +206,16 @@ def _broadcast_join(keyed_target: ray.data.Dataset, agg: ray.data.Dataset,
 
 def _shuffle_join(keyed_target: ray.data.Dataset, agg: ray.data.Dataset,
                   field_names: List[str], mode: str, target_key: KeyCalc,
-                  num_partitions: int) -> ray.data.Dataset:
+                  num_partitions: Optional[int]) -> ray.data.Dataset:
     join_type = {"inner": "inner", "half-outer": "left_outer",
                  "full-outer": "full_outer"}[mode]
+    if num_partitions is None:
+        # Size the join's aggregator pool to the session, not a constant:
+        # Dataset.join spawns hash-aggregator actors per partition; asking
+        # for more partitions than CPUs stalls small sessions and tests.
+        import ray as _ray
+        ncpu = int(_ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(64, ncpu * 2))
     # Drop clashing non-key columns from the target (the source aggregate
     # wins for its field names — join.py:245 row.update(extra) semantics
     # apply only on hit; for shuffle path we suffix and coalesce).

@@ -79,7 +79,14 @@ class unpivot(Step):
                         cols_out[kn] = pa.array([kv] * n)
                     for kc in keep:
                         cols_out[kc] = batch[kc]
-                    cols_out[value_name] = batch[m["name"]]
+                    vcol = batch[m["name"]]
+                    vtype = self.extra_value.get("type")
+                    if vtype in ("number", "integer"):
+                        target = pa.float64() if vtype == "number" else pa.int64()
+                        vcol = pa.compute.cast(vcol, target)
+                    elif vtype == "string":
+                        vcol = pa.compute.cast(vcol, pa.string())
+                    cols_out[value_name] = vcol
                     cols_out["__melt_row__"] = pa.array(range(n), type=pa.int64())
                     pieces.append(pa.table(cols_out))
                 if not pieces:

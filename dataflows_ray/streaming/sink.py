@@ -128,11 +128,12 @@ class ExactlyOnceSink:
     def read_output(self):
         """All committed output as one lazy Dataset (skips staged data)."""
         import ray.data
-        dirs = [os.path.join(self.data_dir, d)
-                for d in sorted(os.listdir(self.data_dir))]
-        dirs = [d for d in dirs
-                if os.path.isdir(d) and any(f.endswith(".parquet")
-                                            for f in os.listdir(d))]
-        if not dirs:
+        files = []
+        for d in sorted(os.listdir(self.data_dir)):
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full):
+                files.extend(os.path.join(full, f) for f in sorted(os.listdir(full))
+                             if f.endswith(".parquet"))
+        if not files:
             return ray.data.from_items([])
-        return ray.data.read_parquet(dirs)
+        return ray.data.read_parquet(files)
