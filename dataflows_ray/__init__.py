@@ -26,6 +26,8 @@ from .stages.join import join, join_with_self
 from .stages.agg import grouped_aggregate
 from .sinks.dump import dump_to_path, dump_to_zip
 from .sinks.checkpoint import checkpoint
+from .sinks.stream_file import stream, unstream, parallelize
+from .sinks.sql import dump_to_sql
 
 __all__ = [
     "Flow", "Step", "row_fn", "rows_fn", "package_fn",
@@ -40,6 +42,7 @@ __all__ = [
     "conditional", "update_stats", "finalizer", "printer",
     "sort_rows", "deduplicate", "join", "join_with_self",
     "grouped_aggregate", "dump_to_path", "dump_to_zip", "checkpoint",
+    "stream", "unstream", "parallelize", "dump_to_sql",
 ]
 
 __version__ = "0.1.0"

@@ -1,0 +1,140 @@
+"""Training-data functions: text analysis, dedup family (on corpora with
+planted duplicates), similarity search, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dataflows_ray.functions.dedup import (
+    exact_dedup, minhash_dedup, simhash_signatures, SimHasher, MinHasher)
+from dataflows_ray.functions.similarity import brute_force_topk, lsh_topk
+from dataflows_ray.functions.text import TextAnalyzer, analyze_text
+from dataflows_ray.functions.multimodal import (
+    ImageDecoder, image_feature_stage, synth_image_table)
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest where tall trees grow near the river")
+
+
+def _docs():
+    # distinct word-soup per doc (shared-shingle overlap ~0), plus planted
+    # exact and near duplicates
+    rng = np.random.default_rng(7)
+    vocab = [f"w{j}" for j in range(500)]
+    rows = []
+    for i in range(20):
+        words = rng.choice(vocab, size=40, replace=False)
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    rows[1]["text"] = BASE  # doc 1 gets known prose for the near-dupe edit
+    # planted exact duplicates of doc 0
+    rows.append({"doc_id": 100, "text": rows[0]["text"]})
+    rows.append({"doc_id": 101, "text": rows[0]["text"]})
+    # planted NEAR duplicate of doc 1 (one word changed)
+    rows.append({"doc_id": 102,
+                 "text": rows[1]["text"].replace("river", "stream")})
+    return rows
+
+
+def test_exact_dedup_removes_planted_dupes():
+    ds = ray.data.from_items(_docs())
+    out = exact_dedup(ds).to_pandas()
+    assert len(out) == 21  # 23 rows - 2 exact dupes
+    assert 100 not in set(out["doc_id"]) and 101 not in set(out["doc_id"])
+    assert 0 in set(out["doc_id"])  # min id kept
+
+
+def test_minhash_dedup_catches_near_dupe():
+    ds = ray.data.from_items(_docs())
+    deduped, pairs = minhash_dedup(ds, threshold=0.5)
+    kept = set(deduped.to_pandas()["doc_id"])
+    # exact dupes are also near-dupes at any threshold
+    assert 100 not in kept and 101 not in kept
+    assert 102 not in kept          # near-dupe of doc 1 dropped
+    assert 1 in kept
+    pair_set = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 102) in pair_set
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    mh = MinHasher(num_perm=128, bands=32)
+    s1 = mh.signature(BASE)
+    s2 = mh.signature(BASE.replace("river", "stream"))
+    s3 = mh.signature("completely different words entirely unrelated text")
+    sim_near = float(np.mean(s1 == s2))
+    sim_far = float(np.mean(s1 == s3))
+    assert sim_near > 0.5 > sim_far
+
+
+def test_simhash_near_dupes_close_in_hamming():
+    sh = SimHasher()
+    a = sh.simhash(BASE)
+    b = sh.simhash(BASE.replace("river", "stream"))
+    c = sh.simhash("completely different words entirely unrelated text here")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+    assert ham_ab <= 16
+
+
+def test_simhash_stage_emits_bands():
+    ds = ray.data.from_items(_docs()[:5])
+    out = simhash_signatures(ds, concurrency=1).to_pandas()
+    assert {"simhash", "simhash_b0", "simhash_b3"} <= set(out.columns)
+
+
+def test_brute_force_topk_self_is_top1():
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    ds = ray.data.from_items(rows)
+    out = brute_force_topk(ds, vecs[:3], [0, 1, 2], k=3).to_pandas()
+    for qid in (0, 1, 2):
+        sub = out[out["query_id"] == qid].sort_values("score", ascending=False)
+        assert sub.iloc[0]["vec_id"] == qid  # self-match is top-1
+        assert sub.iloc[0]["score"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_lsh_topk_recalls_self():
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(100)]
+    ds = ray.data.from_items(rows)
+    out = lsh_topk(ds, vecs[:2], [0, 1], k=3, bits=6)
+    for qid in (0, 1):
+        sub = out[out["query_id"] == qid]
+        assert qid in set(sub["vec_id"])  # self always within probed buckets
+
+
+def test_text_analyzer_fields():
+    ta = TextAnalyzer()
+    assert ta.lang_id("the cat and the dog in the house") == "en"
+    assert ta.lang_id("der hund und die katze ist nicht da") == "de"
+    assert ta.token_count("hello, world! 42") == 5  # hello , world ! 42
+    assert ta.quality("") == 0.0
+    f1 = ta.fingerprint("abc")
+    assert f1 == ta.fingerprint("abc") and f1 != ta.fingerprint("abd")
+
+
+def test_analyze_text_stage():
+    ds = ray.data.from_items([{"doc_id": 1, "text": "the cat and the dog"}])
+    out = analyze_text(ds, concurrency=1).to_pandas()
+    assert out.iloc[0]["lang_pred"] == "en"
+    assert out.iloc[0]["n_tokens"] == 5
+
+
+def test_image_stage_raw_rgb_and_resize():
+    tbl = synth_image_table(10)
+    ds = ray.data.from_arrow(tbl)
+    out = image_feature_stage(ds, target_size=(8, 8), concurrency=1).to_pandas()
+    assert len(out) == 10
+    assert (out["out_width"] == 8).all() and (out["out_height"] == 8).all()
+    assert out["mean_pixel"].between(0, 255).all()
+    assert "bytes" not in out.columns  # payload dropped after decode
+
+
+def test_image_decoder_unknown_format_raises():
+    dec = ImageDecoder()
+    with pytest.raises(NotImplementedError):
+        dec._decode(b"\xff\xd8", "jpeg", 1, 1)

@@ -1,0 +1,188 @@
+"""set_type/validate error policies, checkpoint memoization,
+dump_to_path counters, stream/unstream round-trip, dump_to_sql,
+parallelize — conformance ports of reference tests/test_lib.py."""
+
+import datetime
+import json
+import os
+import sqlite3
+
+import pytest
+
+from dataflows_ray import (
+    Flow, iterable_loader, set_type, validate, update_resource,
+    set_primary_key, checkpoint, dump_to_path, stream, unstream,
+    dump_to_sql, parallelize, StepError, load,
+)
+
+
+def test_set_type_integer_cast():
+    data = [{"a": "1"}, {"a": "2"}]
+    results, _, _ = Flow(data, set_type("a", type="integer")).results()
+    assert results == [[{"a": 1}, {"a": 2}]]
+
+
+def test_set_type_regex_matches_multiple():
+    data = [{"n1": "1", "n2": "2", "s": "x"}]
+    results, _, _ = Flow(data, set_type("n.*", type="integer")).results()
+    assert results == [[{"n1": 1, "n2": 2, "s": "x"}]]
+
+
+def test_set_type_on_error_raise():
+    data = [{"a": "1"}, {"a": "nope"}]
+    with pytest.raises(StepError):
+        Flow(data, set_type("a", type="integer")).results()
+
+
+def test_set_type_on_error_drop():
+    data = [{"a": "1"}, {"a": "nope"}, {"a": "3"}]
+    results, _, _ = Flow(
+        data, set_type("a", type="integer", on_error="drop")).results()
+    assert [r["a"] for r in results[0]] == [1, 3]
+
+
+def test_set_type_on_error_clear():
+    data = [{"a": "1"}, {"a": "nope"}]
+    results, _, _ = Flow(
+        data, set_type("a", type="integer", on_error="clear")).results()
+    assert [r["a"] for r in results[0]] == [1, None]
+
+
+def test_set_type_datetime_format():
+    # reference test_lib.py:1475-1493 (set_type with format)
+    data = [{"d": "2000/01/01"}]
+    results, _, _ = Flow(
+        data, set_type("d", type="date", format="%Y/%m/%d")).results()
+    assert results[0][0]["d"] == datetime.date(2000, 1, 1)
+
+
+def test_set_type_transform_hook():
+    data = [{"a": "x1"}]
+    results, _, _ = Flow(
+        data,
+        set_type("a", type="integer",
+                 transform=lambda v, field_name, row: v.lstrip("x")),
+    ).results()
+    assert results[0][0]["a"] == 1
+
+
+def test_validate_field_predicate_drop():
+    data = [{"a": 1}, {"a": -5}, {"a": 3}]
+    results, _, _ = Flow(
+        data, validate("a", lambda v: v > 0, on_error="drop")).results()
+    assert [r["a"] for r in results[0]] == [1, 3]
+
+
+def test_validate_row_predicate_raise():
+    data = [{"a": 1, "b": 2}]
+    with pytest.raises(StepError):
+        Flow(data, validate(lambda row: row["a"] > row["b"])).results()
+
+
+def test_update_resource_rename():
+    results, stream_out, _ = Flow(
+        iterable_loader([{"x": 1}], name="old"),
+        update_resource(["old"], name="new"),
+    ).results()
+    assert stream_out.resource_names() == ["new"]
+
+
+def test_checkpoint_producer_runs_once(tmp_path):
+    # reference tests/test_lib.py:961-990: producer invoked exactly once
+    calls = []
+
+    def producer():
+        # generator: body runs only when drained (mirrors the reference's
+        # lazy source in tests/test_lib.py:961-990)
+        calls.append(1)
+        yield {"x": 1}
+        yield {"x": 2}
+
+    def flow():
+        return Flow(
+            iterable_loader(producer(), name="t"),
+            checkpoint("cp1", checkpoint_path=str(tmp_path)),
+        )
+
+    r1, _, _ = flow().results()
+    r2, _, _ = flow().results()
+    r3, _, _ = flow().results()
+    assert r1 == r2 == r3 == [[{"x": 1}, {"x": 2}]]
+    assert len(calls) == 1  # runs 2 and 3 loaded from the checkpoint
+
+
+def test_dump_to_path_counters(tmp_path):
+    out = str(tmp_path / "out")
+    _, stats = Flow(
+        iterable_loader([{"x": i} for i in range(100)], name="t"),
+        dump_to_path(out),
+    ).process()
+    manifest = json.load(open(os.path.join(out, "datapackage.json")))
+    res = manifest["resources"][0]
+    assert res["name"] == "t" and res["count_of_rows"] == 100
+    assert res["bytes"] > 0
+    assert stats["count_of_rows__t"] == 100
+
+
+def test_dump_to_path_csv(tmp_path):
+    out = str(tmp_path / "outcsv")
+    Flow(
+        iterable_loader([{"x": 1, "y": "a"}], name="t"),
+        dump_to_path(out, format="csv"),
+    ).process()
+    files = os.listdir(os.path.join(out, "t"))
+    assert any(f.endswith(".csv") for f in files)
+
+
+def test_stream_unstream_roundtrip(tmp_path):
+    # reference test_lib.py:1449-1493
+    f = str(tmp_path / "s.ndjson")
+    data = [{"x": 1, "d": datetime.datetime(2020, 1, 2, 3, 4, 5),
+             "b": b"\x00\x01"},
+            {"x": 2, "d": datetime.datetime(2021, 6, 7, 8, 9), "b": b"zz"}]
+    Flow(iterable_loader(data, name="t"), stream(f)).process()
+    assert os.path.exists(f) and not os.path.exists(f + ".active")
+    results, _, _ = Flow(unstream(f)).results()
+    assert results == [data]
+
+
+def test_dump_to_sql_roundtrip(tmp_path):
+    db = str(tmp_path / "t.db")
+    Flow(
+        iterable_loader([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}], name="t"),
+        set_primary_key(["k"]),
+        dump_to_sql({"mytable": {"resource-name": "t"}},
+                    engine=f"sqlite:///{db}"),
+    ).process()
+    rows = sqlite3.connect(db).execute(
+        "SELECT k, v FROM mytable ORDER BY k").fetchall()
+    assert rows == [(1, "a"), (2, "b")]
+
+
+def test_dump_to_sql_update_mode(tmp_path):
+    db = str(tmp_path / "u.db")
+
+    def write(rows, mode):
+        Flow(
+            iterable_loader(rows, name="t"),
+            set_primary_key(["k"]),
+            dump_to_sql({"m": {"resource-name": "t", "mode": mode}},
+                        engine=f"sqlite:///{db}"),
+        ).process()
+
+    write([{"k": 1, "v": "a"}], "update")
+    write([{"k": 1, "v": "B"}, {"k": 2, "v": "c"}], "update")
+    rows = sqlite3.connect(db).execute(
+        "SELECT k, v FROM m ORDER BY k").fetchall()
+    assert rows == [(1, "B"), (2, "c")]
+
+
+def test_parallelize_shim():
+    def slow_double(row):
+        row["y"] = row["x"] * 2
+
+    results, _, _ = Flow(
+        iterable_loader([{"x": i} for i in range(50)], name="t"),
+        parallelize(slow_double, num_processors=2),
+    ).results()
+    assert [r["y"] for r in results[0]] == [2 * i for i in range(50)]
