@@ -120,12 +120,28 @@ class join(Step):
         self.num_partitions = num_partitions
         self.name = f"join({source_name}->{target_name})"
 
+    def _columnar(self) -> bool:
+        """True when both keys are plain field lists (no format strings, no
+        ``{#}`` row numbers): aggregate and join directly on the raw key
+        COLUMNS — no per-row key formatting, native vectorized aggregates,
+        and the grouped_aggregate key-alias fast path all apply. This is
+        the hot path for every list-keyed join at scale."""
+        if not self.source_key.simple or self.source_key.uses_row_number:
+            return False
+        if self.target_key is not None and (
+                not self.target_key.simple or self.target_key.uses_row_number):
+            return False
+        return True
+
     # -- aggregation of the source side ----------------------------------
-    def _aggregate_source(self, source: ray.data.Dataset):
+    def _aggregate_source(self, source: ray.data.Dataset, columnar: bool):
         fields = _expand_star(_fix_fields(dict(self.fields)), source.columns())
-        keyed = self.source_key.add_key_column(source)
         specs = [{"target": tgt, "source": spec["name"], "aggregate": spec["aggregate"]}
                  for tgt, spec in fields.items()]
+        if columnar:
+            agg = grouped_aggregate(source, self.source_key.key_list, specs)
+            return agg, fields
+        keyed = self.source_key.add_key_column(source)
         if self.mode == "full-outer" and self.target_key is not None:
             # preserve source key field values for key restoration
             # (reference join.py:216-217,251-255)
@@ -138,31 +154,45 @@ class join(Step):
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         source = stream.get(self.source_name)
         target = stream.get(self.target_name) if self.target_key is not None else None
-        agg, fields = self._aggregate_source(source)
+        columnar = self._columnar()
+        agg, fields = self._aggregate_source(source, columnar)
+        field_names = list(fields.keys())
 
         if self.target_key is None:
             # deduplication / group-by mode: the aggregate IS the result
-            result = agg.drop_columns([JOIN_KEY]) if not self.source_delete else agg.drop_columns([JOIN_KEY])
+            if columnar:
+                drop = [k for k in self.source_key.key_list
+                        if k not in field_names]
+            else:
+                drop = [JOIN_KEY]
+            result = agg.drop_columns(drop) if drop else agg
             stream.set(self.source_name, result)
             return stream
 
-        keyed_target = self.target_key.add_key_column(target)
-        field_names = list(fields.keys())
-
         strategy = self.strategy
-        agg_mat = None
         if strategy == "auto":
-            agg_mat = agg.materialize()
+            agg = agg.materialize()
             strategy = ("broadcast"
-                        if agg_mat.count() <= BROADCAST_LIMIT and self.mode != "full-outer"
+                        if agg.count() <= BROADCAST_LIMIT and self.mode != "full-outer"
                         else "shuffle")
-            agg = agg_mat
 
-        if strategy == "broadcast":
-            result = _broadcast_join(keyed_target, agg, field_names, self.mode)
+        if columnar:
+            src_keys = self.source_key.key_list
+            tgt_keys = self.target_key.key_list
+            if strategy == "broadcast":
+                result = _broadcast_join_cols(target, agg, field_names,
+                                              self.mode, src_keys, tgt_keys)
+            else:
+                result = _shuffle_join_cols(target, agg, field_names,
+                                            self.mode, src_keys, tgt_keys,
+                                            self.num_partitions)
         else:
-            result = _shuffle_join(keyed_target, agg, field_names, self.mode,
-                                   self.target_key, self.num_partitions)
+            keyed_target = self.target_key.add_key_column(target)
+            if strategy == "broadcast":
+                result = _broadcast_join(keyed_target, agg, field_names, self.mode)
+            else:
+                result = _shuffle_join(keyed_target, agg, field_names, self.mode,
+                                       self.target_key, self.num_partitions)
         stream.set(self.target_name, result)
         if self.source_delete:
             stream.drop(self.source_name)
@@ -202,6 +232,96 @@ def _broadcast_join(keyed_target: ray.data.Dataset, agg: ray.data.Dataset,
     return keyed_target.map_batches(
         Probe, batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE, concurrency=4
     ).drop_columns([JOIN_KEY])
+
+
+def _broadcast_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
+                         field_names: List[str], mode: str,
+                         src_keys: List[str], tgt_keys: List[str]
+                         ) -> ray.data.Dataset:
+    """Columnar broadcast join: ``ray.put`` the aggregated source ONCE,
+    probe per batch with a fully vectorized pandas merge on the raw key
+    columns. No Python per row."""
+    agg_df = agg.to_pandas()
+    ref = ray.put(agg_df)
+
+    class Probe:
+        def __init__(self):
+            df = ray.get(ref)
+            self.lookup = df.set_index(src_keys if len(src_keys) > 1
+                                       else src_keys[0])
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            probe_key = (list(zip(*[df[k] for k in tgt_keys]))
+                         if len(tgt_keys) > 1 else df[tgt_keys[0]].to_numpy())
+            idx = self.lookup.index.get_indexer(probe_key)
+            hit = idx >= 0
+            if mode == "inner":
+                df = df[hit].reset_index(drop=True)
+                idx = idx[hit]
+                hit = hit[hit]
+            picked = self.lookup.iloc[np.where(idx >= 0, idx, 0)]
+            for col in field_names:
+                if col in self.lookup.columns:
+                    vals = pd.Series(picked[col].to_numpy(), index=df.index)
+                    if not hit.all():
+                        # nulls (not NaN) for misses — only miss-batches
+                        # pay the object-dtype cost
+                        vals = vals.astype(object)
+                        vals[~hit] = None
+                else:
+                    vals = pd.Series([None] * len(df), index=df.index)
+                if col in df.columns:
+                    # half-outer miss keeps the target's own value
+                    # (reference join.py:245-249)
+                    df[col] = vals.where(hit, df[col])
+                else:
+                    df[col] = vals
+            return df
+
+    return target.map_batches(Probe, batch_format="pandas",
+                              batch_size=DEFAULT_BATCH_SIZE, concurrency=4)
+
+
+def _shuffle_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
+                       field_names: List[str], mode: str,
+                       src_keys: List[str], tgt_keys: List[str],
+                       num_partitions: Optional[int]) -> ray.data.Dataset:
+    """Columnar hash-shuffle join on the raw key columns."""
+    join_type = {"inner": "inner", "half-outer": "left_outer",
+                 "full-outer": "full_outer"}[mode]
+    if num_partitions is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        num_partitions = max(2, min(64, ncpu * 2))
+    tgt_cols = target.columns()
+    clash = [c for c in field_names if c in tgt_cols]
+    joined = target.join(agg, join_type=join_type,
+                         num_partitions=num_partitions,
+                         on=tuple(tgt_keys), right_on=tuple(src_keys),
+                         left_suffix="__t", right_suffix="__s")
+
+    def post(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        for col in clash:
+            s_col, t_col = f"{col}__s", f"{col}__t"
+            if s_col in batch.column_names and t_col in batch.column_names:
+                merged = pc.coalesce(batch[s_col], batch[t_col])
+                batch = batch.drop_columns([s_col, t_col]).append_column(col, merged)
+        if mode == "full-outer":
+            # restore target key fields from the source key columns for
+            # right-only rows (reference join.py:251-255)
+            for tk, sk in zip(tgt_keys, src_keys):
+                if tk in batch.column_names and sk in batch.column_names and tk != sk:
+                    restored = pc.coalesce(batch[tk],
+                                           pc.cast(batch[sk], batch[tk].type))
+                    idx = batch.schema.get_field_index(tk)
+                    batch = batch.set_column(idx, tk, restored)
+        drop = [c for c in batch.column_names
+                if c.endswith("__s") or c.endswith("__t")
+                or (c in src_keys and c not in tgt_keys and c not in field_names)]
+        return batch.drop_columns(drop) if drop else batch
+
+    return joined.map_batches(post, batch_format="pyarrow",
+                              batch_size=DEFAULT_BATCH_SIZE)
 
 
 def _shuffle_join(keyed_target: ray.data.Dataset, agg: ray.data.Dataset,
