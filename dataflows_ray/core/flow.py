@@ -24,9 +24,13 @@ from .exceptions import StepError
 from .package import PackageStream
 from .udf import dispatch_kind, make_row_batch_fn, make_rows_batch_fn, StatefulRowsAdapter
 
-# Rows per Arrow batch for generic row-UDF shims; vectorized stages pick
-# their own. Kept moderate so batch × concurrency fits worker heaps at scale.
-DEFAULT_BATCH_SIZE = 8192
+# Batch size for map_batches stages: None = one batch per BLOCK.
+# IMPORTANT: a numeric batch_size here is a TRAP — Ray fuses map chains
+# and bundles inputs to the LARGEST batch_size in the chain, so one stage
+# asking for 16k-row batches collapses a 240-block pipeline into ~12
+# tasks and serializes the whole job (measured). Block sizing is governed
+# globally by DataContext.target_max_block_size instead.
+DEFAULT_BATCH_SIZE = None
 
 
 class Step:

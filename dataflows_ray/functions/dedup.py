@@ -125,7 +125,7 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, num_perm: int = 128,
     exploded = ds.map_batches(
         MinHasher, fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands, "k": k},
-        batch_format="pyarrow", batch_size=1024, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=None, concurrency=concurrency)
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group["doc_id"]))
@@ -230,4 +230,4 @@ class SimHasher:
 def simhash_signatures(ds: ray.data.Dataset, concurrency: int = 4
                        ) -> ray.data.Dataset:
     return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          batch_size=1024, concurrency=concurrency)
+                          batch_size=None, concurrency=concurrency)

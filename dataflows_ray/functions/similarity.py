@@ -82,7 +82,7 @@ def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray,
     ref = ray.put({"matrix": np.asarray(queries), "ids": list(query_ids)})
     partial = ds.map_batches(
         _TopKScorer, fn_constructor_args=(ref, k, vec_col, id_col),
-        batch_format="pyarrow", batch_size=4096, concurrency=concurrency)
+        batch_format="pyarrow", batch_size=None, concurrency=concurrency)
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
         # deterministic tie-break: score desc, then vec_id asc
@@ -121,7 +121,7 @@ def lsh_bucket_column(ds: ray.data.Dataset, dim: int, bits: int = 12,
                                        pa.array(self.h.bucket(m)))
 
     return ds.map_batches(Bucketer, batch_format="pyarrow",
-                          batch_size=4096, concurrency=2)
+                          batch_size=None, concurrency=2)
 
 
 def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: List,

@@ -29,68 +29,148 @@ class PcmDecoder:
     the raw bytes so downstream shuffles move features, not audio.
     """
 
-    def __init__(self, validate_snr: bool = False, seed: int = 42):
+    def __init__(self, validate_snr: bool = False, seed: int = 42,
+                 spectral: bool = False, n_fft: int = 512, hop: int = 160,
+                 frame: int = 400, n_mels: int = 64):
         self.validate_snr = validate_snr
         self.seed = seed
+        self.spectral = spectral
+        self.n_fft = n_fft
+        self.hop = hop
+        self.frame = frame
+        # mel-ish projection built ONCE per actor (triangular bank)
+        if spectral:
+            bins = n_fft // 2 + 1
+            centers = np.linspace(0, bins - 1, n_mels + 2)
+            bank = np.zeros((bins, n_mels), dtype=np.float32)
+            for m in range(n_mels):
+                lo, c, hi = centers[m], centers[m + 1], centers[m + 2]
+                idx = np.arange(bins)
+                up = np.clip((idx - lo) / max(c - lo, 1e-9), 0, 1)
+                down = np.clip((hi - idx) / max(hi - c, 1e-9), 0, 1)
+                bank[:, m] = np.minimum(up, down)
+            self.mel_bank = bank
+            self.window = np.hanning(frame).astype(np.float32)
+
+    def _spectral_features(self, wave: np.ndarray):
+        """Framed FFT -> mel-ish log energies; returns (mean_vec, centroid).
+        The real compute an ASR feature extractor would do per clip."""
+        n = len(wave)
+        if n < self.frame:
+            wave = np.pad(wave, (0, self.frame - n))
+            n = len(wave)
+        n_frames = 1 + (n - self.frame) // self.hop
+        idx = (np.arange(self.frame)[None, :]
+               + self.hop * np.arange(n_frames)[:, None])
+        frames = wave[idx] * self.window
+        spec = np.abs(np.fft.rfft(frames, n=self.n_fft, axis=1)) ** 2
+        mel = np.log1p(spec.astype(np.float32) @ self.mel_bank)
+        freqs = np.arange(spec.shape[1], dtype=np.float32)
+        centroid = float((spec @ freqs).sum() / max(spec.sum(), 1e-9))
+        return mel.mean(axis=0), centroid
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        raws = batch["bytes"].to_pylist()
-        codecs = batch["codec"].to_pylist()
-        rms = np.empty(len(raws))
-        peak = np.empty(len(raws))
-        n_samples = np.empty(len(raws), dtype=np.int64)
-        snrs = np.empty(len(raws)) if self.validate_snr else None
-        for i, (raw, codec) in enumerate(zip(raws, codecs)):
-            wave = decode_pcm(raw, codec)
-            rms[i] = float(np.sqrt(np.mean(wave ** 2))) if len(wave) else 0.0
-            peak[i] = float(np.abs(wave).max()) if len(wave) else 0.0
-            n_samples[i] = len(wave)
-            if self.validate_snr:
+        codecs = set(batch["codec"].to_pylist())
+        if codecs - {"pcm16"}:
+            raise NotImplementedError(f"codecs {codecs - {'pcm16'}} not available")
+        # ZERO-COPY batch decode: view the Arrow binary column's value
+        # buffer as int16 directly — no Python bytes objects, no join copy.
+        col = batch["bytes"].combine_chunks()
+        off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+        byte_offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+            col.offset:col.offset + len(col) + 1].astype(np.int64)
+        values = np.frombuffer(col.buffers()[2], dtype="<i2")
+        wave_all = (values[byte_offsets[0] // 2:byte_offsets[-1] // 2]
+                    .astype(np.float32) / 32767.0)
+        sample_offsets = (byte_offsets - byte_offsets[0]) // 2
+        lengths = np.diff(sample_offsets)
+        n_samples = lengths
+        offsets = sample_offsets[:-1]
+        n_clips = len(batch)
+        safe_len = np.maximum(lengths, 1)
+        sq_sums = np.add.reduceat(wave_all ** 2, offsets) if len(wave_all) \
+            else np.zeros(n_clips)
+        rms = np.sqrt(sq_sums / safe_len)
+        peak = (np.maximum.reduceat(np.abs(wave_all), offsets)
+                if len(wave_all) else np.zeros(n_clips))
+        snrs = np.empty(n_clips) if self.validate_snr else None
+        if self.validate_snr:
+            for i in range(n_clips):
+                wave = decode_pcm(col[i].as_py(), "pcm16")
                 clip_idx = int(batch["clip_id"][i].as_py().rsplit("-", 1)[1])
                 ref = synth_clip_batch(clip_idx, 1, seed=self.seed)
                 ref_wave = decode_pcm(ref["bytes"][0].as_py(), "pcm16")
                 snrs[i] = snr_db(ref_wave, wave)
+        mels = None
+        centroids = None
+        if self.spectral:
+            mels = []
+            centroids = np.empty(n_clips, dtype=np.float32)
+            ends = sample_offsets[1:]
+            for i in range(n_clips):
+                clip_wave = wave_all[offsets[i]:ends[i]]
+                mvec, cent = self._spectral_features(clip_wave)
+                mels.append(mvec)
+                centroids[i] = cent
         out = batch.drop_columns(["bytes"])
         out = out.append_column("rms", pa.array(rms))
         out = out.append_column("peak", pa.array(peak))
         out = out.append_column("n_samples", pa.array(n_samples))
         if self.validate_snr:
             out = out.append_column("snr_db", pa.array(snrs))
+        if self.spectral:
+            out = out.append_column(
+                "mel_mean", pa.array([m.tolist() for m in mels],
+                                     type=pa.list_(pa.float32())))
+            out = out.append_column("spectral_centroid", pa.array(centroids))
         return out
 
 
-def decode_stage(ds: ray.data.Dataset, concurrency: int = 4,
-                 batch_size: int = 256, validate_snr: bool = False
-                 ) -> ray.data.Dataset:
-    """Small batches for wide binary rows (SURVEY §7.5)."""
-    return ds.map_batches(
-        PcmDecoder, fn_constructor_kwargs={"validate_snr": validate_snr},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, num_cpus=1)
+import functools
 
 
-def windowed_speaker_aggregate(ds: ray.data.Dataset, window_ms: int = 60_000,
-                               salt_buckets: int = 8) -> ray.data.Dataset:
-    """Tumbling-window per-speaker aggregate with SALTED two-stage
-    aggregation for hot speaker keys (the skew lever): stage 1 aggregates
-    (speaker, window, salt) — hot keys spread over ``salt_buckets``
-    reducers — stage 2 merges the partials per (speaker, window)."""
+@functools.lru_cache(maxsize=8)
+def _cached_decoder(validate_snr: bool, spectral: bool) -> "PcmDecoder":
+    return PcmDecoder(validate_snr=validate_snr, spectral=spectral)
+
+
+def decode_stage(ds: ray.data.Dataset, concurrency: int = None,
+                 batch_size=None, validate_snr: bool = False,
+                 spectral: bool = False) -> ray.data.Dataset:
+    """Decode stage. Default is STATELESS tasks with a per-process cached
+    decoder: tasks share CPUs elastically with the read stage (an actor
+    pool that reserves most CPUs starves the reads and caps scaling).
+    Pass ``concurrency`` to pin an actor pool instead (useful when setup
+    is genuinely heavy, e.g. a real model load).
+
+    Small batches for wide binary rows (SURVEY §7.5)."""
+    if concurrency is not None:
+        return ds.map_batches(
+            PcmDecoder,
+            fn_constructor_kwargs={"validate_snr": validate_snr,
+                                   "spectral": spectral},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency, num_cpus=1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return _cached_decoder(validate_snr, spectral)(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def windowed_speaker_aggregate(ds: ray.data.Dataset, window_ms: int = 60_000
+                               ) -> ray.data.Dataset:
+    """Tumbling-window per-speaker aggregate via the engine's combining
+    aggregate path (``stages.agg.grouped_aggregate``): stage 1 is a
+    per-batch vectorized combiner — which IS the hot-key/skew mitigation:
+    a hot speaker collapses to one partial row per batch before any
+    shuffle — stage 2 merges partials in a hash-partitioned vectorized
+    reduce. No per-group Python anywhere."""
+    from ..stages.agg import grouped_aggregate
+
     ds = assign_tumbling(ds, "event_ms", window_ms)
-
-    def add_salt(batch: pa.Table) -> pa.Table:
-        salt = np.arange(len(batch), dtype=np.int64) % salt_buckets
-        return batch.append_column("__salt__", pa.array(salt))
-
-    ds = ds.map_batches(add_salt, batch_format="pyarrow")
-    from ray.data.aggregate import Count, Max, Sum
-    partial = ds.groupby(["speaker", WINDOW_START, "__salt__"]).aggregate(
-        Sum("dur_ms", alias_name="total_dur_ms"),
-        Count(alias_name="n_clips"),
-        Max("event_ms", alias_name="max_event_ms"),
-    )
-    final = partial.groupby(["speaker", WINDOW_START]).aggregate(
-        Sum("total_dur_ms", alias_name="total_dur_ms"),
-        Sum("n_clips", alias_name="n_clips"),
-        Max("max_event_ms", alias_name="max_event_ms"),
-    )
-    return final
+    return grouped_aggregate(ds, ["speaker", WINDOW_START], [
+        {"target": "total_dur_ms", "source": "dur_ms", "aggregate": "sum"},
+        {"target": "n_clips", "aggregate": "count"},
+        {"target": "max_event_ms", "source": "event_ms", "aggregate": "max"},
+    ])

@@ -230,7 +230,12 @@ def _precombined_aggregate(ds: ray.data.Dataset, keys: List[str],
         out = pd.DataFrame(parts).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    partial = ds.map_batches(combine, batch_format="pandas", batch_size=65536)
+    # batch_size=None: combine per BLOCK. A large fixed batch_size here
+    # would FUSE upstream (decode/map) stages into a handful of fat tasks
+    # (Ray bundles the whole fused chain to the largest batch_size),
+    # silently serializing the pipeline — measured 4 tasks for a 32-CPU
+    # job before this was removed.
+    partial = ds.map_batches(combine, batch_format="pandas", batch_size=None)
 
     # Merge partials with an EXPLICIT hash-partitioned shuffle: partition
     # column = stable hash(keys) % N, then ONE vectorized pandas groupby
@@ -264,6 +269,9 @@ def _precombined_aggregate(ds: ray.data.Dataset, keys: List[str],
         out = g.agg(merge_how).reset_index()
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    # NOTE: do NOT repartition() the partials here — repartitioning tiny
+    # data mints empty column-less blocks that break downstream schema
+    # resolution (joins); the sort shuffle handles block fan-in itself.
     merged = (partial.map_batches(add_part, batch_format="pandas")
               .groupby("__part__")
               .map_groups(merge_part, batch_format="pandas"))

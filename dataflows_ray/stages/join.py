@@ -68,8 +68,12 @@ class KeyCalc:
         def fn(batch: pa.Table) -> pa.Table:
             rows = batch.to_pylist()
             if uses_rn:
+                if ROW_ID not in batch.column_names:
+                    raise ValueError(
+                        "'{#}' row-number key requires a __row_id__ column "
+                        "(load with row_ids=True)")
                 # {#} is the 1-based row number == __row_id__ + 1
-                keys = [spec.format(**{**r, "#": int(r.get(ROW_ID, -2)) + 1})
+                keys = [spec.format(**{**r, "#": int(r[ROW_ID]) + 1})
                         for r in rows]
             else:
                 keys = [spec.format(**r) for r in rows]

@@ -137,3 +137,33 @@ def write_audio_dataset(path: str, n_clips: int, seed: int = 42,
         pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"))
         start += count
         part += 1
+
+
+def write_audio_dataset_ray(path: str, n_clips: int, seed: int = 42,
+                            rows_per_file: int = 10_000, **kw) -> None:
+    """Parallel synthesis: each Ray task generates one shard from its
+    (seed, range) — clip ``i`` is identical no matter which worker makes
+    it, so the corpus is deterministic at any parallelism. This is how a
+    10^12-clip corpus would be built: shard specs are metadata; generation
+    and write scale with the cluster."""
+    import ray
+
+    os.makedirs(path, exist_ok=True)
+
+    @ray.remote
+    def make_shard(part: int, start: int, count: int) -> int:
+        tbl = synth_clip_batch(start, count, seed=seed, **kw)
+        tmp = os.path.join(path, f".part-{part:05d}.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(path, f"part-{part:05d}.parquet"))
+        return count
+
+    refs = []
+    part = 0
+    start = 0
+    while start < n_clips:
+        count = min(rows_per_file, n_clips - start)
+        refs.append(make_shard.remote(part, start, count))
+        start += count
+        part += 1
+    ray.get(refs)

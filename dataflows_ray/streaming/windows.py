@@ -34,7 +34,7 @@ WINDOW_END = "window_end"
 
 
 def assign_tumbling(ds: ray.data.Dataset, ts_col: str, size_ms: int,
-                    batch_size: int = 16384) -> ray.data.Dataset:
+                    batch_size=None) -> ray.data.Dataset:
     def fn(batch: pa.Table) -> pa.Table:
         ts = batch[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         start = (ts // size_ms) * size_ms
@@ -44,7 +44,7 @@ def assign_tumbling(ds: ray.data.Dataset, ts_col: str, size_ms: int,
 
 
 def assign_sliding(ds: ray.data.Dataset, ts_col: str, size_ms: int,
-                   slide_ms: int, batch_size: int = 16384) -> ray.data.Dataset:
+                   slide_ms: int, batch_size=None) -> ray.data.Dataset:
     assert size_ms % slide_ms == 0, "size must be a multiple of slide"
     n_windows = size_ms // slide_ms
 

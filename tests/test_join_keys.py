@@ -1,0 +1,87 @@
+"""KeyCalc edge cases: format-string keys, {#} row-number keys, callable
+sort keys, non-regex unpivot — conformance ports of reference
+tests/test_lib.py:1858-1917 (row-number join) and related scenarios."""
+
+import pytest
+
+from dataflows_ray import (
+    Flow, iterable_loader, join, sort_rows, unpivot, dump_to_zip,
+)
+
+
+def test_join_format_string_key():
+    source = [{"a": "x", "b": 1, "v": 10}, {"a": "y", "b": 2, "v": 20}]
+    target = [{"aa": "x", "bb": 1}, {"aa": "y", "bb": 2}, {"aa": "z", "bb": 3}]
+    results, _, _ = Flow(
+        iterable_loader(source, name="s"),
+        iterable_loader(target, name="t"),
+        join("s", "{a}:{b}", "t", "{aa}:{bb}",
+             {"v": {"aggregate": "sum"}}, mode="half-outer"),
+    ).results()
+    rows = {r["aa"]: r["v"] for r in results[0]}
+    assert rows == {"x": 10, "y": 20, "z": None}
+
+
+def test_join_row_number_key():
+    # reference join.py:24-25: '{#}' = 1-based row number
+    source = [{"v": "a"}, {"v": "b"}, {"v": "c"}]
+    target = [{"t": 10}, {"t": 20}, {"t": 30}]
+    results, _, _ = Flow(
+        iterable_loader(source, name="s", row_ids=True),
+        iterable_loader(target, name="t", row_ids=True),
+        join("s", "{#}", "t", "{#}", {"v": {"aggregate": "any"}}),
+    ).results()
+    rows = sorted(results[0], key=lambda r: r["t"])
+    assert [(r["t"], r["v"]) for r in rows] == [(10, "a"), (20, "b"), (30, "c")]
+
+
+def test_join_row_number_requires_row_ids():
+    source = [{"v": "a"}]
+    target = [{"t": 10}]
+    with pytest.raises(Exception):
+        Flow(
+            iterable_loader(source, name="s"),  # no row_ids
+            iterable_loader(target, name="t"),
+            join("s", "{#}", "t", "{#}", {"v": {"aggregate": "any"}}),
+            # {#} without __row_id__ must fail loudly, not silently mis-key
+        ).results()
+
+
+def test_sort_rows_callable_key():
+    data = [{"x": 5}, {"x": -3}, {"x": 1}]
+    results, _, _ = Flow(
+        iterable_loader(data, name="t"),
+        sort_rows(lambda row: abs(row["x"])),
+    ).results()
+    assert [r["x"] for r in results[0]] == [1, -3, 5]
+
+
+def test_unpivot_non_regex():
+    data = [{"name": "r", "jan": 1, "feb": 2}]
+    results, _, _ = Flow(
+        iterable_loader(data, name="t"),
+        unpivot(
+            [{"name": "jan", "keys": {"month": "january"}},
+             {"name": "feb", "keys": {"month": "february"}}],
+            [{"name": "month", "type": "string"}],
+            {"name": "value", "type": "integer"},
+            regex=False,
+        ),
+    ).results()
+    assert results[0] == [
+        {"month": "january", "name": "r", "value": 1},
+        {"month": "february", "name": "r", "value": 2},
+    ]
+
+
+def test_dump_to_zip(tmp_path):
+    import zipfile
+    out = str(tmp_path / "o.zip")
+    Flow(
+        iterable_loader([{"x": 1}], name="t"),
+        dump_to_zip(out),
+    ).process()
+    with zipfile.ZipFile(out) as zf:
+        names = zf.namelist()
+    assert any("datapackage.json" in n for n in names)
+    assert any(n.startswith("t/") for n in names)
