@@ -237,44 +237,26 @@ def _precombined_aggregate(ds: ray.data.Dataset, keys: List[str],
     # job before this was removed.
     partial = ds.map_batches(combine, batch_format="pandas", batch_size=None)
 
-    # Merge partials with an EXPLICIT hash-partitioned shuffle: partition
-    # column = stable hash(keys) % N, then ONE vectorized pandas groupby
-    # per partition inside map_groups. Ray's builtin sort-aggregate runs
-    # Python per GROUP in its reduce (~1.5 ms/group — minutes at 150k
-    # groups); this path is O(rows) C-speed regardless of cardinality.
+    # Merge partials with native vectorized aggregates. Two notes from
+    # painful measurement:
+    # - Coalesce first: an all-to-all over N tiny combiner outputs creates
+    #   O(N^2) intermediate objects (240 blocks -> ~57k objects, ~1 min of
+    #   pure scheduling); repartition to ~2x CPUs bounds the fan-in.
+    # - The native reduce costs Python per GROUP (~1.5 ms); acceptable once
+    #   partials are combined, and parallel across the reduce partitions.
     ncpu = int(ray.cluster_resources().get("CPU", 8))
     nparts = max(8, min(128, ncpu * 2))
+    partial = partial.repartition(nparts)
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        # stable across processes (fixed siphash key), vectorized
-        h = np.zeros(len(df), dtype=np.uint64)
-        for k in keys:
-            h = h * np.uint64(31) + pd.util.hash_pandas_object(
-                df[k], index=False).to_numpy()
-        df = df.copy()
-        df["__part__"] = (h % np.uint64(nparts)).astype(np.int64)
-        return df
-
-    merge_how = {}
+    native = []
     for col, _src, _how, _t, kind in plan:
         if kind in ("count", "sum", "avg_sum", "avg_cnt"):
-            merge_how[col] = "sum"
+            native.append(Sum(col, alias_name=col, ignore_nulls=True))
         elif kind == "min":
-            merge_how[col] = "min"
+            native.append(Min(col, alias_name=col, ignore_nulls=True))
         else:
-            merge_how[col] = "max"
-
-    def merge_part(df: pd.DataFrame):
-        g = df.groupby(keys, sort=False, dropna=False)
-        out = g.agg(merge_how).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    # NOTE: do NOT repartition() the partials here — repartitioning tiny
-    # data mints empty column-less blocks that break downstream schema
-    # resolution (joins); the sort shuffle handles block fan-in itself.
-    merged = (partial.map_batches(add_part, batch_format="pandas")
-              .groupby("__part__")
-              .map_groups(merge_part, batch_format="pandas"))
+            native.append(Max(col, alias_name=col, ignore_nulls=True))
+    merged = partial.groupby(keys).aggregate(*native)
 
     def finalize(batch: pa.Table) -> pa.Table:
         by_target: Dict[str, Dict[str, str]] = {}

@@ -286,11 +286,29 @@ def _broadcast_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
                               batch_size=DEFAULT_BATCH_SIZE, concurrency=4)
 
 
+def _compact_nonempty(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Drop empty blocks (aggregate/repartition outputs can contain
+    zero-row blocks whose schema degraded to column-less; Dataset.join's
+    hash shuffle KeyErrors on those). Materializes — use only on
+    already-reduced (group-count-sized) datasets."""
+    blocks = ray.get(ds.to_arrow_refs())
+    tables = []
+    for b in blocks:
+        if len(b) == 0:
+            continue
+        tables.append(b if isinstance(b, pa.Table)
+                      else pa.Table.from_pandas(b, preserve_index=False))
+    if not tables:
+        return ds.limit(0)
+    return ray.data.from_arrow(tables)
+
+
 def _shuffle_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
                        field_names: List[str], mode: str,
                        src_keys: List[str], tgt_keys: List[str],
                        num_partitions: Optional[int]) -> ray.data.Dataset:
     """Columnar hash-shuffle join on the raw key columns."""
+    agg = _compact_nonempty(agg)
     join_type = {"inner": "inner", "half-outer": "left_outer",
                  "full-outer": "full_outer"}[mode]
     if num_partitions is None:
