@@ -6,6 +6,20 @@ pipelines: Arrow batches, actor pools for stateful stages, native
 groupby/sort/join shuffles, streaming execution with backpressure.
 """
 
+from ray.data.context import DataContext as _DataContext, ShuffleStrategy as _ShuffleStrategy
+
+# Engine-wide shuffle policy: HASH_SHUFFLE. Keyed repartition (the engine's
+# aggregation/dedup backbone, stages/agg.py) requires it, it is the
+# cluster-correct strategy for keyed exchanges (no range sampling pass),
+# and Dataset.join uses the same hash-aggregator machinery either way.
+# Sort / random_shuffle are planned independently and are unaffected.
+_ctx = _DataContext.get_current()
+_ctx.shuffle_strategy = _ShuffleStrategy.HASH_SHUFFLE
+# Bound the default aggregator-actor pool for keyed ops that don't pass an
+# explicit partition count (Ray's default of 200 actors OOMs small nodes;
+# hot paths size partitions themselves via stages.agg.shuffle_partitions).
+_ctx.default_hash_shuffle_parallelism = 32
+
 from .core.flow import Flow, Step, row_fn, rows_fn, package_fn
 from .core.package import EnginePackage, PackageStream, ResourceDescriptor
 from .core.exceptions import FlowError, StepError, ValidationError

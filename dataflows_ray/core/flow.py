@@ -22,7 +22,7 @@ import ray.data
 
 from .exceptions import StepError
 from .package import PackageStream
-from .udf import dispatch_kind, make_row_batch_fn, make_rows_batch_fn, StatefulRowsAdapter
+from .udf import dispatch_kind, make_row_batch_fn, make_rows_batch_fn, apply_stateful_rows
 
 # Batch size for map_batches stages: None = one batch per BLOCK.
 # IMPORTANT: a numeric batch_size here is a TRAP — Ray fuses map chains
@@ -72,13 +72,9 @@ class _FnStep(Step):
                     batch_fn, batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE))
             elif self.kind == "rows":
                 if self.stateful:
-                    # One ordered actor sees every batch: reference
-                    # whole-resource generator semantics (rows_processor.py).
-                    fn = self.fn
-                    stream.set(name, ds.map_batches(
-                        StatefulRowsAdapter, fn_constructor_args=(fn,),
-                        batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE,
-                        concurrency=1))
+                    # ONE persistent generator over the ordered resource:
+                    # reference whole-resource semantics (rows_processor.py)
+                    stream.set(name, apply_stateful_rows(ds, self.fn))
                 else:
                     batch_fn = make_rows_batch_fn(self.fn)
                     stream.set(name, ds.map_batches(

@@ -109,17 +109,63 @@ def make_rows_batch_fn(fn: Callable) -> Callable[[pa.Table], pa.Table]:
     return _apply
 
 
-class StatefulRowsAdapter:
-    """Actor-pool callable for a stateful ``rows`` UDF: one actor
-    (concurrency=1) sees every batch in order and threads a persistent
-    generator through them, emulating the reference's whole-resource
-    generator chain (``rows_processor.py``)."""
+def apply_stateful_rows(ds, fn: Callable):
+    """Run a stateful ``rows`` UDF with reference whole-resource generator
+    semantics (``rows_processor.py``): ONE persistent generator sees every
+    row of the resource, in order, and may carry state (running totals,
+    seen-sets) across the entire stream and emit trailing rows at the end.
 
-    def __init__(self, fn: Callable):
-        self.fn = fn
-        self._carry: List[Dict[str, Any]] = []
+    Mapping: the resource's blocks are collected as ORDERED refs (the
+    library forces ``preserve_order`` for this collection — it does not
+    rely on callers configuring it) and streamed through a single dynamic-
+    generator Ray task that pulls one block at a time (bounded memory) and
+    yields output tables as the generator produces them. Sequential by
+    construction — exactly the semantics the reference's single-threaded
+    chain has; use the stateless per-batch form to scale out.
+    """
+    import ray
+    import ray.data
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        out = list(self.fn(iter(rows)))
-        return rows_to_table(out, batch.schema)
+    prev = ds.context.execution_options.preserve_order
+    ds.context.execution_options.preserve_order = True
+    try:
+        refs = [ref for bundle in ds.iter_internal_ref_bundles()
+                for ref, _meta in bundle.blocks]
+    finally:
+        ds.context.execution_options.preserve_order = prev
+
+    # NOTE refs are shipped inside a LIST on purpose: top-level ObjectRef
+    # args would be auto-resolved (all blocks materialized at once); a list
+    # of refs is not, so the task can ray.get one block at a time.
+    @ray.remote(num_returns="dynamic")
+    def _drive_list(fn, block_refs, schema):
+        import pyarrow as _pa
+
+        def row_iter():
+            for r in block_refs:
+                blk = ray.get(r)  # one block at a time — bounded memory
+                if not isinstance(blk, _pa.Table):
+                    blk = _pa.Table.from_pandas(blk, preserve_index=False)
+                yield from blk.to_pylist()
+
+        CHUNK = 8192
+        buf: List[Dict[str, Any]] = []
+        for out_row in fn(row_iter()):
+            buf.append(out_row)
+            if len(buf) >= CHUNK:
+                yield rows_to_table(buf, schema)
+                buf = []
+        if buf or not block_refs:
+            yield rows_to_table(buf, schema)
+
+    schema = None
+    try:
+        sch = ds.schema(fetch_if_missing=True)
+        schema = pa.schema(list(zip(sch.names, sch.types)))
+    except Exception:
+        pass
+    out_gen = ray.get(_drive_list.remote(fn, refs, schema))
+    out_refs = list(out_gen)
+    if not out_refs:
+        return ds.limit(0)
+    return ray.data.from_arrow_refs(out_refs)

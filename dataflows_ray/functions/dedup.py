@@ -5,14 +5,21 @@ Engine-defined (no reference equivalent); published algorithms:
 Broder 1997 (MinHash), Indyk & Motwani 1998 (LSH), Charikar 2002
 (SimHash), standard shingle Jaccard.
 
-Scale design:
-- exact: content-hash column (vectorized) -> ``groupby(hash)`` keep
-  min(doc_id) — one shuffle of (hash, id), not of documents.
-- MinHash LSH: per-batch numpy signature computation -> explode to
-  (band, band_hash, doc_id) rows -> ``groupby(band, band_hash)`` ->
-  candidate pairs per bucket -> exact-Jaccard verify on the pair set.
-  Each stage is a Dataset op; nothing materializes on the driver except
-  the (small) verified pair list.
+Scale design (round 2 — all kernels batch-vectorized, no per-doc Python):
+- tokenize via Arrow C++ regex split; word hashes via one numpy pass over
+  the Arrow string buffers (``core.strhash``); k-shingle hashes via k
+  shifted polynomial adds over the flat word-hash array; MinHash
+  permutation minima via ``np.minimum.reduceat`` over doc segments;
+  LSH band hashes via a reshape + polynomial fold. The round-1 per-doc /
+  per-shingle ``blake2b`` loops (~10 s per 500 docs) are gone.
+- exact: content-hash column (vectorized) -> min-id per hash through the
+  combining aggregate (``stages.agg``) -> broadcast id-set filter. One
+  tiny shuffle of (hash, id) partials; documents themselves never move.
+- MinHash LSH: signatures -> explode to (band, band_hash, doc_id) ->
+  hash-repartition on (band, band_hash) -> per-block bucket pair
+  generation -> exact-Jaccard verify on the candidate pair set. Nothing
+  materializes on the driver except candidate pairs (bounded by design;
+  at extreme scale swap the driver pair set for a distributed anti-join).
 - SimHash: 64-bit signatures per batch; near-dup candidates = equal
   16-bit bands (4 bands -> Hamming distance <= 3 guaranteed candidates).
 - embedding cosine: delegated to ``functions/similarity.py`` brute-force
@@ -27,27 +34,130 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
+from ..core.strhash import hash_string_array, FNV_PRIME
+
 _MERSENNE = (1 << 61) - 1
+_C = FNV_PRIME  # shingle/band combine constant
+
+
+def _word_hashes(texts) -> Tuple[np.ndarray, np.ndarray]:
+    """(word_hashes uint64, doc_offsets int64[n+1]) for a batch of texts.
+    Tokenization = lowercase + split on non-word runs (Arrow C++), empty
+    tokens dropped — equivalent to ``re.findall(r"\\w+", text.lower())``."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(1, dtype=np.int64)
+    filled = pc.fill_null(texts, "")
+    words = pc.split_pattern_regex(pc.utf8_lower(filled), pattern=r"\W+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    # flat word values + per-doc list offsets
+    flat = words.flatten()
+    lo = np.asarray(words.offsets, dtype=np.int64)
+    lo = lo - lo[0]
+    wh_all = hash_string_array(flat)
+    # drop empty tokens (leading/trailing separators); robust per-doc
+    # counts via cumsum (reduceat mishandles empty segments)
+    if len(flat):
+        wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        keep = wlen > 0
+        csum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        counts = csum[lo[1:]] - csum[lo[:-1]]
+        wh = wh_all[keep]
+    else:
+        counts = np.zeros(n, dtype=np.int64)
+        wh = wh_all
+    offs = np.concatenate([[0], np.cumsum(counts, dtype=np.int64)])
+    return wh, offs
+
+
+def _shingle_hashes(texts, k: int = 5) -> Tuple[np.ndarray, np.ndarray]:
+    """Word k-shingle hashes per doc, fully vectorized.
+
+    Long docs (>= k words) yield ``c - k + 1`` rolling polynomial hashes;
+    short docs yield ONE hash over all their words (empty docs hash 0) —
+    same per-doc semantics as round 1, 10-100x faster.
+    Returns (shingle_hashes uint64, doc_offsets int64[n+1])."""
+    wh, offs = _word_hashes(texts)
+    counts = np.diff(offs)
+    n = len(counts)
+    m = len(wh)
+    out_counts = np.where(counts >= k, counts - k + 1, 1).astype(np.int64)
+    out_offs = np.concatenate([[0], np.cumsum(out_counts)])
+    sh = np.zeros(out_offs[-1], dtype=np.uint64)
+    if m:
+        # R[j] = sum_t wh[j+t] * C**(k-1-t): k shifted vector adds
+        R = np.zeros(m, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            cpow = np.empty(k, dtype=np.uint64)
+            cpow[0] = 1
+            for t in range(1, k):
+                cpow[t] = cpow[t - 1] * _C
+            for t in range(k):
+                R[:m - t] += wh[t:] * cpow[k - 1 - t]
+        within = np.arange(out_offs[-1], dtype=np.int64) - np.repeat(
+            out_offs[:-1], out_counts)
+        src = np.repeat(offs[:-1], out_counts) + within
+        sh = R[np.minimum(src, m - 1)]
+    # short docs (< k words): one polynomial hash over all their words
+    short = np.nonzero(counts < k)[0]
+    for i in short:
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for t in range(offs[i], offs[i + 1]):
+                h = h * _C + wh[t]
+        sh[out_offs[i]] = h
+    return sh, out_offs
 
 
 def _stable_hash64(s: str) -> int:
-    """Process-stable 64-bit string hash (Python's ``hash`` is randomized
-    per process — useless for cross-worker bucketing)."""
-    import hashlib
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                          "little") & 0x7FFFFFFFFFFFFFFF
+    """Process-stable 64-bit hash of one string (same kernel as the batch
+    path, for driver-side verification helpers)."""
+    return int(hash_string_array(pa.array([s]))[0])
 
 
 def _shingles(text: str, k: int = 5) -> np.ndarray:
-    """Word k-shingles hashed to uint64 (vocabulary-free)."""
-    words = re.findall(r"\w+", (text or "").lower())
-    if len(words) < k:
-        return np.array([_stable_hash64(" ".join(words))], dtype=np.uint64)
-    out = np.empty(len(words) - k + 1, dtype=np.uint64)
-    for i in range(len(words) - k + 1):
-        out[i] = _stable_hash64(" ".join(words[i:i + k]))
+    """Per-doc shingle hashes (verification helper; the batch pipeline
+    uses ``_shingle_hashes``)."""
+    sh, _ = _shingle_hashes(pa.array([text or ""]), k)
+    return sh
+
+
+def _minhash_signatures(sh: np.ndarray, offs: np.ndarray,
+                        a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_docs, num_perm) signature matrix: permutation minima over each
+    doc's shingle segment via ``minimum.reduceat`` (every doc has >= 1
+    shingle by construction)."""
+    n = len(offs) - 1
+    P = len(a)
+    if n == 0:
+        return np.empty((0, P), dtype=np.uint64)
+    sig = np.empty((P, n), dtype=np.uint64)
+    starts = offs[:-1]
+    CHUNK = 16  # bound the (CHUNK, total_shingles) temporary
+    with np.errstate(over="ignore"):
+        for p0 in range(0, P, CHUNK):
+            vals = (a[p0:p0 + CHUNK, None] * sh[None, :]
+                    + b[p0:p0 + CHUNK, None]) % _MERSENNE
+            sig[p0:p0 + CHUNK] = np.minimum.reduceat(vals, starts, axis=1)
+    return sig.T
+
+
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64: polynomial fold of each band's signature
+    rows (replaces the round-1 per-doc crc32 loop)."""
+    n, P = sig.shape
+    rpb = P // bands
+    r = sig.reshape(n, bands, rpb)
+    out = np.zeros((n, bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for t in range(rpb):
+            out = out * _C + r[:, :, t]
     return out
 
 
@@ -71,37 +181,39 @@ class MinHasher:
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k).astype(np.uint64)
-        # (num_perm, n_shingles) universal hashing, min over shingles
-        vals = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+        sh, offs = _shingle_hashes(pa.array([text or ""]), self.k)
+        return _minhash_signatures(sh, offs, self.a, self.b)[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        """Emit (band, band_hash, doc_id) rows — the LSH explode."""
-        texts = batch["text"].to_pylist()
-        ids = batch["doc_id"].to_pylist()
-        out_band, out_hash, out_id = [], [], []
-        for doc_id, text in zip(ids, texts):
-            sig = self.signature(text)
-            for band in range(self.bands):
-                chunk = sig[band * self.rows_per_band:(band + 1) * self.rows_per_band]
-                import zlib
-                h = zlib.crc32(chunk.tobytes())  # stable across processes
-                out_band.append(band)
-                out_hash.append(h)
-                out_id.append(doc_id)
+        """Emit (band, band_hash, doc_id) rows — the LSH explode.
+        Everything vectorized across the batch."""
+        n = len(batch)
+        sh, offs = _shingle_hashes(batch["text"], self.k)
+        sig = _minhash_signatures(sh, offs, self.a, self.b)
+        bh = _band_hashes(sig, self.bands)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_hash": pa.array(out_hash, type=pa.int64()),
-            "doc_id": pa.array(out_id, type=pa.int64()),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+            "doc_id": pa.array(np.repeat(ids, self.bands)),
         })
+
+
+# id-set sizes up to this broadcast as an Arrow value_set filter; beyond
+# it, callers should switch to a distributed semi-join on the id column
+BROADCAST_ID_LIMIT = 50_000_000
 
 
 def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
-    """Keep the min-id row per distinct text content. Shuffles only
-    (content_hash, id) after a vectorized hash stage."""
-    import pyarrow.compute as pc
+    """Keep the min-id row per distinct text content.
+
+    Scale shape: vectorized sha1 hash stage -> combining aggregate
+    (``stages.agg.grouped_aggregate``: per-block combiner + hash-shuffle
+    merge, no per-group Python) over (hash, id) ONLY -> broadcast the
+    keeper-id set and filter the corpus in place. The documents are never
+    shuffled."""
+    from ..stages.agg import grouped_aggregate
 
     def add_hash(batch: pa.Table) -> pa.Table:
         import hashlib
@@ -110,36 +222,71 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
         return batch.append_column("__content_hash__", pa.array(hashes))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    keep = grouped_aggregate(
+        hashed.select_columns(["__content_hash__", id_col]),
+        ["__content_hash__"],
+        [{"target": "__keep_id__", "source": id_col, "aggregate": "min"}])
+    chunks = [b["__keep_id__"].to_numpy(zero_copy_only=False)
+              for b in keep.select_columns(["__keep_id__"]).iter_batches(
+                  batch_format="pyarrow", batch_size=None)]
+    keep_ids = (np.sort(np.concatenate(chunks)) if chunks
+                else np.empty(0, dtype=np.int64))
+    if len(keep_ids) > BROADCAST_ID_LIMIT:
+        raise NotImplementedError(
+            "exact_dedup keeper set exceeds broadcast limit; use a "
+            "distributed semi-join on the id column at this scale")
+    id_set = pa.array(keep_ids)
+    ref = ray.put(id_set)
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
+    class KeepFilter:
+        def __init__(self):
+            self.value_set = ray.get(ref)
 
-    return hashed.groupby("__content_hash__").map_groups(
-        keep_min, batch_format="pandas").drop_columns(["__content_hash__"])
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.is_in(batch[id_col],
+                                         value_set=self.value_set))
+
+    return ds.map_batches(KeepFilter, batch_format="pyarrow",
+                          batch_size=None, concurrency=4)
 
 
 def minhash_lsh_candidates(ds: ray.data.Dataset, num_perm: int = 128,
                            bands: int = 32, k: int = 5,
                            concurrency: int = 4) -> ray.data.Dataset:
-    """Candidate near-dup pairs (doc_a < doc_b) via MinHash LSH banding."""
+    """Candidate near-dup pairs (doc_a < doc_b) via MinHash LSH banding.
+
+    Bucketing = hash-repartition on (band, band_hash) + per-block pair
+    generation (numpy ``triu_indices`` per bucket) — no ``map_groups``,
+    no per-group UDF dispatch."""
+    from ..stages.agg import _hash_repartition, compact_blocks
+
     exploded = ds.map_batches(
         MinHasher, fn_constructor_kwargs={
             "num_perm": num_perm, "bands": bands, "k": k},
         batch_format="pyarrow", batch_size=None, concurrency=concurrency)
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group["doc_id"]))
-        if len(ids) < 2 or len(ids) > 200:  # skip degenerate mega-buckets
-            return pd.DataFrame({"doc_a": [], "doc_b": []})
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+    def pairs_block(df: pd.DataFrame) -> pa.Table:
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for _key, idx in df.groupby(["band", "band_hash"], sort=False).indices.items():
+            ids = np.unique(df["doc_id"].to_numpy()[idx])
+            m = len(ids)
+            if m < 2 or m > 200:  # skip degenerate mega-buckets
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        return pa.table({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b)})
 
-    return exploded.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pandas")
+    shuffled = _hash_repartition(exploded, ["band", "band_hash"])
+    compacted = compact_blocks(
+        shuffled, empty_fallback=lambda t: pairs_block(t.to_pandas()))
+    return compacted.map_batches(pairs_block, batch_format="pandas",
+                                 batch_size=None)
 
 
 def verify_jaccard(pairs_df: pd.DataFrame, texts: Dict[int, str],
@@ -170,7 +317,8 @@ def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
     higher-id member of each verified pair. Returns (deduped_ds, pairs).
 
     The verify step broadcasts the candidate docs' texts only (not the
-    corpus). Driver holds only ids + verified pairs (small by design).
+    corpus). Driver holds only ids + verified pairs (small by design; at
+    extreme scale replace with a distributed anti-join / bloom filter).
     """
     cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands, k=k)
     cand_df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
@@ -182,7 +330,6 @@ def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
     id_list = pa.array(sorted(need_ids))
 
     def grab(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
         mask = pc.is_in(batch["doc_id"], value_set=id_list)
         return batch.filter(mask).select(["doc_id", "text"])
 
@@ -190,11 +337,10 @@ def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
         texts[row["doc_id"]] = row["text"]
     verified = verify_jaccard(cand_df, texts, k=k, threshold=threshold)
     drop_ids = set(verified["doc_b"])  # keep lower id of each pair
+    drop_arr = pa.array(sorted(drop_ids))  # built ONCE, reused per batch
 
     def drop(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        mask = pc.invert(pc.is_in(batch["doc_id"],
-                                  value_set=pa.array(sorted(drop_ids))))
+        mask = pc.invert(pc.is_in(batch["doc_id"], value_set=drop_arr))
         return batch.filter(mask)
 
     return (ds.map_batches(drop, batch_format="pyarrow") if drop_ids else ds,
@@ -203,27 +349,36 @@ def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
 
 class SimHasher:
     """64-bit SimHash signatures (Charikar 2002) + band columns for
-    candidate bucketing (4 x 16-bit bands)."""
+    candidate bucketing (4 x 16-bit bands). Vectorized across the batch:
+    shingle bits unpacked once, per-doc bit sums via ``add.reduceat``."""
 
     def __init__(self, k: int = 3, seed: int = 7):
         self.k = k
 
     def simhash(self, text: str) -> int:
-        sh = _shingles(text, self.k)
-        if len(sh) == 0:
-            return 0
+        return int(self._signatures(pa.array([text or ""]))[0])
+
+    def _signatures(self, texts) -> np.ndarray:
+        sh, offs = _shingle_hashes(texts, self.k)
+        n = len(offs) - 1
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        counts = np.diff(offs)
         bits = np.unpackbits(sh.view(np.uint8).reshape(len(sh), 8), axis=1,
-                             bitorder="little")[:, :64]
-        sums = bits.sum(axis=0)
-        return int(sum(1 << i for i in range(64) if sums[i] * 2 > len(sh)))
+                             bitorder="little")[:, :64].astype(np.int64)
+        # per-doc column sums (every doc has >= 1 shingle)
+        sums = np.add.reduceat(bits, offs[:-1], axis=0)
+        maj = (sums * 2 > counts[:, None]).astype(np.uint8)
+        packed = np.packbits(maj, axis=1, bitorder="little")
+        return packed.view(np.uint64).reshape(n)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.simhash(t or "") for t in batch["text"].to_pylist()]
+        sigs = self._signatures(batch["text"])
         batch = batch.append_column("simhash", pa.array(sigs, type=pa.uint64()))
         for band in range(4):
-            vals = [(s >> (band * 16)) & 0xFFFF for s in sigs]
-            batch = batch.append_column(f"simhash_b{band}",
-                                        pa.array(vals, type=pa.int32()))
+            vals = ((sigs >> np.uint64(band * 16))
+                    & np.uint64(0xFFFF)).astype(np.int32)
+            batch = batch.append_column(f"simhash_b{band}", pa.array(vals))
         return batch
 
 

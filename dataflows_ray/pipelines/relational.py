@@ -417,16 +417,26 @@ def q17_exact_dedup(sf_dir: str):
 Q17_SQL = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+
+def _query_vectors(sf_dir: str, ids):
+    """Fetch only the query rows: column-pruned, predicate-pushed-down
+    parquet read (row-group + dictionary filtering — never the whole
+    table on the driver)."""
+    import pyarrow.parquet as pq
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", list(ids))])
+    queries = np.vstack([np.asarray(v) for v in qtbl["embedding"].to_pylist()])
+    return queries, qtbl["vec_id"].to_pylist()
+
+
 def q18_knn_cosine(sf_dir: str):
     import ray.data
     from ..functions.similarity import brute_force_topk
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qtbl = tbl.filter(pc.is_in(tbl["vec_id"], value_set=pa.array([0, 1, 2])))
-    queries = np.vstack([np.asarray(v) for v in qtbl["embedding"].to_pylist()])
+    queries, qids = _query_vectors(sf_dir, [0, 1, 2])
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    out = brute_force_topk(ds, queries, qtbl["vec_id"].to_pylist(), k=5)
+    out = brute_force_topk(ds, queries, qids, k=5)
 
     def post(t: pa.Table) -> pa.Table:
         idx = t.schema.get_field_index("score")
@@ -481,13 +491,10 @@ def q21_simhash(sf_dir: str):
 def q22_knn_lsh(sf_dir: str):
     from ..functions.similarity import lsh_topk
     import ray.data
-    import pyarrow.parquet as pq
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    qtbl = tbl.filter(pc.is_in(tbl["vec_id"], value_set=pa.array([0, 1, 2])))
-    queries = np.vstack([np.asarray(v) for v in qtbl["embedding"].to_pylist()])
+    queries, qids = _query_vectors(sf_dir, [0, 1, 2])
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return lsh_topk(ds, queries, qtbl["vec_id"].to_pylist(), k=5, bits=8)
+    return lsh_topk(ds, queries, qids, k=5, bits=8)
 
 
 def _audio_path(sf_dir: str) -> str:

@@ -15,24 +15,41 @@ counters`` with these semantics (``join.py:203-215`` indexer):
 - ``set`` finalizes to a SORTED list (the reference's ``list(set)`` order is
   CPython-arbitrary; we pin a deterministic order).
 
-Ray-Data mapping: native builtin aggregates (Sum/Min/Max/Mean/Count) for
-the distributive ops — Ray's sort-based shuffle partially aggregates per
-block before the exchange, so shuffle volume is per-key not per-row — and
-custom ``AggregateFn`` with vectorized ``accumulate_block`` for the
-holistic ops (median/set/array/counters/first/last/any).
+Ray-Data mapping (round 2 — the shuffle-merge design):
+
+1. PROJECT to the needed columns only (keys + aggregate sources), so the
+   shuffle moves nothing it doesn't have to;
+2. for all-distributive specs, a per-block pandas COMBINER first reduces
+   each input block to one partial row per (block, key) — the shuffle then
+   moves O(groups-per-block x blocks) rows, not every input row: THE scale
+   lever for low-cardinality group-bys (100 TB of rows, 5 return flags);
+3. ``repartition(nparts, keys=keys)`` — Ray's HASH-SHUFFLE repartition
+   co-locates equal keys. Unlike ``groupby().aggregate()`` its empty
+   output partitions keep the input schema (no column-less degradation),
+   and unlike the sort-shuffle reduce there is no per-GROUP Python
+   (~1.5 ms/group measured in round 1);
+4. ``compact_blocks`` drops the zero-row partitions at the ref level (the
+   blocks never leave the object store) — downstream ops (``Dataset.join``
+   in particular) never see an empty block;
+5. one ``map_batches`` per partition merges + finalizes with vectorized
+   pandas groupby kernels. Only the genuinely holistic aggregators
+   (median/set/array/counters) pay a per-group ``apply``, bounded to the
+   groups of one partition.
+
+At scale the group count exceeds the partition count, so step 4 drops
+nothing and every stage stays fully parallel; on tiny inputs it trims the
+empty partitions that Ray mints when partitions > groups.
 """
 
 from __future__ import annotations
 
 import collections
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min, Sum
 
 from ..sources.load import ROW_ID
 
@@ -40,11 +57,74 @@ HOLISTIC = {"median", "set", "array", "counters", "first", "last", "any"}
 DISTRIBUTIVE = {"sum", "avg", "max", "min", "count"}
 ALL_AGGREGATORS = HOLISTIC | DISTRIBUTIVE
 
+# aggregators whose result depends on input order (anchored on __row_id__)
+ORDER_SENSITIVE = {"first", "last", "array"}
 
-def _col_values(block, col: str) -> list:
-    if isinstance(block, pa.Table):
-        return block[col].to_pylist()
-    return list(block[col])
+
+def shuffle_partitions() -> int:
+    """Hash-shuffle partition count sized to the session: one aggregator
+    actor per partition (Ray caps the pool at 64), so more partitions than
+    CPUs just adds actors that contend."""
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(64, ncpu))
+
+
+def _to_arrow(blk) -> pa.Table:
+    if isinstance(blk, pa.Table):
+        return blk
+    return pa.Table.from_pandas(blk, preserve_index=False)
+
+
+def _df_to_arrow(out: pd.DataFrame) -> pa.Table:
+    """DataFrame -> Arrow with no pandas schema metadata; columns Arrow
+    can't type natively (e.g. counters' mixed [value, count] pairs) fall
+    back to Ray's pickled-object extension array, which round-trips back to
+    Python objects in to_pandas()/to_pylist()."""
+    arrays, names = [], []
+    for c in out.columns:
+        s = out[c]
+        try:
+            arr = pa.array(s, from_pandas=True)
+        except (pa.ArrowTypeError, pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            from ray.data.extensions.object_extension import ArrowPythonObjectArray
+            arr = ArrowPythonObjectArray.from_objects(s.tolist())
+        arrays.append(arr)
+        names.append(str(c))
+    return pa.Table.from_arrays(arrays, names=names)
+
+
+def compact_blocks(ds: ray.data.Dataset,
+                   empty_fallback: Optional[Callable[[pa.Table], pa.Table]] = None
+                   ) -> ray.data.Dataset:
+    """Execute ``ds`` and drop its zero-row blocks WITHOUT pulling any data
+    to the driver: iterate the ref bundles (block refs + metadata), keep the
+    refs whose ``num_rows > 0``, and rebuild a Dataset from those refs. The
+    blocks themselves stay in the object store, so this is cluster-safe at
+    any key cardinality (the driver handles O(#blocks) refs, not rows).
+
+    It IS an execution barrier — used only directly after an all-to-all
+    (which is already a pipeline breaker).
+
+    ``empty_fallback``: when every block is empty, called with one (empty)
+    input block to produce a schema-correct empty output table; without it
+    the first empty block is passed through as-is.
+    """
+    refs = []
+    first_ref = None
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if first_ref is None:
+                first_ref = ref
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if refs:
+        return ray.data.from_arrow_refs(refs)
+    if first_ref is None:
+        return ds  # no blocks at all
+    empty = _to_arrow(ray.get(first_ref))  # zero rows — tiny
+    if empty_fallback is not None:
+        empty = empty_fallback(empty)
+    return ray.data.from_arrow(empty)
 
 
 def _median(values: list) -> Any:
@@ -58,133 +138,31 @@ def _median(values: list) -> Any:
     return values[mid]
 
 
-def _make_holistic(agg: str, source: str, target: str, has_row_id: bool) -> AggregateFn:
-    """Build a custom AggregateFn for one holistic aggregator."""
-
-    # NOTE accumulator shapes: Ray shuffles accumulator state as blocks and
-    # tries Arrow conversion first; mixed-type tuples fail that and hit an
-    # expensive stringify-the-whole-column error fallback. Accumulators are
-    # therefore dicts with named, homogeneous-ish fields ({"r": int,
-    # "v": value}) which convert as Arrow structs.
-    if agg in ("first", "last", "any"):
-        # acc = {"r": row_id, "v": value} of the chosen element, or None
-        pick_min = agg in ("first", "any")
-
-        def acc_block(acc, block):
-            # vectorized: one argmin/argmax per block, no per-row Python
-            col = block[source]
-            if isinstance(block, pa.Table):
-                valid = np.asarray(pc.is_valid(col))
-            else:
-                valid = block[source].notna().to_numpy()
-            if not valid.any():
-                return acc
-            if has_row_id:
-                rids = (block[ROW_ID].to_numpy(zero_copy_only=False)
-                        if isinstance(block, pa.Table)
-                        else block[ROW_ID].to_numpy())
-            else:
-                rids = np.arange(len(valid))
-            rids = np.where(valid, rids, np.iinfo(np.int64).max if pick_min
-                            else np.iinfo(np.int64).min)
-            i = int(np.argmin(rids) if pick_min else np.argmax(rids))
-            rid = int(rids[i])
-            v = col[i].as_py() if isinstance(block, pa.Table) else block[source].iloc[i]
-            if acc is None or (rid < acc["r"] if pick_min else rid > acc["r"]):
-                acc = {"r": rid, "v": v}
-            return acc
-
-        def merge(a, b):
-            if a is None:
-                return b
-            if b is None:
-                return a
-            if pick_min:
-                return a if a["r"] <= b["r"] else b
-            return a if a["r"] >= b["r"] else b
-
-        return AggregateFn(init=lambda k: None, merge=merge, name=target,
-                           accumulate_block=acc_block,
-                           finalize=lambda acc: None if acc is None else acc["v"])
-
-    if agg in ("median", "array"):
-        # acc = {"r": [row_ids], "v": [values]} — columnar, Arrow-friendly
-        def acc_block(acc, block):
-            vals = _col_values(block, source)
-            rids = _col_values(block, ROW_ID) if has_row_id else [-1] * len(vals)
-            out_r = list(acc["r"])
-            out_v = list(acc["v"])
-            for r, v in zip(rids, vals):
-                if v is not None:
-                    out_r.append(r)
-                    out_v.append(v)
-            return {"r": out_r, "v": out_v}
-
-        def merge(a, b):
-            return {"r": a["r"] + b["r"], "v": a["v"] + b["v"]}
-
-        if agg == "median":
-            fin = lambda acc: _median(acc["v"])
-        else:
-            def fin(acc):
-                if acc["r"] and acc["r"][0] != -1:
-                    order = np.argsort(np.asarray(acc["r"]), kind="stable")
-                    return [acc["v"][i] for i in order]
-                return list(acc["v"])
-
-        return AggregateFn(init=lambda k: {"r": [], "v": []}, merge=merge,
-                           name=target, accumulate_block=acc_block, finalize=fin)
-
-    if agg == "set":
-        def acc_block(acc, block):
-            s = set(acc)
-            s.update(v for v in _col_values(block, source) if v is not None)
-            return sorted(s)
-
-        return AggregateFn(init=lambda k: [], merge=lambda a, b: sorted(set(a) | set(b)),
-                           name=target, accumulate_block=acc_block,
-                           finalize=lambda acc: list(acc))
-
-    if agg == "counters":
-        # acc = {"k": [keys], "n": [counts]} — Arrow-friendly parallel lists
-        def acc_block(acc, block):
-            c = collections.Counter(dict(zip(acc["k"], acc["n"])))
-            for v in _col_values(block, source):
-                if v is None:
-                    continue
-                c.update([v] if isinstance(v, str) else v)
-            items = sorted(c.items())
-            return {"k": [k for k, _ in items], "n": [n for _, n in items]}
-
-        def merge(a, b):
-            c = collections.Counter(dict(zip(a["k"], a["n"])))
-            c.update(dict(zip(b["k"], b["n"])))
-            items = sorted(c.items())
-            return {"k": [k for k, _ in items], "n": [n for _, n in items]}
-
-        def fin(acc):
-            # most_common(): count desc, insertion order tiebreak; we pin
-            # (count desc, value asc) for determinism across partitions.
-            pairs = sorted(zip(acc["k"], acc["n"]),
-                           key=lambda kv: (-kv[1], str(kv[0])))
-            return [list(p) for p in pairs]
-
-        return AggregateFn(init=lambda k: {"k": [], "n": []}, merge=merge,
-                           name=target, accumulate_block=acc_block, finalize=fin)
-
-    raise ValueError(f"Unknown holistic aggregator {agg}")
+def _counters_finalize(values) -> list:
+    """Counter.most_common() with a deterministic (count desc, value asc)
+    tiebreak across partitions."""
+    c: collections.Counter = collections.Counter()
+    for v in values:
+        if v is None:
+            continue
+        c.update([v] if isinstance(v, str) else v)
+    return [[k, n] for k, n in sorted(c.items(), key=lambda kv: (-kv[1], str(kv[0])))]
 
 
-def _precombined_aggregate(ds: ray.data.Dataset, keys: List[str],
-                           specs: Sequence[Dict[str, Any]]) -> ray.data.Dataset:
-    """Two-stage distributive aggregation: per-batch pandas combiner ->
-    tiny native groupby over the partials.
+def _hash_repartition(ds: ray.data.Dataset, keys: List[str]) -> ray.data.Dataset:
+    """Hash-partition by ``keys`` (requires the engine's HASH_SHUFFLE
+    context, set in ``dataflows_ray/__init__``)."""
+    return ds.repartition(shuffle_partitions(), keys=keys)
 
-    The shuffle moves O(groups-per-batch x batches) partial rows instead of
-    every input row — THE scale lever for low-cardinality group-bys
-    (100 TB of rows, 5 return flags). All kernels vectorized."""
 
-    plan = []  # (partial_col, src, pandas_agg, target, kind)
+# ---------------------------------------------------------------------------
+# all-distributive path: per-block combiner -> shuffle partials -> merge
+# ---------------------------------------------------------------------------
+
+def _distributive_plan(specs: Sequence[Dict[str, Any]]):
+    """[(partial_col, source, partial_how, target, kind)] — ``kind`` drives
+    the merge ('sum' partials merge by sum, 'min' by min, ...)."""
+    plan = []
     for i, s in enumerate(specs):
         t, src, a = s["target"], s.get("source"), s["aggregate"]
         if a == "count":
@@ -193,12 +171,17 @@ def _precombined_aggregate(ds: ray.data.Dataset, keys: List[str],
             plan.append((f"__p{i}_sum", src, "sum", t, "avg_sum"))
             plan.append((f"__p{i}_nn", src, "count", t, "avg_cnt"))
         elif a in ("min", "any"):
+            # 'any' = any value of the group (assumed constant per key in
+            # reference usage); min is a deterministic valid choice
             plan.append((f"__p{i}_min", src, "min", t, "min"))
         elif a == "max":
             plan.append((f"__p{i}_max", src, "max", t, "max"))
         else:  # sum
             plan.append((f"__p{i}_sum", src, "sum", t, "sum"))
+    return plan
 
+
+def _make_combiner(keys: List[str], plan):
     def combine(df: pd.DataFrame):
         g = df.groupby(keys, sort=False, dropna=False)
         # ADAPTIVE: when keys are near-unique in this batch, a per-group
@@ -207,76 +190,129 @@ def _precombined_aggregate(ds: ray.data.Dataset, keys: List[str],
         # row is then its own partial — a vectorized column transform.
         if g.ngroups > 0.5 * len(df):
             parts = {k: df[k] for k in keys}
-            for col, src, how, _t, kind in plan:
+            for col, src, how, _t, _kind in plan:
                 if how == "size":
                     parts[col] = np.ones(len(df), dtype=np.int64)
                 elif how == "count":
                     parts[col] = df[src].notna().astype(np.int64)
                 else:
                     parts[col] = df[src]
-            # Arrow out: keeps Ray's downstream sort/aggregate on the
-            # vectorized Arrow path (pandas blocks with object dtypes put
-            # the shuffle on a per-row Python path)
-            return pa.Table.from_pandas(pd.DataFrame(parts),
-                                        preserve_index=False)
-        parts = {}
-        for col, src, how, _t, _k in plan:
-            if how == "size":
-                parts[col] = g.size()
-            elif how == "count":
-                parts[col] = g[src].count()
-            else:
-                parts[col] = g[src].agg(how)
-        out = pd.DataFrame(parts).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    # batch_size=None: combine per BLOCK. A large fixed batch_size here
-    # would FUSE upstream (decode/map) stages into a handful of fat tasks
-    # (Ray bundles the whole fused chain to the largest batch_size),
-    # silently serializing the pipeline — measured 4 tasks for a 32-CPU
-    # job before this was removed.
-    partial = ds.map_batches(combine, batch_format="pandas", batch_size=None)
-
-    # Merge partials with native vectorized aggregates. Two notes from
-    # painful measurement:
-    # - Coalesce first: an all-to-all over N tiny combiner outputs creates
-    #   O(N^2) intermediate objects (240 blocks -> ~57k objects, ~1 min of
-    #   pure scheduling); repartition to ~2x CPUs bounds the fan-in.
-    # - The native reduce costs Python per GROUP (~1.5 ms); acceptable once
-    #   partials are combined, and parallel across the reduce partitions.
-    ncpu = int(ray.cluster_resources().get("CPU", 8))
-    nparts = max(8, min(128, ncpu * 2))
-    partial = partial.repartition(nparts)
-
-    native = []
-    for col, _src, _how, _t, kind in plan:
-        if kind in ("count", "sum", "avg_sum", "avg_cnt"):
-            native.append(Sum(col, alias_name=col, ignore_nulls=True))
-        elif kind == "min":
-            native.append(Min(col, alias_name=col, ignore_nulls=True))
+            out = pd.DataFrame(parts)
         else:
-            native.append(Max(col, alias_name=col, ignore_nulls=True))
-    merged = partial.groupby(keys).aggregate(*native)
+            parts = {}
+            for col, src, how, _t, _k in plan:
+                if how == "size":
+                    parts[col] = g.size()
+                elif how == "count":
+                    parts[col] = g[src].count()
+                else:
+                    parts[col] = g[src].agg(how)
+            out = pd.DataFrame(parts).reset_index()
+        # Arrow out with NO pandas schema metadata: keeps the hash shuffle
+        # on the zero-copy Arrow path and lets Ray dedupe identical schemas
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        by_target: Dict[str, Dict[str, str]] = {}
-        for col, _src, _how, t, kind in plan:
-            by_target.setdefault(t, {})[kind] = col
+    return combine
+
+
+def _make_partial_merge(keys: List[str], plan):
+    """Merge shuffled partials per hash partition: vectorized pandas
+    groupby (sum/min/max over partial columns), then finalize targets."""
+
+    merge_how = {"count": "sum", "sum": "sum", "avg_sum": "sum",
+                 "avg_cnt": "sum", "min": "min", "max": "max"}
+    by_target: Dict[str, Dict[str, str]] = {}
+    for col, _src, _how, t, kind in plan:
+        by_target.setdefault(t, {})[kind] = col
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        g = df.groupby(keys, sort=False, dropna=False)
+        parts = {col: g[col].agg(merge_how[kind])
+                 for col, _src, _how, _t, kind in plan}
+        out = pd.DataFrame(parts).reset_index()
         for t, kinds in by_target.items():
             if "avg_sum" in kinds:
-                col = pc.divide(
-                    pc.cast(batch[kinds["avg_sum"]], pa.float64()),
-                    pc.cast(batch[kinds["avg_cnt"]], pa.float64()))
+                cnt = out[kinds["avg_cnt"]].to_numpy(dtype=np.float64)
+                out[t] = np.where(cnt > 0,
+                                  out[kinds["avg_sum"]].to_numpy(dtype=np.float64)
+                                  / np.where(cnt > 0, cnt, 1.0),
+                                  np.nan)
             else:
-                only = next(iter(kinds.values()))
-                col = batch[only]
-            if t in batch.column_names:
-                batch = batch.drop_columns([t])
-            batch = batch.append_column(t, col)
-        drop = [c for c in batch.column_names if c.startswith("__p")]
-        return batch.drop_columns(drop) if drop else batch
+                out[t] = out[next(iter(kinds.values()))]
+        out = out[keys + list(by_target.keys())]
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
 
-    return merged.map_batches(finalize, batch_format="pyarrow")
+    return merge
+
+
+# ---------------------------------------------------------------------------
+# general path (any holistic spec): shuffle raw projected rows -> merge
+# ---------------------------------------------------------------------------
+
+def _make_raw_merge(keys: List[str], specs: Sequence[Dict[str, Any]],
+                    has_row_id: bool):
+    """Per-partition merge over raw (projected) rows. Vectorized groupby
+    kernels for the distributive + first/last/any aggregators; per-group
+    ``apply`` only for median/set/array/counters (genuinely holistic)."""
+
+    order_needed = has_row_id and any(s["aggregate"] in ORDER_SENSITIVE
+                                      for s in specs)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if order_needed:
+            df = df.sort_values(ROW_ID, kind="stable")
+        g = df.groupby(keys, sort=False, dropna=False)
+        series: Dict[str, pd.Series] = {}
+        for s in specs:
+            t, src, a = s["target"], s.get("source"), s["aggregate"]
+            col = g[src] if (src is not None and a != "count") else None
+            if a == "sum":
+                series[t] = col.sum(min_count=1)
+            elif a == "avg":
+                series[t] = col.mean()
+            elif a == "min":
+                series[t] = col.min()
+            elif a == "max":
+                series[t] = col.max()
+            elif a == "count":
+                series[t] = g.size()  # counts ALL rows incl. nulls
+            elif a in ("first", "any"):
+                # value at the smallest __row_id__ among NON-NULL values:
+                # vectorized via drop_duplicates on the null-filtered frame
+                nn = df[df[src].notna()]
+                picked = nn.drop_duplicates(keys, keep="first") \
+                           .set_index(keys)[src]
+                series[t] = picked
+            elif a == "last":
+                nn = df[df[src].notna()]
+                picked = nn.drop_duplicates(keys, keep="last") \
+                           .set_index(keys)[src]
+                series[t] = picked
+            elif a == "median":
+                series[t] = col.apply(
+                    lambda v: _median(v.dropna().tolist()))
+            elif a == "set":
+                series[t] = col.apply(
+                    lambda v: sorted(set(v.dropna().tolist())))
+            elif a == "array":
+                series[t] = col.apply(lambda v: v.dropna().tolist())
+            elif a == "counters":
+                series[t] = col.apply(lambda v: _counters_finalize(v))
+            else:
+                raise ValueError(f"Unknown aggregator: {a}")
+        if series:
+            out = pd.concat(series, axis=1)
+            # concat aligns on the group index; groups a spec produced no
+            # value for (all-null source) become NaN -> null in Arrow
+            out = out.reset_index()
+            out.columns = keys + [s["target"] for s in specs]
+        else:  # pure distinct-keys projection
+            out = df.drop_duplicates(keys)[keys].reset_index(drop=True)
+        return _df_to_arrow(out)
+
+    return merge
 
 
 def grouped_aggregate(
@@ -287,59 +323,77 @@ def grouped_aggregate(
     """``specs``: [{"target": out_col, "source": in_col, "aggregate": name}].
 
     Returns one row per distinct key tuple with finalized aggregates.
+    Output blocks are guaranteed non-empty with a uniform schema (the
+    round-1 column-less-empty-block degradation is fixed here at the root).
     """
     keys = list(keys)
     has_row_id = ROW_ID in ds.columns()
-    aggs: List[Any] = []
+
     # Fast path: an aggregate of a GROUP KEY column with a selection
-    # aggregator is just the key itself — alias it instead of running a
-    # holistic accumulator over every row (this is what makes pure
-    # distributive group-bys run entirely on native vectorized aggregates).
+    # aggregator is just the key itself — alias it instead of aggregating.
     aliases: List[Any] = []  # (target, key_col)
     real_specs = []
     for spec in specs:
         src = spec.get("source")
-        if (src in keys and spec["aggregate"] in ("first", "last", "any")):
+        if src in keys and spec["aggregate"] in ("first", "last", "any"):
             aliases.append((spec["target"], src))
         else:
             real_specs.append(spec)
     specs = real_specs
+
     for spec in specs:
-        target, source, agg = spec["target"], spec.get("source"), spec["aggregate"]
-        if agg == "sum":
-            aggs.append(Sum(source, alias_name=target, ignore_nulls=True))
-        elif agg == "avg":
-            aggs.append(Mean(source, alias_name=target, ignore_nulls=True))
-        elif agg == "max":
-            aggs.append(Max(source, alias_name=target, ignore_nulls=True))
-        elif agg == "min":
-            aggs.append(Min(source, alias_name=target, ignore_nulls=True))
-        elif agg == "count":
-            aggs.append(Count(alias_name=target))
-        elif agg == "any":
-            # 'any' = any value of the group (assumed constant per key in
-            # reference usage); native vectorized Min is a deterministic
-            # valid choice and avoids per-group Python at high cardinality
-            aggs.append(Min(source, alias_name=target, ignore_nulls=True))
-        elif agg in HOLISTIC:
-            aggs.append(_make_holistic(agg, source, target, has_row_id))
-        else:
-            raise ValueError(f"Unknown aggregator: {agg}")
-    if not aggs and aliases:
-        # pure key projection: distinct keys via a count we drop after
-        aggs.append(Count(alias_name="__n__"))
-    if specs and all(s["aggregate"] in ("sum", "count", "min", "max", "avg",
-                                       "any") for s in specs):
-        out = _precombined_aggregate(ds, keys, specs)
+        if spec["aggregate"] not in ALL_AGGREGATORS:
+            raise ValueError(f"Unknown aggregator: {spec['aggregate']}")
+
+    distributive = bool(specs) and all(
+        s["aggregate"] in ("sum", "count", "min", "max", "avg", "any")
+        for s in specs)
+
+    if distributive:
+        plan = _distributive_plan(specs)
+        need = list(dict.fromkeys(
+            keys + [src for _c, src, _h, _t, _k in plan if src is not None]))
+        combined = ds.select_columns(need).map_batches(
+            _make_combiner(keys, plan), batch_format="pandas",
+            # batch_size=None: combine per BLOCK. A numeric batch_size here
+            # would FUSE upstream stages to a handful of fat tasks
+            batch_size=None)
+        merge_fn = _make_partial_merge(keys, plan)
+        shuffled = _hash_repartition(combined, keys)
     else:
-        out = ds.groupby(keys).aggregate(*aggs)
+        order_needed = has_row_id and (
+            not specs or any(s["aggregate"] in ORDER_SENSITIVE for s in specs))
+        need = list(dict.fromkeys(
+            keys + [s["source"] for s in specs
+                    # count counts rows — its (defaulted) source need not exist
+                    if s.get("source") is not None and s["aggregate"] != "count"]
+            + ([ROW_ID] if order_needed else [])))
+        merge_fn = _make_raw_merge(keys, specs, has_row_id)
+        # normalize to Arrow blocks before the shuffle (zero-copy when the
+        # input already is Arrow) so every post-shuffle block — and hence
+        # every ref compact_blocks keeps — is a pa.Table
+        projected = ds.select_columns(need).map_batches(
+            lambda t: t, batch_format="pyarrow", batch_size=None)
+        shuffled = _hash_repartition(projected, keys)
+
+    # Drop empty partitions BEFORE the merge: all repartition outputs share
+    # the (pre-merge) schema, so the executor sees one schema per operator
+    # and downstream consumers never receive a zero-row block. On a fully
+    # empty input the fallback runs the merge on one empty block to emit a
+    # schema-correct empty result (which the merge map_batches then passes
+    # through untouched — Ray bypasses the UDF for zero-row blocks).
+    def _empty_out(empty_in: pa.Table) -> pa.Table:
+        return merge_fn(empty_in.to_pandas())
+
+    compacted = compact_blocks(shuffled, empty_fallback=_empty_out)
+    out = compacted.map_batches(merge_fn, batch_format="pandas",
+                                batch_size=None)
+
     if aliases:
         def post(batch: pa.Table) -> pa.Table:
             for target, key_col in aliases:
                 if target != key_col:
                     batch = batch.append_column(target, batch[key_col])
-            if "__n__" in batch.column_names:
-                batch = batch.drop_columns(["__n__"])
             return batch
-        out = out.map_batches(post, batch_format="pyarrow")
+        out = out.map_batches(post, batch_format="pyarrow", batch_size=None)
     return out

@@ -7,21 +7,48 @@ a single-threaded stream).
 Ray-Data mapping: 'first' in a parallel engine needs a total order; when a
 ``__row_id__`` column is present (see ``sources.load``), we keep the row
 with the minimal row id per key — exact reference parity. Without it we
-keep one arbitrary-but-deterministic row per key (min over all column
-values), which equals reference behavior whenever duplicate rows are full
-duplicates. Implementation is a hash-shuffle ``groupby(keys)`` +
-per-group vectorized argmin — no driver-side state, scales with keys.
+keep one arbitrary-but-deterministic row per key (lexicographic min row).
+
+Implementation (round 2): hash-repartition by the key columns (equal keys
+co-located), then ONE vectorized ``drop_duplicates`` per partition — no
+``map_groups``, no per-group Python, no driver-side state; one shuffle of
+the resource, fully parallel at any key cardinality.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import pandas as pd
+import pyarrow as pa
 
 from ..core.flow import Step
 from ..core.package import PackageStream, select_resources
 from ..sources.load import ROW_ID
+from .agg import _hash_repartition, compact_blocks
+
+
+def dedup_dataset(ds, keys, order_col: Optional[str]):
+    """Keep one row per distinct ``keys`` tuple (min ``order_col`` when
+    given, else lexicographic-min row). Returns a Dataset with non-empty
+    uniform-schema blocks."""
+    keys = list(keys)
+
+    def keep_first(df: pd.DataFrame, order_col=order_col, keys=keys) -> pa.Table:
+        if order_col is not None:
+            df = df.sort_values(order_col, kind="stable")
+        else:
+            df = df.sort_values(list(df.columns), kind="stable")
+        out = df.drop_duplicates(keys, keep="first")
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=None)
+    shuffled = _hash_repartition(arrow, keys)
+    compacted = compact_blocks(
+        shuffled, empty_fallback=lambda t: keep_first(t.to_pandas()))
+    return compacted.map_batches(keep_first, batch_format="pandas",
+                                 batch_size=None)
 
 
 class deduplicate(Step):
@@ -40,12 +67,8 @@ class deduplicate(Step):
                     "pass keys= or set_primary_key first")
             cols = ds.columns()
             order_col = ROW_ID if ROW_ID in cols else None
-
-            def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-                if order_col is not None:
-                    return group.nsmallest(1, order_col)
-                return group.sort_values(list(group.columns)).head(1)
-
-            stream.set(rname, ds.groupby(keys).map_groups(
-                keep_first, batch_format="pandas"))
+            # NOTE dedup_dataset binds keys/order_col per call — no loop
+            # closure capture (UDFs are serialized lazily; a closure over
+            # the loop variable would apply the LAST resource's keys to all)
+            stream.set(rname, dedup_dataset(ds, keys, order_col))
         return stream

@@ -174,6 +174,11 @@ class join(Step):
             return stream
 
         strategy = self.strategy
+        if strategy == "broadcast" and self.mode == "full-outer":
+            # a broadcast probe only scans the target and can never emit
+            # unmatched SOURCE keys (reference join.py:251-255); force the
+            # shuffle plan rather than silently dropping right-only rows
+            strategy = "shuffle"
         if strategy == "auto":
             agg = agg.materialize()
             strategy = ("broadcast"
@@ -205,37 +210,13 @@ class join(Step):
 
 def _broadcast_join(keyed_target: ray.data.Dataset, agg: ray.data.Dataset,
                     field_names: List[str], mode: str) -> ray.data.Dataset:
-    """Broadcast the aggregated source (``ray.put`` once) and probe per
-    batch — zero shuffle of the target side."""
-    agg_df = agg.to_pandas().set_index(JOIN_KEY)
-    ref = ray.put(agg_df)
-
-    class Probe:
-        def __init__(self):
-            self.lookup: pd.DataFrame = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch[JOIN_KEY].to_pylist()
-            hit = np.array([k in self.lookup.index for k in keys])
-            joined = self.lookup.reindex(keys)
-            if mode == "inner":
-                batch = batch.filter(pa.array(hit))
-                joined = joined[hit]
-            for col in field_names:
-                vals = joined[col].tolist() if col in joined.columns else [None] * len(batch)
-                if col in batch.column_names:
-                    # half-outer miss keeps the target's own value (join.py:245-249)
-                    own = batch[col].to_pylist()
-                    vals = [v if h else o for v, o, h in
-                            zip(vals, own, hit if mode != "inner" else [True] * len(own))]
-                    batch = batch.drop_columns([col])
-                vals = [None if (isinstance(v, float) and np.isnan(v)) else v for v in vals]
-                batch = batch.append_column(col, pa.array(vals))
-            return batch
-
-    return keyed_target.map_batches(
-        Probe, batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE, concurrency=4
-    ).drop_columns([JOIN_KEY])
+    """Broadcast join for format-string keys: both sides already carry the
+    computed ``__join_key__`` column, so this is just the columnar
+    vectorized probe keyed on it (pandas ``get_indexer``, no Python per
+    row), followed by dropping the key column."""
+    joined = _broadcast_join_cols(keyed_target, agg, field_names, mode,
+                                  [JOIN_KEY], [JOIN_KEY])
+    return joined.drop_columns([JOIN_KEY])
 
 
 def _broadcast_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
@@ -286,29 +267,16 @@ def _broadcast_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
                               batch_size=DEFAULT_BATCH_SIZE, concurrency=4)
 
 
-def _compact_nonempty(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Drop empty blocks (aggregate/repartition outputs can contain
-    zero-row blocks whose schema degraded to column-less; Dataset.join's
-    hash shuffle KeyErrors on those). Materializes — use only on
-    already-reduced (group-count-sized) datasets."""
-    blocks = ray.get(ds.to_arrow_refs())
-    tables = []
-    for b in blocks:
-        if len(b) == 0:
-            continue
-        tables.append(b if isinstance(b, pa.Table)
-                      else pa.Table.from_pandas(b, preserve_index=False))
-    if not tables:
-        return ds.limit(0)
-    return ray.data.from_arrow(tables)
-
-
 def _shuffle_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
                        field_names: List[str], mode: str,
                        src_keys: List[str], tgt_keys: List[str],
                        num_partitions: Optional[int]) -> ray.data.Dataset:
-    """Columnar hash-shuffle join on the raw key columns."""
-    agg = _compact_nonempty(agg)
+    """Columnar hash-shuffle join on the raw key columns.
+
+    ``grouped_aggregate`` guarantees non-empty uniform-schema blocks (the
+    round-1 column-less empty blocks that crashed Acero here are fixed at
+    the root in ``stages/agg.py``), so no compaction is needed.
+    """
     join_type = {"inner": "inner", "half-outer": "left_outer",
                  "full-outer": "full_outer"}[mode]
     if num_partitions is None:

@@ -62,10 +62,15 @@ class unpivot(Step):
             key_names = [k["name"] for k in self.extra_keys]
             key_types = {k["name"]: k.get("type") for k in self.extra_keys}
 
-            def fn(batch: pa.Table) -> pa.Table:
+            def fn(batch: pa.Table, melt=melt, keep=keep,
+                   key_names=key_names, key_types=key_types,
+                   value_name=value_name) -> pa.Table:
                 # Row-major melt: for each input row, each melted field in
                 # order (unpivot.py:13-21). Build per-melted-column slices
                 # then interleave by original row index.
+                # (per-resource state bound via default args: Ray serializes
+                # UDFs lazily, so a loop-variable closure would melt every
+                # resource with the LAST resource's settings)
                 n = len(batch)
                 pieces = []
                 for m in melt:

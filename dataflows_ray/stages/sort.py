@@ -43,10 +43,27 @@ class sort_rows(Step):
             key = self.key
             if isinstance(key, str):
                 fields = re.findall(r"\{(.*?)\}", key)
-                # A format key over exactly its fields with no literal text
-                # is just a multi-column sort.
+                # A format key over raw '{field}' formatters is a typed
+                # multi-column sort whenever (a) there is no literal text,
+                # or (b) any referenced column is numeric — the reference
+                # bit-encodes int/float inside the key string precisely so
+                # they sort numerically (sort_rows.py:28-43); sorting the
+                # typed columns gives the same numeric order without the
+                # encoding. Literal-text keys over pure strings keep the
+                # formatted-string comparison.
                 stripped = re.sub(r"\{.*?\}", "", key)
-                if stripped == "" and all(f in cols for f in fields):
+                raw_fields = (all(f in cols for f in fields)
+                              and not re.search(r"\{[^}]*[:!][^}]*\}", key))
+                numeric = False
+                if raw_fields and stripped != "":
+                    schema = ds.schema()
+                    types = dict(zip(schema.names, schema.types))
+                    numeric = any(
+                        pa.types.is_integer(types[f]) or
+                        pa.types.is_floating(types[f]) or
+                        pa.types.is_decimal(types[f])
+                        for f in fields if f in types)
+                if raw_fields and (stripped == "" or numeric):
                     sort_cols = fields
                     computed = False
                 else:

@@ -46,13 +46,14 @@ CLIP_COLS = ["clip_id", "sr_hz", "dur_ms", "codec", "speaker", "event_ms"]
 TRANSCRIPT_COLS = ["clip_id", "transcript", "transcript_event_ms"]
 
 
+from ..core.strhash import hash_string_array
+
+
 def _hash_partition(keys: pa.Array, num_partitions: int) -> np.ndarray:
-    """Deterministic hash partitioning of a string key column (vectorized
-    FNV-style over bytes via numpy; stable across processes, unlike
-    Python's seeded hash())."""
-    import zlib
-    return np.array([zlib.crc32(k.encode()) % num_partitions
-                     for k in keys.to_pylist()], dtype=np.int64)
+    """Deterministic hash partitioning of a string key column — fully
+    vectorized over the Arrow buffers (``core.strhash``), no Python per
+    row, stable across processes (unlike Python's seeded ``hash()``)."""
+    return (hash_string_array(keys) % np.uint64(num_partitions)).astype(np.int64)
 
 
 @ray.remote
@@ -182,8 +183,12 @@ class StreamingJoinEngine:
             total_rows += sum(s["rows"] for s in stats)
             n_done += 1
 
-        # final flush: end-of-stream watermark releases remaining state
-        if n_done and (max_epochs is None):
+        # final flush: end-of-stream watermark releases remaining state.
+        # Gated ONLY on the flush epoch not being committed — a resumed run
+        # whose data epochs were all already committed (crash between the
+        # last commit and the flush) must still flush buffered unmatched
+        # rows, or they are permanently lost.
+        if max_epochs is None:
             flush_epoch = len(epochs)
             if flush_epoch not in committed:
                 stats = ray.get([

@@ -46,7 +46,8 @@ def main():
 
     import ray
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False,
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
                  logging_level="ERROR")
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
