@@ -258,7 +258,7 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, num_perm: int = 128,
     Bucketing = hash-repartition on (band, band_hash) + per-block pair
     generation (numpy ``triu_indices`` per bucket) — no ``map_groups``,
     no per-group UDF dispatch."""
-    from ..stages.agg import _hash_repartition, compact_blocks
+    from ..stages.agg import keyed_merge
 
     exploded = ds.map_batches(
         MinHasher, fn_constructor_kwargs={
@@ -282,11 +282,7 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, num_perm: int = 128,
         return pa.table({"doc_a": np.concatenate(out_a),
                          "doc_b": np.concatenate(out_b)})
 
-    shuffled = _hash_repartition(exploded, ["band", "band_hash"])
-    compacted = compact_blocks(
-        shuffled, empty_fallback=lambda t: pairs_block(t.to_pandas()))
-    return compacted.map_batches(pairs_block, batch_format="pandas",
-                                 batch_size=None)
+    return keyed_merge(exploded, ["band", "band_hash"], pairs_block)
 
 
 def verify_jaccard(pairs_df: pd.DataFrame, texts: Dict[int, str],

@@ -93,6 +93,25 @@ def _df_to_arrow(out: pd.DataFrame) -> pa.Table:
     return pa.Table.from_arrays(arrays, names=names)
 
 
+def _collect_nonempty_refs(ds: ray.data.Dataset):
+    """Execute ``ds`` and collect (nonempty_refs, rows, bytes, first_ref)
+    from the ref bundles. Blocks never leave the object store — the driver
+    handles O(#blocks) refs and metadata only."""
+    refs: List[Any] = []
+    rows = 0
+    nbytes = 0
+    first_ref = None
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if first_ref is None:
+                first_ref = ref
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+                rows += meta.num_rows or 0
+                nbytes += meta.size_bytes or 0
+    return refs, rows, nbytes, first_ref
+
+
 def compact_blocks(ds: ray.data.Dataset,
                    empty_fallback: Optional[Callable[[pa.Table], pa.Table]] = None
                    ) -> ray.data.Dataset:
@@ -109,14 +128,7 @@ def compact_blocks(ds: ray.data.Dataset,
     input block to produce a schema-correct empty output table; without it
     the first empty block is passed through as-is.
     """
-    refs = []
-    first_ref = None
-    for bundle in ds.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if first_ref is None:
-                first_ref = ref
-            if meta.num_rows is None or meta.num_rows > 0:
-                refs.append(ref)
+    refs, _rows, _nbytes, first_ref = _collect_nonempty_refs(ds)
     if refs:
         return ray.data.from_arrow_refs(refs)
     if first_ref is None:
@@ -125,6 +137,58 @@ def compact_blocks(ds: ray.data.Dataset,
     if empty_fallback is not None:
         empty = empty_fallback(empty)
     return ray.data.from_arrow(empty)
+
+
+# below this many input rows a keyed merge runs as ONE coalesced task
+# instead of spawning a hash-shuffle aggregator pool (pool startup is
+# seconds of fixed cost — it only amortizes on real data volumes)
+SMALL_MERGE_ROWS = 200_000
+# target partition size for the large path, by bytes when known
+TARGET_PARTITION_BYTES = 512 * 1024 * 1024
+
+
+def keyed_merge(ds: ray.data.Dataset, keys: List[str],
+                merge_fn: Callable[[pd.DataFrame], pa.Table]
+                ) -> ray.data.Dataset:
+    """The engine's keyed-exchange primitive: co-locate equal ``keys`` and
+    apply ``merge_fn`` once per partition (vectorized pandas in, Arrow out).
+
+    Adaptive plan, sized from real metadata (the upstream is executed to
+    refs first — exactly what a sort/hash shuffle does anyway — so row and
+    byte counts are known without touching data):
+
+    - small input  -> coalesce the refs into one task-based partition and
+      merge there: no aggregator actors, no shuffle;
+    - large input  -> hash-shuffle ``repartition(keys=...)`` with the
+      partition count derived from bytes (~512 MB each, at least one per
+      CPU), then drop the empty partitions at the ref level and merge.
+
+    Every output block is non-empty with the merge's uniform schema.
+    """
+    refs, rows, nbytes, first_ref = _collect_nonempty_refs(ds)
+
+    def _empty_result() -> ray.data.Dataset:
+        if first_ref is None:
+            return ds
+        empty_in = _to_arrow(ray.get(first_ref))
+        return ray.data.from_arrow(merge_fn(empty_in.to_pandas()))
+
+    if not refs:
+        return _empty_result()
+    compacted = ray.data.from_arrow_refs(refs)
+    if rows > SMALL_MERGE_ROWS:
+        nparts = max(shuffle_partitions(),
+                     int(np.ceil(nbytes / TARGET_PARTITION_BYTES)))
+        shuffled = compacted.repartition(min(nparts, 256), keys=keys)
+        refs2, rows2, _b2, first2 = _collect_nonempty_refs(shuffled)
+        if not refs2:  # cannot happen (rows > 0), defensive
+            return _empty_result()
+        compacted = ray.data.from_arrow_refs(refs2)
+    else:
+        # task-based coalesce (no actors); all keys land in the one block
+        compacted = compacted.repartition(1)
+    return compacted.map_batches(merge_fn, batch_format="pandas",
+                                 batch_size=None)
 
 
 def _median(values: list) -> Any:
@@ -353,13 +417,12 @@ def grouped_aggregate(
         plan = _distributive_plan(specs)
         need = list(dict.fromkeys(
             keys + [src for _c, src, _h, _t, _k in plan if src is not None]))
-        combined = ds.select_columns(need).map_batches(
+        prepped = ds.select_columns(need).map_batches(
             _make_combiner(keys, plan), batch_format="pandas",
             # batch_size=None: combine per BLOCK. A numeric batch_size here
             # would FUSE upstream stages to a handful of fat tasks
             batch_size=None)
         merge_fn = _make_partial_merge(keys, plan)
-        shuffled = _hash_repartition(combined, keys)
     else:
         order_needed = has_row_id and (
             not specs or any(s["aggregate"] in ORDER_SENSITIVE for s in specs))
@@ -369,25 +432,12 @@ def grouped_aggregate(
                     if s.get("source") is not None and s["aggregate"] != "count"]
             + ([ROW_ID] if order_needed else [])))
         merge_fn = _make_raw_merge(keys, specs, has_row_id)
-        # normalize to Arrow blocks before the shuffle (zero-copy when the
-        # input already is Arrow) so every post-shuffle block — and hence
-        # every ref compact_blocks keeps — is a pa.Table
-        projected = ds.select_columns(need).map_batches(
+        # normalize to Arrow blocks (zero-copy when already Arrow) so every
+        # ref keyed_merge collects is a pa.Table
+        prepped = ds.select_columns(need).map_batches(
             lambda t: t, batch_format="pyarrow", batch_size=None)
-        shuffled = _hash_repartition(projected, keys)
 
-    # Drop empty partitions BEFORE the merge: all repartition outputs share
-    # the (pre-merge) schema, so the executor sees one schema per operator
-    # and downstream consumers never receive a zero-row block. On a fully
-    # empty input the fallback runs the merge on one empty block to emit a
-    # schema-correct empty result (which the merge map_batches then passes
-    # through untouched — Ray bypasses the UDF for zero-row blocks).
-    def _empty_out(empty_in: pa.Table) -> pa.Table:
-        return merge_fn(empty_in.to_pandas())
-
-    compacted = compact_blocks(shuffled, empty_fallback=_empty_out)
-    out = compacted.map_batches(merge_fn, batch_format="pandas",
-                                batch_size=None)
+    out = keyed_merge(prepped, keys, merge_fn)
 
     if aliases:
         def post(batch: pa.Table) -> pa.Table:

@@ -25,7 +25,7 @@ import pyarrow as pa
 from ..core.flow import Step
 from ..core.package import PackageStream, select_resources
 from ..sources.load import ROW_ID
-from .agg import _hash_repartition, compact_blocks
+from .agg import keyed_merge
 
 
 def dedup_dataset(ds, keys, order_col: Optional[str]):
@@ -44,11 +44,7 @@ def dedup_dataset(ds, keys, order_col: Optional[str]):
                        .replace_schema_metadata(None)
 
     arrow = ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=None)
-    shuffled = _hash_repartition(arrow, keys)
-    compacted = compact_blocks(
-        shuffled, empty_fallback=lambda t: keep_first(t.to_pandas()))
-    return compacted.map_batches(keep_first, batch_format="pandas",
-                                 batch_size=None)
+    return keyed_merge(arrow, keys, keep_first)
 
 
 class deduplicate(Step):

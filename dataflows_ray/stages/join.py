@@ -281,7 +281,7 @@ def _shuffle_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
                  "full-outer": "full_outer"}[mode]
     if num_partitions is None:
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(64, ncpu * 2))
+        num_partitions = max(2, min(32, ncpu))
     tgt_cols = target.columns()
     clash = [c for c in field_names if c in tgt_cols]
     joined = target.join(agg, join_type=join_type,
@@ -325,7 +325,7 @@ def _shuffle_join(keyed_target: ray.data.Dataset, agg: ray.data.Dataset,
         # for more partitions than CPUs stalls small sessions and tests.
         import ray as _ray
         ncpu = int(_ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(64, ncpu * 2))
+        num_partitions = max(2, min(32, ncpu))
     # Drop clashing non-key columns from the target (the source aggregate
     # wins for its field names — join.py:245 row.update(extra) semantics
     # apply only on hit; for shuffle path we suffix and coalesce).

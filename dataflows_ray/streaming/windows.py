@@ -67,22 +67,39 @@ def assign_sliding(ds: ray.data.Dataset, ts_col: str, size_ms: int,
 
 def assign_session(ds: ray.data.Dataset, key_cols: List[str], ts_col: str,
                    gap_ms: int) -> ray.data.Dataset:
-    """Per-key gap-merge: shuffle by key, sort each group by ts, split at
-    gaps >= gap_ms. Window = [min_ts, max_ts + gap)."""
+    """Per-key gap-merge: hash-repartition by key (equal keys co-located),
+    then ONE vectorized scan per partition: sort by (key, ts), find
+    session boundaries (key change OR gap >= gap_ms), broadcast each
+    session's min/max via ``repeat`` — no per-group Python at all.
+    Window = [min_ts, max_ts + gap). Partitioning assumption (documented):
+    one key's events fit in one partition block."""
+    from ..stages.agg import keyed_merge
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col].to_numpy(dtype=np.int64)
-        new_session = np.zeros(len(ts), dtype=bool)
-        if len(ts):
-            new_session[0] = True
-            new_session[1:] = (ts[1:] - ts[:-1]) >= gap_ms
-        session_id = np.cumsum(new_session) - 1
-        start = pd.Series(ts).groupby(session_id).transform("min").to_numpy()
-        end = pd.Series(ts).groupby(session_id).transform("max").to_numpy() + gap_ms
-        g = g.copy()
-        g[WINDOW_START] = start
-        g[WINDOW_END] = end
-        return g
+    def per_block(df: pd.DataFrame, key_cols=key_cols, ts_col=ts_col,
+                  gap_ms=gap_ms) -> pa.Table:
+        n = len(df)
+        if n == 0:
+            df = df.copy()
+            df[WINDOW_START] = np.empty(0, dtype=np.int64)
+            df[WINDOW_END] = np.empty(0, dtype=np.int64)
+            return pa.Table.from_pandas(df, preserve_index=False) \
+                           .replace_schema_metadata(None)
+        df = df.sort_values(key_cols + [ts_col], kind="mergesort") \
+               .reset_index(drop=True)
+        ts = df[ts_col].to_numpy(dtype=np.int64)
+        boundary = np.zeros(n, dtype=bool)
+        boundary[0] = True
+        for k in key_cols:
+            v = df[k].to_numpy()
+            boundary[1:] |= v[1:] != v[:-1]
+        boundary[1:] |= (ts[1:] - ts[:-1]) >= gap_ms
+        firsts = np.flatnonzero(boundary)
+        counts = np.diff(np.append(firsts, n))
+        lasts = np.append(firsts[1:], n) - 1
+        df[WINDOW_START] = np.repeat(ts[firsts], counts)
+        df[WINDOW_END] = np.repeat(ts[lasts] + gap_ms, counts)
+        return pa.Table.from_pandas(df, preserve_index=False) \
+                       .replace_schema_metadata(None)
 
-    return ds.groupby(key_cols).map_groups(per_group, batch_format="pandas")
+    arrow = ds.map_batches(lambda t: t, batch_format="pyarrow", batch_size=None)
+    return keyed_merge(arrow, key_cols, per_block)
