@@ -25,6 +25,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from dataflows_ray.pipelines.relational import ORACLES
+    from dataflows_ray.pipelines.relational import ORACLES, _audio_path
 
+    # the q23/q24 oracles read the deterministic synthetic audio table in
+    # /tmp; make sure it exists even if the oracle runs before the query
+    try:
+        _audio_path("/root/testdata/sf0.01")
+    except Exception:
+        pass
     return dict(ORACLES)

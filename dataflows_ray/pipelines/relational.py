@@ -535,7 +535,16 @@ def q24_audio_stream_join(sf_dir: str):
 def q25_audio_decode(sf_dir: str):
     import ray.data
     from .audio import decode_stage
-    ds = ray.data.read_parquet(_audio_path(sf_dir)).limit(200)
+
+    def first_200(batch: pa.Table) -> pa.Table:
+        # deterministic subset: clip INDEX < 200 (limit() takes whichever
+        # blocks finish first under parallel reads — not reproducible)
+        idx = pc.cast(pc.utf8_slice_codeunits(
+            batch["clip_id"], start=-12, stop=99), pa.int64())
+        return batch.filter(pc.less(idx, 200))
+
+    ds = ray.data.read_parquet(_audio_path(sf_dir)).map_batches(
+        first_200, batch_format="pyarrow")
     return decode_stage(ds, concurrency=2, batch_size=64,
                         validate_snr=True).select_columns(
         ["clip_id", "n_samples", "rms", "snr_db"])
@@ -569,6 +578,49 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q25_audio_decode": q25_audio_decode,
 }
 
+# -- fixture / synthetic-table oracles for the engine-defined queries ------
+# q19/q20/q21/q25 compare the DISTRIBUTED run against a committed fixture
+# produced by applying the same kernels SEQUENTIALLY (scripts/
+# gen_fixtures.py — single process, no Ray): the oracle pins the
+# distribution layer (shuffles, batching, actor pools, limit) to the
+# sequential semantics. q23/q24 are genuinely SQL-expressible over the
+# deterministic synthetic audio table and use real DuckDB aggregation.
+# Fixture oracles are defined at the driver's gate scale (sf0.01).
+
+_FIX = "/root/repo/fixtures/sf0.01"
+_AUDIO = "/tmp/dataflows_ray_audio/sf0.01/*.parquet"
+
+Q19_SQL = f"""
+SELECT doc_id, lang_pred, quality, n_tokens, fingerprint
+FROM read_parquet('{_FIX}/q19_text_analysis.parquet')
+"""
+
+Q20_SQL = f"""
+SELECT doc_id FROM read_parquet('{_FIX}/q20_minhash_dedup.parquet')
+"""
+
+Q21_SQL = f"""
+SELECT doc_id, simhash FROM read_parquet('{_FIX}/q21_simhash.parquet')
+"""
+
+Q23_SQL = f"""
+SELECT speaker, (event_ms // 600000) * 600000 AS window_start,
+       CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms, count(*) AS n_clips,
+       max(event_ms) AS max_event_ms
+FROM read_parquet('{_AUDIO}')
+GROUP BY 1, 2
+"""
+
+Q24_SQL = f"""
+SELECT clip_id, speaker, event_ms, transcript FROM read_parquet('{_AUDIO}')
+"""
+
+Q25_SQL = f"""
+SELECT clip_id, n_samples, rms, snr_db
+FROM read_parquet('{_FIX}/q25_audio_decode.parquet')
+"""
+
+
 ORACLES: Dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
     "q02_filter_project": Q02_SQL,
@@ -588,4 +640,10 @@ ORACLES: Dict[str, str] = {
     "q16_token_counts": Q16_SQL,
     "q17_exact_dedup": Q17_SQL,
     "q18_knn_cosine": Q18_SQL,
+    "q19_text_analysis": Q19_SQL,
+    "q20_minhash_dedup": Q20_SQL,
+    "q21_simhash": Q21_SQL,
+    "q23_audio_windowed_agg": Q23_SQL,
+    "q24_audio_stream_join": Q24_SQL,
+    "q25_audio_decode": Q25_SQL,
 }

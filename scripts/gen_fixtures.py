@@ -1,0 +1,103 @@
+"""Generate oracle fixtures for the engine-defined (non-SQL-expressible)
+queries by applying the SAME kernels SEQUENTIALLY — single process, single
+table, no Ray. The resulting parquet files pin the distributed execution
+(batching, shuffles, actor pools, limits) to the sequential semantics:
+CORRECTNESS then verifies that scaling the pipeline out changes nothing.
+
+Run: python scripts/gen_fixtures.py [sf_dir ...]   (default /root/testdata/sf0.01)
+Output: fixtures/<sf_name>/qXX_*.parquet (committed to the repo).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def gen_q19(docs: pa.Table) -> pa.Table:
+    from dataflows_ray.functions.text import TextAnalyzer
+    out = TextAnalyzer()(docs)
+    return out.select(["doc_id", "lang_pred", "quality", "n_tokens",
+                       "fingerprint"])
+
+
+def gen_q21(docs: pa.Table) -> pa.Table:
+    from dataflows_ray.functions.dedup import SimHasher
+    out = SimHasher()(docs)
+    return out.select(["doc_id", "simhash"])
+
+
+def gen_q20(docs: pa.Table) -> pa.Table:
+    """Sequential mirror of functions.dedup.minhash_dedup (threshold 0.7):
+    band explode -> per-bucket pairs (2..200) -> Jaccard verify -> drop the
+    higher id of each verified pair; survivors ascending."""
+    from dataflows_ray.functions.dedup import MinHasher, verify_jaccard
+    mh = MinHasher()
+    exploded = mh(docs).to_pandas()
+    out_a, out_b = [], []
+    for _key, idx in exploded.groupby(["band", "band_hash"],
+                                      sort=False).indices.items():
+        ids = np.unique(exploded["doc_id"].to_numpy()[idx])
+        m = len(ids)
+        if m < 2 or m > 200:
+            continue
+        iu, ju = np.triu_indices(m, 1)
+        out_a.append(ids[iu])
+        out_b.append(ids[ju])
+    if out_a:
+        pairs = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                              "doc_b": np.concatenate(out_b)}
+                             ).drop_duplicates(["doc_a", "doc_b"])
+    else:
+        pairs = pd.DataFrame({"doc_a": [], "doc_b": []})
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    verified = verify_jaccard(pairs, texts, k=5, threshold=0.7)
+    drop = set(verified["doc_b"])
+    ids = sorted(set(texts.keys()) - drop)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
+def gen_q25(audio_path: str) -> pa.Table:
+    """Clips with index < 200 decoded sequentially with the same decoder
+    class (mirrors q25's deterministic clip-index filter)."""
+    import pyarrow.compute as pc
+    from dataflows_ray.pipelines.audio import PcmDecoder
+    tbl = pq.read_table(audio_path)
+    idx = pc.cast(pc.utf8_slice_codeunits(tbl["clip_id"], start=-12, stop=99),
+                  pa.int64())
+    tbl = tbl.filter(pc.less(idx, 200))
+    out = PcmDecoder(validate_snr=True)(tbl)
+    return out.select(["clip_id", "n_samples", "rms", "snr_db"])
+
+
+def main():
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
+    for sf_dir in sf_dirs:
+        name = os.path.basename(sf_dir.rstrip("/"))
+        fdir = os.path.join(REPO, "fixtures", name)
+        os.makedirs(fdir, exist_ok=True)
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        pq.write_table(gen_q19(docs), f"{fdir}/q19_text_analysis.parquet")
+        print(f"{name}: q19 written")
+        pq.write_table(gen_q20(docs), f"{fdir}/q20_minhash_dedup.parquet")
+        print(f"{name}: q20 written")
+        pq.write_table(gen_q21(docs), f"{fdir}/q21_simhash.parquet")
+        print(f"{name}: q21 written")
+        from dataflows_ray.pipelines.relational import _audio_path
+        audio = _audio_path(sf_dir)
+        pq.write_table(gen_q25(audio), f"{fdir}/q25_audio_decode.parquet")
+        print(f"{name}: q25 written")
+
+
+if __name__ == "__main__":
+    main()
