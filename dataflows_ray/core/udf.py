@@ -57,9 +57,28 @@ def rows_to_table(rows: List[Dict[str, Any]], schema_hint: Optional[pa.Schema]) 
         for k in r.keys():
             if k not in names:
                 names.append(k)
+    import datetime as _dt
+    import pandas as _pd
+
     cols = {}
     for name in names:
         values = [r.get(name) for r in rows]
+        # tz-aware datetimes: pa.array() misinterprets them (stores the
+        # wall time as UTC, shifting the instant by the offset); going
+        # through a pandas Series converts correctly
+        if any(isinstance(v, _dt.datetime) and v.tzinfo is not None
+               for v in values):
+            try:
+                cols[name] = pa.array(_pd.Series(values))
+                continue
+            except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError):
+                pass
+        # sets (and other arrow-lossy Python values) must not degrade to
+        # lists: store as Ray's pickled-object extension column
+        if any(isinstance(v, (set, frozenset)) for v in values):
+            from ray.data.extensions.object_extension import ArrowPythonObjectArray
+            cols[name] = ArrowPythonObjectArray.from_objects(values)
+            continue
         typ = None
         if schema_hint is not None and schema_hint.get_field_index(name) >= 0:
             typ = schema_hint.field(name).type

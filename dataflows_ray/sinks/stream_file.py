@@ -38,15 +38,29 @@ ACTIVE_SUFFIX = ".active"
 
 
 def _encode(obj: Any) -> Any:
+    # tag names mirror reference helpers/extended_json.py:41-106 (decimal /
+    # time / datetime-with-tz / date / duration / set), plus bytes
     if isinstance(obj, datetime.datetime):
-        return {"type{datetime}": obj.isoformat()}
+        ofs = obj.utcoffset()
+        return {"type{datetime}": [
+            obj.replace(tzinfo=None).isoformat(),
+            int(ofs.total_seconds()) if ofs is not None else None,
+            obj.tzname()]}
     if isinstance(obj, datetime.date):
         return {"type{date}": obj.isoformat()}
     if isinstance(obj, datetime.time):
         return {"type{time}": obj.isoformat()}
+    if isinstance(obj, datetime.timedelta):
+        from ..stages.schema_ops import format_iso_duration
+        return {"type{duration}": format_iso_duration(obj)}
     if isinstance(obj, bytes):
         import base64
         return {"type{bytes}": base64.b64encode(obj).decode()}
+    import decimal
+    if isinstance(obj, decimal.Decimal):
+        return {"type{decimal}": str(obj)}
+    if isinstance(obj, (set, frozenset)):
+        return {"type{set}": sorted(obj, key=repr)}
     raise TypeError(f"not ejson-serializable: {type(obj)}")
 
 
@@ -58,11 +72,31 @@ def _decode_row(row: Dict) -> Dict:
             if key.startswith("type{") and key.endswith("}"):
                 t, val = key[5:-1], v[key]
                 if t == "datetime":
-                    out[k] = datetime.datetime.fromisoformat(val)
+                    if isinstance(val, list):  # [iso, tz_offset_s, tzname]
+                        iso, ofs, tzname = val
+                        dt = datetime.datetime.fromisoformat(iso)
+                        if ofs is not None:
+                            tz = (datetime.timezone(
+                                      datetime.timedelta(seconds=ofs), tzname)
+                                  if tzname is not None else
+                                  datetime.timezone(
+                                      datetime.timedelta(seconds=ofs)))
+                            dt = dt.replace(tzinfo=tz)
+                        out[k] = dt
+                    else:
+                        out[k] = datetime.datetime.fromisoformat(val)
                 elif t == "date":
                     out[k] = datetime.date.fromisoformat(val)
                 elif t == "time":
                     out[k] = datetime.time.fromisoformat(val)
+                elif t == "duration":
+                    from ..stages.schema_ops import parse_iso_duration
+                    out[k] = parse_iso_duration(val)
+                elif t == "decimal":
+                    import decimal
+                    out[k] = decimal.Decimal(val)
+                elif t == "set":
+                    out[k] = set(val)
                 elif t == "bytes":
                     import base64
                     out[k] = base64.b64decode(val)
@@ -117,7 +151,8 @@ class unstream(Step):
                         break
                     rows.append(_decode_row(json.loads(line)))
                 if rows:
-                    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+                    from ..core.udf import rows_to_table  # tz-safe build
+                    ds = ray.data.from_arrow(rows_to_table(rows, None))
                 else:
                     ds = ray.data.from_items([])
                 s.set(res["name"], ds)

@@ -19,14 +19,14 @@ global offsets, then each Ray task reads one row group and attaches
 from __future__ import annotations
 
 import os
-from typing import Any, Iterable, List, Optional
+from typing import Any, Dict, Iterable, List, Optional
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data
 
-from ..core.flow import Step
+from ..core.flow import Step, DEFAULT_BATCH_SIZE
 from ..core.package import PackageStream, ResourceDescriptor
 
 ROW_ID = "__row_id__"
@@ -94,6 +94,11 @@ class load(Step):
         columns: Optional[List[str]] = None,
         row_ids: bool = False,
         override_num_blocks: Optional[int] = None,
+        override_schema: Optional[dict] = None,
+        extract_missing_values=None,
+        deduplicate_headers: bool = False,
+        deduplicate_headers_case_sensitive: bool = True,
+        deduplicate_headers_format: str = " (%s)",
     ):
         self.source = source
         self.format = format or self._guess_format(source)
@@ -103,6 +108,44 @@ class load(Step):
         self.columns = columns
         self.row_ids = row_ids
         self.override_num_blocks = override_num_blocks
+        self.override_schema = override_schema
+        # reference load.py:79-87: bool -> {}, source str -> [str], defaults
+        if extract_missing_values is not None:
+            if isinstance(extract_missing_values, bool):
+                extract_missing_values = {}
+            extract_missing_values = dict(extract_missing_values)
+            extract_missing_values.setdefault("source", None)
+            extract_missing_values.setdefault("target", "missingValues")
+            extract_missing_values.setdefault(
+                "values", (override_schema or {}).get("missingValues", []))
+            if isinstance(extract_missing_values.get("source"), str):
+                extract_missing_values["source"] = [extract_missing_values["source"]]
+        self.extract_missing_values = extract_missing_values
+        self.deduplicate_headers = deduplicate_headers
+        self.dedup_case_sensitive = deduplicate_headers_case_sensitive
+        self.dedup_format = deduplicate_headers_format
+
+    @staticmethod
+    def rename_duplicate_headers(headers_in: List[str], case_sensitive: bool = True,
+                                 deduplicate_format: str = " (%s)") -> List[str]:
+        """Reference load.py:285-302: first duplicate retroactively becomes
+        'name (1)', later ones 'name (2)', 'name (3)', ..."""
+        counter: Dict[str, int] = {}
+        headers: List[str] = []
+        header_keys: List[str] = []
+        for header in headers_in:
+            header_key = header if case_sensitive else header.lower()
+            header_keys.append(header_key)
+            counter.setdefault(header_key, 0)
+            counter[header_key] += 1
+            if counter[header_key] > 1:
+                if counter[header_key] == 2:
+                    prev_index = header_keys.index(header_key)
+                    headers[prev_index] = ("%s" + deduplicate_format) % (
+                        headers[prev_index], 1)
+                header = ("%s" + deduplicate_format) % (header, counter[header_key])
+            headers.append(header)
+        return headers
 
     @staticmethod
     def _guess_format(source: str) -> str:
@@ -130,7 +173,27 @@ class load(Step):
             import pyarrow.csv as pacsv
             parse_options = pacsv.ParseOptions(
                 delimiter="\t" if self.format == "tsv" else ",")
-            ds = ray.data.read_csv(self.source, parse_options=parse_options, **kwargs)
+            read_options = None
+            if self.deduplicate_headers:
+                # read the header line driver-side (first file of a glob),
+                # rename duplicates, re-read with explicit column names
+                path = self.source
+                if os.path.isdir(path):
+                    cands = sorted(
+                        os.path.join(path, f) for f in os.listdir(path)
+                        if f.endswith((".csv", ".tsv")))
+                    path = cands[0]
+                with open(path, newline="") as f:
+                    import csv as _csv
+                    raw = next(_csv.reader(
+                        f, delimiter=parse_options.delimiter))
+                renamed = self.rename_duplicate_headers(
+                    raw, self.dedup_case_sensitive, self.dedup_format)
+                read_options = pacsv.ReadOptions(column_names=renamed,
+                                                 skip_rows=1)
+            ds = ray.data.read_csv(self.source, parse_options=parse_options,
+                                   **({"read_options": read_options}
+                                      if read_options else {}), **kwargs)
         elif self.format == "ndjson":
             ds = ray.data.read_json(self.source, **kwargs)
         elif self.format == "json":
@@ -145,13 +208,68 @@ class load(Step):
             ds = ds.select_columns(self.columns)
         return ds
 
+    def _apply_schema(self, ds: ray.data.Dataset):
+        """override_schema missing-value nulling + casts, and the
+        extract_missing_values row mapping (reference load.py:258-270 +
+        schema_validator missingValues handling)."""
+        schema = self.override_schema or {}
+        missing = list(schema.get("missingValues", []))
+        emv = self.extract_missing_values
+        fields = schema.get("fields", [])
+
+        if emv or missing:
+            import pandas as pd
+
+            def extract(df: "pd.DataFrame", emv=emv, missing=missing):
+                if emv:
+                    src_cols = emv["source"]
+                    values = set(emv["values"])
+                    cols = [c for c in df.columns
+                            if (not src_cols or c in src_cols)]
+                    maps = []
+                    for _i, row in df[cols].iterrows():
+                        maps.append({c: v for c, v in row.items()
+                                     if v in values})
+                    df[emv["target"]] = maps
+                if missing:
+                    value_cols = [c for c in df.columns
+                                  if not (emv and c == emv["target"])]
+                    for c in value_cols:
+                        df[c] = df[c].where(~df[c].isin(missing), None)
+                return df
+
+            ds = ds.map_batches(extract, batch_format="pandas",
+                                batch_size=DEFAULT_BATCH_SIZE)
+        if fields:
+            from ..stages.schema_ops import _CastKernel
+            casts = [{"name": f["name"], "type": f.get("type"),
+                      "format": None if f.get("format") in (None, "default")
+                      else f.get("format")} for f in fields]
+            ds = ds.map_batches(_CastKernel(casts, "raise"),
+                                batch_format="pandas",
+                                batch_size=DEFAULT_BATCH_SIZE)
+        return ds
+
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         ds = self._read()
         if self.limit_rows:
             ds = ds.limit(self.limit_rows)
+        if self.override_schema or self.extract_missing_values:
+            ds = self._apply_schema(ds)
         stream.set(self.resource_name, ds)
-        stream.package.add(ResourceDescriptor(name=self.resource_name,
-                                              metadata={"path": self.source}))
+        desc = ResourceDescriptor(name=self.resource_name,
+                                  metadata={"path": self.source})
+        schema = self.override_schema or {}
+        if schema.get("missingValues"):
+            desc.missing_values = list(schema["missingValues"])
+        if schema.get("fields"):
+            desc.fields = [dict(f) for f in schema["fields"]]
+        if self.extract_missing_values:
+            desc.fields.append({
+                "name": self.extract_missing_values["target"],
+                "type": "object", "format": "default",
+                "values": list(self.extract_missing_values["values"])})
+        stream.package.add(desc)
         return stream
 
 
@@ -188,7 +306,10 @@ class iterable_loader(Step):
                 row[ROW_ID] = i
             rows.append(row)
         if rows:
-            table = pa.Table.from_pylist(rows)
+            # rows_to_table (not pa.Table.from_pylist): handles tz-aware
+            # datetimes correctly and widens ragged keys
+            from ..core.udf import rows_to_table
+            table = rows_to_table(rows, None)
             ds = ray.data.from_arrow(table)
         else:
             ds = ray.data.from_items([])

@@ -36,6 +36,54 @@ from ..core.package import PackageStream, select_resources
 _BOOL_TRUE = {"true", "True", "TRUE", "1", "yes", "t"}
 _BOOL_FALSE = {"false", "False", "FALSE", "0", "no", "f"}
 
+# ISO-8601 duration <-> timedelta (weeks/days/time components; the
+# reference's isodate additionally models calendar years/months, which
+# have no fixed length — the engine rejects those, documented policy)
+_DURATION_RE = re.compile(
+    r"^(?P<sign>-)?P(?:(?P<weeks>\d+(?:\.\d+)?)W)?"
+    r"(?:(?P<days>\d+(?:\.\d+)?)D)?"
+    r"(?:T(?:(?P<hours>\d+(?:\.\d+)?)H)?"
+    r"(?:(?P<minutes>\d+(?:\.\d+)?)M)?"
+    r"(?:(?P<seconds>\d+(?:\.\d+)?)S)?)?$")
+
+
+def parse_iso_duration(v):
+    """ISO-8601 duration string -> datetime.timedelta (or passthrough)."""
+    import datetime as _dt
+    if isinstance(v, _dt.timedelta):
+        return v
+    m = _DURATION_RE.match(str(v).strip())
+    if not m or m.group(0) in ("P", "-P"):
+        raise ValueError(f"not an ISO duration: {v!r}")
+    g = {k: float(x) if x else 0.0 for k, x in m.groupdict().items()
+         if k != "sign"}
+    td = _dt.timedelta(weeks=g["weeks"], days=g["days"], hours=g["hours"],
+                       minutes=g["minutes"], seconds=g["seconds"])
+    return -td if m.group("sign") else td
+
+
+def format_iso_duration(td) -> str:
+    """datetime.timedelta -> ISO-8601 duration string (PnDTnHnMnS)."""
+    total = td.total_seconds()
+    sign = "-" if total < 0 else ""
+    total = abs(total)
+    days, rem = divmod(total, 86400)
+    hours, rem = divmod(rem, 3600)
+    minutes, secs = divmod(rem, 60)
+    out = f"{sign}P"
+    if days:
+        out += f"{int(days)}D"
+    if hours or minutes or secs or not days:
+        out += "T"
+        if hours:
+            out += f"{int(hours)}H"
+        if minutes:
+            out += f"{int(minutes)}M"
+        if secs or not (hours or minutes or days):
+            s = f"{secs:.6f}".rstrip("0").rstrip(".")
+            out += f"{s}S"
+    return out
+
 
 def _cast_series(s: pd.Series, ftype: str, fmt: Optional[str]):
     """Return (cast_series, failure_mask). Failures = non-null values that
@@ -73,6 +121,75 @@ def _cast_series(s: pd.Series, ftype: str, fmt: Optional[str]):
         if ftype == "date":
             out = out.dt.date.where(out.notna(), None)
         return out, fail
+    if ftype == "time":
+        out = pd.to_datetime(s, format=fmt or "%H:%M:%S", errors="coerce")
+        fail = notnull & out.isna()
+        out = pd.Series([t.time() if t is not pd.NaT and t == t else None
+                         for t in out], index=s.index, dtype="object")
+        return out, fail
+    if ftype == "duration":
+        vals, fails = [], []
+        for v in s:
+            if v is None or v != v:
+                vals.append(None)
+                fails.append(False)
+                continue
+            try:
+                vals.append(parse_iso_duration(v))
+                fails.append(False)
+            except (ValueError, TypeError):
+                vals.append(None)
+                fails.append(True)
+        return (pd.Series(vals, index=s.index, dtype="object"),
+                pd.Series(fails, index=s.index))
+    if ftype == "year":
+        out = pd.to_numeric(s, errors="coerce")
+        fail = notnull & (out.isna() | (out % 1 != 0))
+        return out.where(~fail).astype("Int64"), fail
+    if ftype == "yearmonth":
+        # -> [year, month] pairs (reference: (year, month) named tuple)
+        rx = re.compile(r"^(\d{4})-(\d{1,2})$")
+        vals, fails = [], []
+        for v in s:
+            if v is None or v != v:
+                vals.append(None); fails.append(False); continue
+            m = rx.match(str(v).strip())
+            if m and 1 <= int(m.group(2)) <= 12:
+                vals.append([int(m.group(1)), int(m.group(2))]); fails.append(False)
+            else:
+                vals.append(None); fails.append(True)
+        return (pd.Series(vals, index=s.index, dtype="object"),
+                pd.Series(fails, index=s.index))
+    if ftype == "geopoint":
+        # "lon,lat" string or [lon, lat] -> [lon, lat] float pair
+        vals, fails = [], []
+        for v in s:
+            if v is None or (isinstance(v, float) and v != v):
+                vals.append(None); fails.append(False); continue
+            try:
+                if isinstance(v, (list, tuple)) and len(v) == 2:
+                    vals.append([float(v[0]), float(v[1])]); fails.append(False)
+                else:
+                    lon, lat = str(v).split(",")
+                    vals.append([float(lon), float(lat)]); fails.append(False)
+            except (ValueError, TypeError):
+                vals.append(None); fails.append(True)
+        return (pd.Series(vals, index=s.index, dtype="object"),
+                pd.Series(fails, index=s.index))
+    if ftype == "decimal":
+        # exact-decimal opt-in (reference maps frictionless 'number' to
+        # Decimal everywhere; engine default is float64 — SURVEY §1.2)
+        import decimal as _decimal
+        vals, fails = [], []
+        for v in s:
+            if v is None or (isinstance(v, float) and v != v):
+                vals.append(None); fails.append(False); continue
+            try:
+                vals.append(_decimal.Decimal(str(v))); fails.append(False)
+            except _decimal.InvalidOperation:
+                vals.append(None); fails.append(True)
+        return (pd.Series(vals, index=s.index, dtype="object"),
+                pd.Series(fails, index=s.index))
     if ftype == "any" or ftype is None:
         return s, pd.Series(False, index=s.index)
     raise ValueError(f"Unsupported cast type: {ftype}")
