@@ -71,6 +71,16 @@ def run_benchmarks() -> dict:
 
     headline = timings["audio_decode_windowed_agg"] + timings["audio_stream_join"]
     clips_per_sec = round(n_clips / max(1e-9, headline), 1)
+    # attach the most recent committed --scaling measurement so the
+    # per-round bench artifact carries the two-parallelism evidence
+    scaling = None
+    sc_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALING.json")
+    if os.path.exists(sc_path):
+        try:
+            scaling = json.load(open(sc_path))
+        except Exception:
+            scaling = None
     return {
         "metric": "headline audio windowed-join wall time (decode+agg+stateful join)",
         "value": round(headline, 3),
@@ -80,6 +90,7 @@ def run_benchmarks() -> dict:
         "n_clips": n_clips,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "scaling": scaling,
     }
 
 

@@ -88,6 +88,45 @@ class dump_to_path(Step):
                 ds.write_csv(staged)
             elif self.format == "json":
                 ds.write_json(staged)
+            elif self.format == "geojson":
+                # reference dumpers/formats/format_geojson.py:5-41: one
+                # FeatureCollection; geometry from geopoint/geojson-typed
+                # fields (or a '__geometry' column), other fields become
+                # properties. A GeoJSON document is a single JSON object,
+                # so this writer streams batches into one file.
+                desc = stream.descriptor(rname)
+                geo_fields = {f["name"]: f.get("type") for f in desc.fields
+                              if f.get("type") in ("geopoint", "geojson")}
+                os.makedirs(staged, exist_ok=True)
+                out_file = os.path.join(staged, f"{rname}.geojson")
+                with open(out_file, "w") as f:
+                    f.write('{"type": "FeatureCollection","features":[')
+                    first = True
+                    for batch in ds.iter_batches(batch_format="pyarrow",
+                                                 batch_size=4096):
+                        for row in batch.to_pylist():
+                            geometry = None
+                            props = {}
+                            for k, v in row.items():
+                                ftype = geo_fields.get(k)
+                                if ftype == "geopoint":
+                                    geometry = {"type": "Point",
+                                                "coordinates": list(v)}
+                                elif ftype == "geojson":
+                                    geometry = (json.loads(v)
+                                                if isinstance(v, str) else v)
+                                elif k == "__geometry":
+                                    geometry = (json.loads(v)
+                                                if isinstance(v, str) else v)
+                                else:
+                                    props[k] = v
+                            feature = {"geometry": geometry,
+                                       "type": "Feature",
+                                       "properties": props}
+                            f.write(("" if first else ",")
+                                    + json.dumps(feature, default=str))
+                            first = False
+                    f.write("]}")
             else:
                 raise ValueError(f"Unsupported dump format: {self.format}")
             # atomic commit per resource (reference stream.py:33-36 pattern)

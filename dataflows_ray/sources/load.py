@@ -99,6 +99,8 @@ class load(Step):
         deduplicate_headers: bool = False,
         deduplicate_headers_case_sensitive: bool = True,
         deduplicate_headers_format: str = " (%s)",
+        table: Optional[str] = None,
+        sheet: Optional[str] = None,
     ):
         self.source = source
         self.format = format or self._guess_format(source)
@@ -108,6 +110,8 @@ class load(Step):
         self.columns = columns
         self.row_ids = row_ids
         self.override_num_blocks = override_num_blocks
+        self.table = table
+        self.sheet = sheet
         self.override_schema = override_schema
         # reference load.py:79-87: bool -> {}, source str -> [str], defaults
         if extract_missing_values is not None:
@@ -151,7 +155,10 @@ class load(Step):
     def _guess_format(source: str) -> str:
         for ext, fmt in ((".parquet", "parquet"), (".csv", "csv"),
                          (".ndjson", "ndjson"), (".jsonl", "ndjson"),
-                         (".json", "json"), (".tsv", "tsv")):
+                         (".geojson", "geojson"), (".json", "json"),
+                         (".tsv", "tsv"), (".xml", "xml"),
+                         (".xlsx", "xlsx"), (".xls", "xlsx"),
+                         (".db", "sql"), (".sqlite", "sql")):
             if source.endswith(ext):
                 return fmt
         return "parquet"
@@ -202,6 +209,71 @@ class load(Step):
             with open(self.source) as f:
                 rows = json.load(f)
             ds = ray.data.from_items(rows)
+        elif self.format == "geojson":
+            # reference parsers/geojson_parser.py:15-29: one row per
+            # feature = properties + '__geometry' (geometry as JSON string)
+            import json
+            with open(self.source) as f:
+                doc = json.load(f)
+            rows = []
+            for feat in doc.get("features", []):
+                row = dict(feat.get("properties") or {})
+                row["__geometry"] = json.dumps(feat.get("geometry"))
+                rows.append(row)
+            from ..core.udf import rows_to_table
+            ds = (ray.data.from_arrow(rows_to_table(rows, None))
+                  if rows else ray.data.from_items([]))
+        elif self.format == "xml":
+            # reference parsers/xml_parser.py (xmljson 'parker'): rows =
+            # the repeated child elements of the root; cells = subelement
+            # text keyed by tag
+            import xml.etree.ElementTree as ET
+            root = ET.parse(self.source).getroot()
+            rows = []
+            for el in root:
+                rows.append({child.tag: child.text for child in el})
+            from ..core.udf import rows_to_table
+            ds = (ray.data.from_arrow(rows_to_table(rows, None))
+                  if rows else ray.data.from_items([]))
+        elif self.format == "sql":
+            # sqlite source (reference parsers/sql_parser.py uses
+            # SQLAlchemy; stdlib sqlite3 covers the in-container case).
+            # Table name: `table=` arg, else the single user table.
+            import sqlite3
+            con = sqlite3.connect(self.source)
+            try:
+                table = self.table
+                if table is None:
+                    names = [r[0] for r in con.execute(
+                        "SELECT name FROM sqlite_master WHERE type='table' "
+                        "AND name NOT LIKE 'sqlite_%'")]
+                    if len(names) != 1:
+                        raise ValueError(
+                            f"sql load: pass table= (found tables {names})")
+                    table = names[0]
+                cur = con.execute(f'SELECT * FROM "{table}"')
+                cols = [d[0] for d in cur.description]
+                rows = [dict(zip(cols, r)) for r in cur.fetchall()]
+            finally:
+                con.close()
+            from ..core.udf import rows_to_table
+            ds = (ray.data.from_arrow(rows_to_table(rows, None))
+                  if rows else ray.data.from_items([]))
+        elif self.format == "xlsx":
+            try:
+                import openpyxl  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "xlsx load requires openpyxl, which is not available "
+                    "in this environment") from e
+            wb = openpyxl.load_workbook(self.source, read_only=True)
+            ws = wb[self.sheet] if self.sheet else wb.active
+            it = ws.iter_rows(values_only=True)
+            header = [str(h) for h in next(it)]
+            rows = [dict(zip(header, r)) for r in it]
+            from ..core.udf import rows_to_table
+            ds = (ray.data.from_arrow(rows_to_table(rows, None))
+                  if rows else ray.data.from_items([]))
         else:
             raise ValueError(f"Unsupported load format: {self.format}")
         if self.columns:

@@ -1,0 +1,99 @@
+"""Load/dump format coverage: geojson (parser + dumper), xml, sqlite
+source, xlsx gating.
+
+Parity targets: reference ``processors/parsers/geojson_parser.py:15-29``
+(features -> properties + ``__geometry`` JSON string),
+``parsers/xml_parser.py`` (repeated child elements of the root),
+``parsers/sql_parser.py`` (database table as a resource),
+``dumpers/formats/format_geojson.py:5-41`` (FeatureCollection with
+geometry from geopoint/geojson fields).
+"""
+
+import json
+import os
+import sqlite3
+
+import pytest
+
+from dataflows_ray import Flow, iterable_loader, load, set_type, dump_to_path
+
+
+GEOJSON_DOC = {
+    "type": "FeatureCollection",
+    "features": [
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [34.0, 32.0]},
+         "properties": {"name": "a", "pop": 10}},
+        {"type": "Feature",
+         "geometry": {"type": "Point", "coordinates": [35.0, 31.0]},
+         "properties": {"name": "b", "pop": 20}},
+    ],
+}
+
+
+def test_load_geojson(tmp_path):
+    p = str(tmp_path / "places.geojson")
+    with open(p, "w") as f:
+        json.dump(GEOJSON_DOC, f)
+    results, _, _ = Flow(load(p, name="places")).results()
+    rows = sorted(results[0], key=lambda r: r["name"])
+    assert rows[0]["name"] == "a" and rows[0]["pop"] == 10
+    assert json.loads(rows[0]["__geometry"]) == {
+        "type": "Point", "coordinates": [34.0, 32.0]}
+
+
+def test_dump_geojson_roundtrip(tmp_path):
+    data = [{"name": "a", "gp": "34.0,32.0"}, {"name": "b", "gp": "35.0,31.0"}]
+    out = str(tmp_path / "out")
+    Flow(
+        iterable_loader(data, name="places"),
+        set_type("gp", type="geopoint"),
+        dump_to_path(out, format="geojson"),
+    ).process()
+    path = os.path.join(out, "places", "places.geojson")
+    doc = json.load(open(path))
+    assert doc["type"] == "FeatureCollection"
+    feats = sorted(doc["features"], key=lambda f: f["properties"]["name"])
+    assert feats[0]["geometry"] == {"type": "Point", "coordinates": [34.0, 32.0]}
+    assert feats[0]["properties"] == {"name": "a"}
+    # round-trip back through the geojson loader
+    results, _, _ = Flow(load(path, name="back")).results()
+    back = sorted(results[0], key=lambda r: r["name"])
+    assert back[0]["name"] == "a"
+    assert json.loads(back[0]["__geometry"])["coordinates"] == [34.0, 32.0]
+
+
+def test_load_xml(tmp_path):
+    p = str(tmp_path / "rows.xml")
+    with open(p, "w") as f:
+        f.write("""<root>
+  <row><name>x</name><n>1</n></row>
+  <row><name>y</name><n>2</n></row>
+</root>""")
+    results, _, _ = Flow(load(p, name="t")).results()
+    rows = sorted(results[0], key=lambda r: r["name"])
+    assert rows == [{"name": "x", "n": "1"}, {"name": "y", "n": "2"}]
+
+
+def test_load_sqlite(tmp_path):
+    p = str(tmp_path / "data.db")
+    con = sqlite3.connect(p)
+    con.execute("CREATE TABLE people (name TEXT, age INTEGER)")
+    con.executemany("INSERT INTO people VALUES (?, ?)",
+                    [("ann", 30), ("bob", 25)])
+    con.commit()
+    con.close()
+    results, _, _ = Flow(load(p, name="people")).results()
+    rows = sorted(results[0], key=lambda r: r["name"])
+    assert rows == [{"name": "ann", "age": 30}, {"name": "bob", "age": 25}]
+    # explicit table name
+    results2, _, _ = Flow(load(p, name="p2", table="people")).results()
+    assert len(results2[0]) == 2
+
+
+def test_load_xlsx_gated(tmp_path):
+    p = str(tmp_path / "x.xlsx")
+    open(p, "w").close()
+    with pytest.raises(Exception) as exc_info:
+        Flow(load(p, name="t")).results()
+    assert "openpyxl" in str(exc_info.value)
