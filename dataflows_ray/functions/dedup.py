@@ -28,6 +28,7 @@ Scale design (round 2 — all kernels batch-vectorized, no per-doc Python):
 
 from __future__ import annotations
 
+import functools
 import re
 from typing import Dict, List, Optional, Tuple
 
@@ -161,6 +162,14 @@ def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=16)
+def _cached_minhasher(num_perm: int, bands: int, k: int) -> "MinHasher":
+    """Per-process cached stage state (permutation coefficients built once
+    per worker process; deterministic seed keeps them identical
+    everywhere)."""
+    return MinHasher(num_perm=num_perm, bands=bands, k=k)
+
+
 class MinHasher:
     """Actor-pool stage: text -> MinHash signature -> LSH band hashes.
 
@@ -235,24 +244,19 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
         raise NotImplementedError(
             "exact_dedup keeper set exceeds broadcast limit; use a "
             "distributed semi-join on the id column at this scale")
-    id_set = pa.array(keep_ids)
-    ref = ray.put(id_set)
+    ref = ray.put(pa.array(keep_ids))
 
-    class KeepFilter:
-        def __init__(self):
-            self.value_set = ray.get(ref)
+    def keep_filter(batch: pa.Table) -> pa.Table:
+        # ray.get of the broadcast id set is a zero-copy shared-memory read
+        return batch.filter(pc.is_in(batch[id_col], value_set=ray.get(ref)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.is_in(batch[id_col],
-                                         value_set=self.value_set))
-
-    return ds.map_batches(KeepFilter, batch_format="pyarrow",
-                          batch_size=None, concurrency=4)
+    return ds.map_batches(keep_filter, batch_format="pyarrow",
+                          batch_size=None)
 
 
 def minhash_lsh_candidates(ds: ray.data.Dataset, num_perm: int = 128,
                            bands: int = 32, k: int = 5,
-                           concurrency: int = 4) -> ray.data.Dataset:
+                           concurrency: int = None) -> ray.data.Dataset:
     """Candidate near-dup pairs (doc_a < doc_b) via MinHash LSH banding.
 
     Bucketing = hash-repartition on (band, band_hash) + per-block pair
@@ -260,10 +264,17 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, num_perm: int = 128,
     no per-group UDF dispatch."""
     from ..stages.agg import keyed_merge
 
-    exploded = ds.map_batches(
-        MinHasher, fn_constructor_kwargs={
-            "num_perm": num_perm, "bands": bands, "k": k},
-        batch_format="pyarrow", batch_size=None, concurrency=concurrency)
+    def explode(batch: pa.Table) -> pa.Table:
+        return _cached_minhasher(num_perm, bands, k)(batch)
+
+    if concurrency is not None:  # pinned actor pool on request
+        exploded = ds.map_batches(
+            MinHasher, fn_constructor_kwargs={
+                "num_perm": num_perm, "bands": bands, "k": k},
+            batch_format="pyarrow", batch_size=None, concurrency=concurrency)
+    else:
+        exploded = ds.map_batches(explode, batch_format="pyarrow",
+                                  batch_size=None)
 
     def pairs_block(df: pd.DataFrame) -> pa.Table:
         out_a: List[np.ndarray] = []
@@ -378,7 +389,19 @@ class SimHasher:
         return batch
 
 
-def simhash_signatures(ds: ray.data.Dataset, concurrency: int = 4
-                       ) -> ray.data.Dataset:
-    return ds.map_batches(SimHasher, batch_format="pyarrow",
-                          batch_size=None, concurrency=concurrency)
+@functools.lru_cache(maxsize=16)
+def _cached_simhasher(k: int) -> "SimHasher":
+    return SimHasher(k=k)
+
+
+def simhash_signatures(ds: ray.data.Dataset, concurrency: int = None,
+                       k: int = 3) -> ray.data.Dataset:
+    if concurrency is not None:
+        return ds.map_batches(SimHasher, fn_constructor_kwargs={"k": k},
+                              batch_format="pyarrow", batch_size=None,
+                              concurrency=concurrency)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        return _cached_simhasher(k)(batch)
+
+    return ds.map_batches(sig, batch_format="pyarrow", batch_size=None)

@@ -15,6 +15,7 @@ Engine-defined (no reference equivalent). Two paths:
 
 from __future__ import annotations
 
+import functools
 import heapq
 from typing import Dict, List, Optional, Tuple
 
@@ -73,23 +74,50 @@ class _TopKScorer:
         })
 
 
+@functools.lru_cache(maxsize=32)
+def _cached_scorer(query_ref, k: int, vec_col: str, id_col: str) -> _TopKScorer:
+    return _TopKScorer(query_ref, k, vec_col, id_col)
+
+
 def brute_force_topk(ds: ray.data.Dataset, queries: np.ndarray,
                      query_ids: List, k: int = 10, vec_col: str = "embedding",
-                     id_col: str = "vec_id", concurrency: int = 4
+                     id_col: str = "vec_id", concurrency: int = None
                      ) -> ray.data.Dataset:
-    """Exact cosine top-k per query. Partial top-k per batch, merged by a
-    final per-query ``map_groups`` (k*n_batches rows shuffle, not n)."""
+    """Exact cosine top-k per query. Partial top-k per batch (stateless
+    tasks, per-process cached scorer — queries ship once via the object
+    store), merged per query by one vectorized pass through
+    ``keyed_merge`` (k*n_batches rows move, not n)."""
+    from ..stages.agg import keyed_merge
+
     ref = ray.put({"matrix": np.asarray(queries), "ids": list(query_ids)})
-    partial = ds.map_batches(
-        _TopKScorer, fn_constructor_args=(ref, k, vec_col, id_col),
-        batch_format="pyarrow", batch_size=None, concurrency=concurrency)
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        # deterministic tie-break: score desc, then vec_id asc
-        return group.sort_values(["score", "vec_id"],
-                                 ascending=[False, True]).head(k)
+    def score(batch: pa.Table) -> pa.Table:
+        return _cached_scorer(ref, k, vec_col, id_col)(batch)
 
-    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    if concurrency is not None:  # pinned actor pool on request
+        partial = ds.map_batches(
+            _TopKScorer, fn_constructor_args=(ref, k, vec_col, id_col),
+            batch_format="pyarrow", batch_size=None, concurrency=concurrency)
+    else:
+        partial = ds.map_batches(score, batch_format="pyarrow",
+                                 batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        # deterministic tie-break: score desc, then vec_id asc; one sort +
+        # per-query head(k) via groupby.cumcount (vectorized)
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+        rank = df.groupby("query_id", sort=False).cumcount()
+        out = df[rank < k].reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    return keyed_merge(partial, ["query_id"], merge)
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_hasher(dim: int, bits: int, seed: int) -> "_HyperplaneHasher":
+    return _HyperplaneHasher(dim, bits, seed)
 
 
 class _HyperplaneHasher:
@@ -111,17 +139,12 @@ def lsh_bucket_column(ds: ray.data.Dataset, dim: int, bits: int = 12,
                       ) -> ray.data.Dataset:
     """Add an LSH bucket id column to the corpus (the IVF/LSH scale path)."""
 
-    class Bucketer:
-        def __init__(self):
-            self.h = _HyperplaneHasher(dim, bits, seed)
+    def bucketer(batch: pa.Table) -> pa.Table:
+        h = _cached_hasher(dim, bits, seed)  # built once per process
+        m = _normalize(_batch_matrix(batch, vec_col))
+        return batch.append_column("lsh_bucket", pa.array(h.bucket(m)))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_batch_matrix(batch, vec_col))
-            return batch.append_column("lsh_bucket",
-                                       pa.array(self.h.bucket(m)))
-
-    return ds.map_batches(Bucketer, batch_format="pyarrow",
-                          batch_size=None, concurrency=2)
+    return ds.map_batches(bucketer, batch_format="pyarrow", batch_size=None)
 
 
 def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: List,

@@ -95,10 +95,25 @@ class TextAnalyzer:
         return batch
 
 
-def analyze_text(ds: ray.data.Dataset, concurrency: int = 4,
-                 batch_size: int = 2048) -> ray.data.Dataset:
-    return ds.map_batches(TextAnalyzer, batch_format="pyarrow",
-                          batch_size=batch_size, concurrency=concurrency)
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_analyzer() -> "TextAnalyzer":
+    return TextAnalyzer()  # regexes compiled once per worker process
+
+
+def analyze_text(ds: ray.data.Dataset, concurrency: int = None,
+                 batch_size=None) -> ray.data.Dataset:
+    if concurrency is not None:  # pinned actor pool on request
+        return ds.map_batches(TextAnalyzer, batch_format="pyarrow",
+                              batch_size=batch_size, concurrency=concurrency)
+
+    def analyze(batch: pa.Table) -> pa.Table:
+        return _cached_analyzer()(batch)
+
+    return ds.map_batches(analyze, batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 def token_count_vectorized(ds: ray.data.Dataset) -> ray.data.Dataset:

@@ -466,7 +466,7 @@ def q19_text_analysis(sf_dir: str):
     from ..functions.text import analyze_text
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return analyze_text(ds, concurrency=2).select_columns(
+    return analyze_text(ds).select_columns(
         ["doc_id", "lang_pred", "quality", "n_tokens", "fingerprint"])
 
 
@@ -484,7 +484,7 @@ def q21_simhash(sf_dir: str):
     from ..functions.dedup import simhash_signatures
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    return simhash_signatures(ds, concurrency=2).select_columns(
+    return simhash_signatures(ds).select_columns(
         ["doc_id", "simhash"])
 
 

@@ -219,21 +219,34 @@ def _broadcast_join(keyed_target: ray.data.Dataset, agg: ray.data.Dataset,
     return joined.drop_columns([JOIN_KEY])
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _broadcast_lookup(ref, keys_tuple):
+    """Per-process cached build of the broadcast lookup index: the ray.get
+    is a zero-copy shared-memory read; set_index happens once per worker
+    process, not per batch or per actor."""
+    df = ray.get(ref)
+    keys = list(keys_tuple)
+    return df.set_index(keys if len(keys) > 1 else keys[0])
+
+
 def _broadcast_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
                          field_names: List[str], mode: str,
                          src_keys: List[str], tgt_keys: List[str]
                          ) -> ray.data.Dataset:
     """Columnar broadcast join: ``ray.put`` the aggregated source ONCE,
     probe per batch with a fully vectorized pandas merge on the raw key
-    columns. No Python per row."""
+    columns. No Python per row. STATELESS probe tasks (per-process cached
+    lookup) share CPUs elastically with the upstream read — an actor pool
+    here paid seconds of startup per query and capped parallelism."""
     agg_df = agg.to_pandas()
     ref = ray.put(agg_df)
 
     class Probe:
         def __init__(self):
-            df = ray.get(ref)
-            self.lookup = df.set_index(src_keys if len(src_keys) > 1
-                                       else src_keys[0])
+            self.lookup = _broadcast_lookup(ref, tuple(src_keys))
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             probe_key = (list(zip(*[df[k] for k in tgt_keys]))
@@ -263,8 +276,10 @@ def _broadcast_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
                     df[col] = vals
             return df
 
-    return target.map_batches(Probe, batch_format="pandas",
-                              batch_size=DEFAULT_BATCH_SIZE, concurrency=4)
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        return Probe()(df)  # instance state cached per process
+
+    return target.map_batches(probe, batch_format="pandas", batch_size=None)
 
 
 def _shuffle_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
