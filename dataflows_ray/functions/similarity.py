@@ -172,3 +172,45 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: List,
     topk = brute_force_topk(candidates, qm, query_ids, k=k,
                             vec_col=vec_col, id_col=id_col)
     return topk.to_pandas()
+
+
+def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float = 0.9,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         corpus_limit: int = 2_000_000) -> ray.data.Dataset:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= threshold).
+
+    Scale shape: the NORMALIZED corpus matrix is broadcast once
+    (``ray.put``; bounded by ``corpus_limit`` rows — beyond that use the
+    LSH-bucketed variant) and every batch does one matmul against it, so
+    the corpus streams through map_batches and only pairs move. The
+    ``id_a < id_b`` mask keeps each pair once."""
+    rows = []
+    ids = []
+    for b in ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        rows.append(_batch_matrix(b, vec_col))
+        ids.append(b[id_col].to_numpy(zero_copy_only=False))
+    corpus = _normalize(np.vstack(rows)).astype(np.float64)
+    corpus_ids = np.concatenate(ids)
+    if len(corpus_ids) > corpus_limit:
+        raise NotImplementedError(
+            "corpus exceeds broadcast limit; use the LSH-bucketed variant")
+    ref = ray.put({"m": corpus, "ids": corpus_ids})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)  # zero-copy shared-memory read
+        m = _normalize(_batch_matrix(batch, vec_col)).astype(np.float64)
+        bids = batch[id_col].to_numpy(zero_copy_only=False)
+        scores = m @ c["m"].T  # (batch, corpus)
+        hit_b, hit_c = np.nonzero(scores >= threshold)
+        a = bids[hit_b]
+        bb = c["ids"][hit_c]
+        keep = a < bb
+        return pa.table({
+            "id_a": pa.array(a[keep], type=pa.int64()),
+            "id_b": pa.array(bb[keep], type=pa.int64()),
+            "cosine": pa.array(np.round(scores[hit_b, hit_c][keep], 4)),
+        })
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)

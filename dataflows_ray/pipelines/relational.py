@@ -494,7 +494,27 @@ def q22_knn_lsh(sf_dir: str):
     queries, qids = _query_vectors(sf_dir, [0, 1, 2])
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                columns=["vec_id", "embedding"])
-    return lsh_topk(ds, queries, qids, k=5, bits=8)
+    df = lsh_topk(ds, queries, qids, k=5, bits=8)
+    df["score"] = df["score"].astype("float64").round(4)
+    return df.reset_index(drop=True)
+
+
+def q26_embedding_neardup(sf_dir: str):
+    """Exact embedding-cosine near-duplicate pairs over the embeddings
+    table (broadcast-corpus matmul; see functions.similarity)."""
+    import ray.data
+    from ..functions.similarity import cosine_neardup_pairs
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    return cosine_neardup_pairs(ds, threshold=0.4)
+
+
+Q26_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
 
 
 def _audio_path(sf_dir: str) -> str:
@@ -576,6 +596,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q23_audio_windowed_agg": q23_audio_windowed_agg,
     "q24_audio_stream_join": q24_audio_stream_join,
     "q25_audio_decode": q25_audio_decode,
+    "q26_embedding_neardup": q26_embedding_neardup,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -620,6 +641,11 @@ SELECT clip_id, n_samples, rms, snr_db
 FROM read_parquet('{_FIX}/q25_audio_decode.parquet')
 """
 
+Q22_SQL = f"""
+SELECT query_id, vec_id, score
+FROM read_parquet('{_FIX}/q22_knn_lsh.parquet')
+"""
+
 
 ORACLES: Dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
@@ -643,7 +669,9 @@ ORACLES: Dict[str, str] = {
     "q19_text_analysis": Q19_SQL,
     "q20_minhash_dedup": Q20_SQL,
     "q21_simhash": Q21_SQL,
+    "q22_knn_lsh": Q22_SQL,
     "q23_audio_windowed_agg": Q23_SQL,
     "q24_audio_stream_join": Q24_SQL,
     "q25_audio_decode": Q25_SQL,
+    "q26_embedding_neardup": Q26_SQL,
 }

@@ -79,6 +79,42 @@ def gen_q25(audio_path: str) -> pa.Table:
     return out.select(["clip_id", "n_samples", "rms", "snr_db"])
 
 
+def gen_q22(sf_dir: str) -> pa.Table:
+    """Sequential mirror of functions.similarity.lsh_topk (bits=8, k=5,
+    queries = vec_ids 0,1,2): bucket the corpus, multi-probe filter, exact
+    re-rank — single process, single batch."""
+    from dataflows_ray.functions.similarity import (
+        _HyperplaneHasher, _TopKScorer, _normalize)
+    import ray
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = np.vstack([np.asarray(v) for v in tbl["embedding"].to_pylist()])
+    ids = tbl["vec_id"].to_numpy()
+    qmask = np.isin(ids, [0, 1, 2])
+    qm = _normalize(emb[qmask].astype(np.float32))
+    hasher = _HyperplaneHasher(emb.shape[1], bits=8, seed=99)
+    buckets = hasher.bucket(_normalize(emb.astype(np.float32)))
+    probe = set()
+    for b in hasher.bucket(qm):
+        probe.add(int(b))
+        for bit in range(8):
+            probe.add(int(b) ^ (1 << bit))
+    cand = np.isin(buckets, sorted(probe))
+    cand_tbl = tbl.filter(pa.array(cand))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=2, include_dashboard=False,
+                 logging_level="ERROR")
+    ref = ray.put({"matrix": qm, "ids": ids[qmask].tolist()})
+    scored = _TopKScorer(ref, 5, "embedding", "vec_id")(cand_tbl)
+    df = scored.to_pandas().sort_values(
+        ["query_id", "score", "vec_id"],
+        ascending=[True, False, True], kind="stable")
+    df = df[df.groupby("query_id", sort=False).cumcount() < 5]
+    df["score"] = df["score"].astype("float64").round(4)
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def main():
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     for sf_dir in sf_dirs:
@@ -97,6 +133,8 @@ def main():
         audio = _audio_path(sf_dir)
         pq.write_table(gen_q25(audio), f"{fdir}/q25_audio_decode.parquet")
         print(f"{name}: q25 written")
+        pq.write_table(gen_q22(sf_dir), f"{fdir}/q22_knn_lsh.parquet")
+        print(f"{name}: q22 written")
 
 
 if __name__ == "__main__":
