@@ -499,6 +499,38 @@ def q22_knn_lsh(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q27_set_type_clear(sf_dir: str):
+    """Error-policy conformance: cast a doc-id-derived STRING column with
+    deliberately invalid values under on_error='clear' (failures become
+    null, rows kept) — reference schema_validator.py:53-84 'clear'."""
+    from .. import add_computed_field
+    stream = Flow(
+        load(f"{sf_dir}/documents.parquet", name="documents",
+             columns=["doc_id", "n_chars"]),
+        # build a string column that fails to parse for every 3rd doc
+        derive("maybe_num", lambda t: pc.if_else(
+            pc.equal(pc.subtract(t["doc_id"],
+                                 pc.multiply(pc.divide(t["doc_id"], 3),
+                                             pa.scalar(3, pa.int64()))),
+                     pa.scalar(0, pa.int64())),
+            pa.scalar("not-a-number"),
+            pc.cast(t["n_chars"], pa.string()))),
+        set_type("maybe_num", type="integer", on_error="clear"),
+        # float64 for the compare: DuckDB NULL-bearing ints surface as
+        # float64 through pandas on the oracle side
+        derive("maybe_num", lambda t: pc.cast(t["maybe_num"], pa.float64())),
+        select_fields(["doc_id", "maybe_num"]),
+    ).datasets()
+    return _ds(stream, "documents")
+
+
+Q27_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END AS maybe_num
+FROM documents
+"""
+
+
 def q26_embedding_neardup(sf_dir: str):
     """Exact embedding-cosine near-duplicate pairs over the embeddings
     table (broadcast-corpus matmul; see functions.similarity)."""
@@ -597,6 +629,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q24_audio_stream_join": q24_audio_stream_join,
     "q25_audio_decode": q25_audio_decode,
     "q26_embedding_neardup": q26_embedding_neardup,
+    "q27_set_type_clear": q27_set_type_clear,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -674,4 +707,5 @@ ORACLES: Dict[str, str] = {
     "q24_audio_stream_join": Q24_SQL,
     "q25_audio_decode": Q25_SQL,
     "q26_embedding_neardup": Q26_SQL,
+    "q27_set_type_clear": Q27_SQL,
 }

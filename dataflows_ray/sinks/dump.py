@@ -127,6 +127,23 @@ class dump_to_path(Step):
                                     + json.dumps(feature, default=str))
                             first = False
                     f.write("]}")
+            elif self.format == "xlsx":
+                try:
+                    import openpyxl  # noqa: F401
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "xlsx dump requires openpyxl, which is not "
+                        "available in this environment") from e
+                wb = openpyxl.Workbook(write_only=True)
+                ws = wb.create_sheet(rname)
+                cols = ds.columns()
+                ws.append(cols)
+                for b in ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=4096):
+                    for row in b.to_pylist():
+                        ws.append([row.get(c) for c in cols])
+                os.makedirs(staged, exist_ok=True)
+                wb.save(os.path.join(staged, f"{rname}.xlsx"))
             else:
                 raise ValueError(f"Unsupported dump format: {self.format}")
             # atomic commit per resource (reference stream.py:33-36 pattern)

@@ -189,7 +189,10 @@ class derive(Step):
                 col = pa.array(col)
             if fname in batch.column_names:
                 batch = batch.drop_columns([fname])
-            return batch.append_column(fname, col)
+            # stale pandas schema metadata would re-impose the OLD dtype on
+            # a replaced column at to_pandas() time — drop it
+            return batch.append_column(fname, col) \
+                        .replace_schema_metadata(None)
 
         for rname in select_resources(stream, self.resources):
             stream.set(rname, stream.get(rname).map_batches(
