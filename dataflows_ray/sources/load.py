@@ -101,6 +101,7 @@ class load(Step):
         deduplicate_headers_format: str = " (%s)",
         table: Optional[str] = None,
         sheet: Optional[str] = None,
+        strip: bool = True,
     ):
         self.source = source
         self.format = format or self._guess_format(source)
@@ -112,6 +113,9 @@ class load(Step):
         self.override_num_blocks = override_num_blocks
         self.table = table
         self.sheet = sheet
+        # reference load.py:57 strip=True: trim whitespace on string cells
+        # of TEXT sources (csv/tsv/xml); typed columnar sources are clean
+        self.strip = strip
         self.override_schema = override_schema
         # reference load.py:79-87: bool -> {}, source str -> [str], defaults
         if extract_missing_values is not None:
@@ -153,6 +157,8 @@ class load(Step):
 
     @staticmethod
     def _guess_format(source: str) -> str:
+        if source.endswith("datapackage.json"):
+            return "datapackage"
         for ext, fmt in ((".parquet", "parquet"), (".csv", "csv"),
                          (".ndjson", "ndjson"), (".jsonl", "ndjson"),
                          (".geojson", "geojson"), (".json", "json"),
@@ -259,6 +265,25 @@ class load(Step):
             from ..core.udf import rows_to_table
             ds = (ray.data.from_arrow(rows_to_table(rows, None))
                   if rows else ray.data.from_items([]))
+        elif self.format == "datapackage":
+            # load resource(s) of a dumped datapackage (dump_to_path
+            # manifest: {"resources": [{"name", "path", "format"}]});
+            # `table=` (or name=) selects one resource, default the first
+            import json
+            base = os.path.dirname(os.path.abspath(self.source))
+            with open(self.source) as f:
+                manifest = json.load(f)
+            resources = manifest.get("resources", [])
+            if not resources:
+                raise ValueError("datapackage has no resources")
+            want = self.table or self.resource_name
+            match = [r for r in resources if r.get("name") == want]
+            res = match[0] if match else resources[0]
+            self.resource_name = res.get("name", self.resource_name)
+            rpath = os.path.join(base, res.get("path", res.get("name")))
+            fmt = res.get("format", "parquet")
+            sub = load(rpath, name=self.resource_name, format=fmt)
+            ds = sub._read()
         elif self.format == "xlsx":
             try:
                 import openpyxl  # noqa: F401
@@ -322,8 +347,25 @@ class load(Step):
                                 batch_size=DEFAULT_BATCH_SIZE)
         return ds
 
+    def _apply_strip(self, ds: ray.data.Dataset) -> ray.data.Dataset:
+        import pyarrow.compute as pc
+
+        def strip_fn(batch: pa.Table) -> pa.Table:
+            for i, field in enumerate(batch.schema):
+                if pa.types.is_string(field.type) or pa.types.is_large_string(
+                        field.type):
+                    batch = batch.set_column(
+                        i, field.name,
+                        pc.utf8_trim_whitespace(batch[field.name]))
+            return batch
+
+        return ds.map_batches(strip_fn, batch_format="pyarrow",
+                              batch_size=None)
+
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         ds = self._read()
+        if self.strip and self.format in ("csv", "tsv", "xml"):
+            ds = self._apply_strip(ds)
         if self.limit_rows:
             ds = ds.limit(self.limit_rows)
         if self.override_schema or self.extract_missing_values:

@@ -97,3 +97,28 @@ def test_load_xlsx_gated(tmp_path):
     with pytest.raises(Exception) as exc_info:
         Flow(load(p, name="t")).results()
     assert "openpyxl" in str(exc_info.value)
+
+
+def test_load_datapackage_roundtrip(tmp_path):
+    data = [{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]
+    out = str(tmp_path / "pkg")
+    Flow(iterable_loader(data, name="t"),
+         dump_to_path(out, format="parquet")).process()
+    results, _, _ = Flow(
+        load(os.path.join(out, "datapackage.json"), name="t"),
+    ).results()
+    rows = sorted(results[0], key=lambda r: r["a"])
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "x"), (2, "y")]
+
+
+def test_csv_strip_whitespace(tmp_path):
+    p = str(tmp_path / "ws.csv")
+    with open(p, "w") as f:
+        f.write('name,age\n"  ann  ",30\n"bob ",25\n')
+    results, _, _ = Flow(load(p, name="t")).results()
+    rows = sorted(results[0], key=lambda r: r["age"])
+    # reference load strip=True trims whitespace on string cells
+    assert rows[0]["name"] == "bob" and rows[1]["name"] == "ann"
+    # strip=False keeps them
+    results2, _, _ = Flow(load(p, name="t", strip=False)).results()
+    assert sorted(r["name"] for r in results2[0]) == ["  ann  ", "bob "]
