@@ -159,6 +159,8 @@ class load(Step):
     def _guess_format(source: str) -> str:
         if source.endswith("datapackage.json"):
             return "datapackage"
+        if source.endswith(".zip"):
+            return "datapackage_zip"
         for ext, fmt in ((".parquet", "parquet"), (".csv", "csv"),
                          (".ndjson", "ndjson"), (".jsonl", "ndjson"),
                          (".geojson", "geojson"), (".json", "json"),
@@ -265,6 +267,24 @@ class load(Step):
             from ..core.udf import rows_to_table
             ds = (ray.data.from_arrow(rows_to_table(rows, None))
                   if rows else ray.data.from_items([]))
+        elif self.format == "datapackage_zip":
+            # zipped datapackage (reference test_lib.py:815): extract to a
+            # temp dir, then load like a plain datapackage
+            import tempfile
+            import zipfile
+            tmp = tempfile.mkdtemp(prefix="dfray_pkg_")
+            with zipfile.ZipFile(self.source) as zf:
+                zf.extractall(tmp)
+            inner = os.path.join(tmp, "datapackage.json")
+            if not os.path.exists(inner):
+                for root, _d, files in os.walk(tmp):
+                    if "datapackage.json" in files:
+                        inner = os.path.join(root, "datapackage.json")
+                        break
+            sub = load(inner, name=self.resource_name, format="datapackage",
+                       table=self.table)
+            ds = sub._read()
+            self.resource_name = sub.resource_name
         elif self.format == "datapackage":
             # load resource(s) of a dumped datapackage (dump_to_path
             # manifest: {"resources": [{"name", "path", "format"}]});

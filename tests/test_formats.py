@@ -122,3 +122,13 @@ def test_csv_strip_whitespace(tmp_path):
     # strip=False keeps them
     results2, _, _ = Flow(load(p, name="t", strip=False)).results()
     assert sorted(r["name"] for r in results2[0]) == ["  ann  ", "bob "]
+
+
+def test_load_datapackage_zip(tmp_path):
+    from dataflows_ray import dump_to_zip
+    data = [{"a": 1}, {"a": 2}]
+    zpath = str(tmp_path / "pkg.zip")
+    Flow(iterable_loader(data, name="t"),
+         dump_to_zip(zpath, format="parquet")).process()
+    results, _, _ = Flow(load(zpath, name="t")).results()
+    assert sorted(r["a"] for r in results[0]) == [1, 2]
