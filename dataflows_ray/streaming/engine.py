@@ -24,8 +24,11 @@ Topology per epoch:
 
 Skew: hot ``clip_id`` prefixes are spread by hashing the FULL clip_id
 (clip ids are unique; the hot dimension is the speaker prefix, which pure
-clip_id hashing already spreads uniformly). For aggregations keyed by
-speaker, ``pipelines/audio.py`` salts the speaker key explicitly.
+clip_id hashing already spreads uniformly). Aggregations keyed by hot
+speakers are skew-immune through the per-block COMBINER in
+``stages/agg.py`` (a hot key collapses to one partial row per block
+before any shuffle); operators that must ship raw rows per key offer
+two-phase salted plans (``stages/dedup.py`` ``salt_buckets``).
 """
 
 from __future__ import annotations

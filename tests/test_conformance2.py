@@ -101,3 +101,20 @@ def test_stateful_rows_seen_set_dedup():
     rows = results[0]
     assert len(rows) == 7
     assert sorted(r["i"] for r in rows) == list(range(7))  # first occurrences
+
+
+def test_salted_dedup_hot_key():
+    # one hot key = 80% of rows; two-phase salted dedup must still keep
+    # exactly the FIRST occurrence per key
+    from dataflows_ray import set_primary_key, deduplicate
+    data = ([{"k": 0, "i": i} for i in range(4000)]
+            + [{"k": j, "i": 4000 + j} for j in range(1, 11)])
+    results, _, _ = Flow(
+        iterable_loader(data, name="t", row_ids=True),
+        set_primary_key(["k"]),
+        deduplicate(salt_buckets=8),
+    ).results()
+    rows = sorted(results[0], key=lambda r: r["k"])
+    assert len(rows) == 11
+    assert rows[0]["i"] == 0  # hot key keeps its first occurrence
+    assert [r["i"] for r in rows[1:]] == [4000 + j for j in range(1, 11)]
