@@ -549,6 +549,24 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
 
+def q28_approx_ndv(sf_dir: str):
+    """HyperLogLog per-key approximate distinct counting (sketch
+    aggregate; functions.sketch). Register merge is partition-invariant,
+    so the result is deterministic at any parallelism."""
+    import ray.data
+    from ..functions.sketch import grouped_approx_count_distinct
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    return grouped_approx_count_distinct(ds, ["event_type"], "user_id",
+                                         p=12)
+
+
+Q28_SQL = """
+SELECT event_type, approx_ndv
+FROM read_parquet('/root/repo/fixtures/sf0.01/q28_approx_ndv.parquet')
+"""
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -630,6 +648,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q25_audio_decode": q25_audio_decode,
     "q26_embedding_neardup": q26_embedding_neardup,
     "q27_set_type_clear": q27_set_type_clear,
+    "q28_approx_ndv": q28_approx_ndv,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -708,4 +727,5 @@ ORACLES: Dict[str, str] = {
     "q25_audio_decode": Q25_SQL,
     "q26_embedding_neardup": Q26_SQL,
     "q27_set_type_clear": Q27_SQL,
+    "q28_approx_ndv": Q28_SQL,
 }

@@ -115,6 +115,23 @@ def gen_q22(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def gen_q28(sf_dir: str) -> pa.Table:
+    """Sequential HLL per event_type (registers are merge-order-invariant,
+    so this equals the distributed run exactly)."""
+    from dataflows_ray.functions.sketch import _hash_column, _registers, _estimate
+    tbl = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_type", "user_id"])
+    df = tbl.to_pandas()
+    types, ndv = [], []
+    for et, idx in df.groupby("event_type", sort=False).indices.items():
+        h = _hash_column(pa.array(df["user_id"].to_numpy()[idx]))
+        reg = _registers(h, 12)
+        types.append(et)
+        ndv.append(int(round(_estimate(reg))))
+    return pa.table({"event_type": pa.array(types),
+                     "approx_ndv": pa.array(ndv, type=pa.int64())})
+
+
 def main():
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     for sf_dir in sf_dirs:
@@ -135,6 +152,8 @@ def main():
         print(f"{name}: q25 written")
         pq.write_table(gen_q22(sf_dir), f"{fdir}/q22_knn_lsh.parquet")
         print(f"{name}: q22 written")
+        pq.write_table(gen_q28(sf_dir), f"{fdir}/q28_approx_ndv.parquet")
+        print(f"{name}: q28 written")
 
 
 if __name__ == "__main__":

@@ -138,3 +138,34 @@ def test_image_decoder_unknown_format_raises():
     dec = ImageDecoder()
     with pytest.raises(NotImplementedError):
         dec._decode(b"\xff\xd8", "jpeg", 1, 1)
+
+
+def test_hll_accuracy_and_determinism():
+    import numpy as np
+    import ray.data
+    from dataflows_ray.functions.sketch import approx_count_distinct
+
+    n = 20000
+    vals = [f"user_{i % 7321}" for i in range(n)]  # 7321 distinct
+    ds = ray.data.from_items([{"u": v} for v in vals])
+    est = approx_count_distinct(ds, "u", p=14)
+    assert abs(est - 7321) / 7321 < 0.03
+    # deterministic across runs and block layouts
+    est2 = approx_count_distinct(ds.repartition(13), "u", p=14)
+    assert est == est2
+
+
+def test_grouped_hll():
+    import ray.data
+    from dataflows_ray.functions.sketch import grouped_approx_count_distinct
+
+    rows = []
+    for g, ndv in (("a", 500), ("b", 50), ("c", 1)):
+        for i in range(2000):
+            rows.append({"g": g, "u": f"{g}_{i % ndv}"})
+    ds = ray.data.from_items(rows)
+    out = grouped_approx_count_distinct(ds, ["g"], "u", p=12).to_pandas()
+    got = dict(zip(out["g"], out["approx_ndv"]))
+    assert abs(got["a"] - 500) / 500 < 0.05
+    assert abs(got["b"] - 50) / 50 < 0.05
+    assert got["c"] == 1
