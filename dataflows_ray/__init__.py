@@ -37,6 +37,7 @@ from .stages.reshape import (
 from .stages.sort import sort_rows
 from .stages.dedup import deduplicate
 from .stages.join import join, join_with_self
+from .stages.asof import asof_join
 from .stages.agg import grouped_aggregate
 from .sinks.dump import dump_to_path, dump_to_zip
 from .sinks.checkpoint import checkpoint
@@ -54,7 +55,7 @@ __all__ = [
     "update_resource", "update_schema", "set_primary_key",
     "unpivot", "concatenate", "duplicate", "delete_resource", "sources",
     "conditional", "update_stats", "finalizer", "printer",
-    "sort_rows", "deduplicate", "join", "join_with_self",
+    "sort_rows", "deduplicate", "join", "join_with_self", "asof_join",
     "grouped_aggregate", "dump_to_path", "dump_to_zip", "checkpoint",
     "stream", "unstream", "parallelize", "dump_to_sql",
 ]

@@ -567,6 +567,33 @@ FROM read_parquet('/root/repo/fixtures/sf0.01/q28_approx_ndv.parquet')
 """
 
 
+def q29_asof_latest_order(sf_dir: str):
+    """As-of join: for each event, the user's latest order at-or-before
+    the event time (stages.asof — one hash shuffle + vectorized
+    merge_asof per partition)."""
+    import ray.data
+    from ..stages.asof import asof_join
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+    joined = asof_join(events, orders, ["user_id"], ["o_custkey"],
+                       "ts", "o_orderdate")
+    return joined.select_columns(
+        ["event_id", "user_id", "ts", "o_orderkey", "o_totalprice"])
+
+
+Q29_SQL = """
+SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_totalprice
+FROM events e ASOF LEFT JOIN (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                             ORDER BY o_orderkey DESC) = 1
+) o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -649,6 +676,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q26_embedding_neardup": q26_embedding_neardup,
     "q27_set_type_clear": q27_set_type_clear,
     "q28_approx_ndv": q28_approx_ndv,
+    "q29_asof_latest_order": q29_asof_latest_order,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -728,4 +756,5 @@ ORACLES: Dict[str, str] = {
     "q26_embedding_neardup": Q26_SQL,
     "q27_set_type_clear": Q27_SQL,
     "q28_approx_ndv": Q28_SQL,
+    "q29_asof_latest_order": Q29_SQL,
 }

@@ -234,3 +234,35 @@ def test_finalizer_runs():
         finalizer(lambda: seen.append(True)),
     ).results()
     assert seen == [True]
+
+
+def test_asof_join_backward_and_forward():
+    import datetime
+    import ray.data
+    from dataflows_ray.stages.asof import asof_join
+
+    def ts(s):
+        return datetime.datetime(2020, 1, s)
+
+    left = ray.data.from_items([
+        {"k": "a", "t": ts(5), "ev": 1},
+        {"k": "a", "t": ts(10), "ev": 2},
+        {"k": "b", "t": ts(7), "ev": 3},
+        {"k": "c", "t": ts(7), "ev": 4},   # no right rows for 'c'
+    ])
+    right = ray.data.from_items([
+        {"kk": "a", "rt": ts(4), "price": 10.0},
+        {"kk": "a", "rt": ts(9), "price": 20.0},
+        {"kk": "b", "rt": ts(8), "price": 30.0},
+    ])
+    back = asof_join(left, right, ["k"], ["kk"], "t", "rt").to_pandas()
+    back = back.sort_values("ev").reset_index(drop=True)
+    assert back["price"].tolist()[:2] == [10.0, 20.0]
+    assert back.loc[2, "price"] != back.loc[2, "price"] or back.loc[2, "price"] is None  # b@7 < 8 -> no match
+    assert len(back) == 4
+
+    fwd = asof_join(left, right, ["k"], ["kk"], "t", "rt",
+                    direction="forward").to_pandas()
+    fwd = fwd.sort_values("ev").reset_index(drop=True)
+    assert fwd.loc[0, "price"] == 20.0  # a@5 -> next at 9
+    assert fwd.loc[2, "price"] == 30.0  # b@7 -> next at 8
