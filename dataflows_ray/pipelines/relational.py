@@ -594,6 +594,36 @@ FROM events e ASOF LEFT JOIN (
 """
 
 
+def q30_range_join_recent_events(sf_dir: str):
+    """Range join: for each event, every earlier event of the same user
+    within the preceding 6 hours (stages.rangejoin — one hash shuffle +
+    per-key-group vectorized searchsorted)."""
+    import datetime
+    import ray.data
+    from ..stages.rangejoin import range_join
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    joined = range_join(ev, ev, ["user_id"], ["user_id"], "ts", "ts",
+                        before=datetime.timedelta(hours=6),
+                        after=datetime.timedelta(0))
+    out = joined.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["event_id"],
+                                              t["event_id_r"]))),
+        batch_format="pyarrow", batch_size=None)
+    return out.select_columns(["event_id", "user_id", "ts",
+                               "event_id_r", "ts_r"])
+
+
+Q30_SQL = """
+SELECT a.event_id, a.user_id, a.ts,
+       b.event_id AS event_id_r, b.ts AS ts_r
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
+ AND a.event_id != b.event_id
+"""
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -677,6 +707,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q27_set_type_clear": q27_set_type_clear,
     "q28_approx_ndv": q28_approx_ndv,
     "q29_asof_latest_order": q29_asof_latest_order,
+    "q30_range_join_recent_events": q30_range_join_recent_events,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -757,4 +788,5 @@ ORACLES: Dict[str, str] = {
     "q27_set_type_clear": Q27_SQL,
     "q28_approx_ndv": Q28_SQL,
     "q29_asof_latest_order": Q29_SQL,
+    "q30_range_join_recent_events": Q30_SQL,
 }

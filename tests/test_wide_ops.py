@@ -266,3 +266,28 @@ def test_asof_join_backward_and_forward():
     fwd = fwd.sort_values("ev").reset_index(drop=True)
     assert fwd.loc[0, "price"] == 20.0  # a@5 -> next at 9
     assert fwd.loc[2, "price"] == 30.0  # b@7 -> next at 8
+
+
+def test_range_join_window():
+    import datetime
+    import ray.data
+    from dataflows_ray.stages.rangejoin import range_join
+
+    def ts(h):
+        return datetime.datetime(2020, 1, 1, h)
+
+    left = ray.data.from_items([
+        {"k": "a", "t": ts(10), "ev": 1},
+        {"k": "b", "t": ts(10), "ev": 2},
+    ])
+    right = ray.data.from_items([
+        {"kk": "a", "rt": ts(8), "m": 1},   # within 3h before
+        {"kk": "a", "rt": ts(10), "m": 2},  # exact
+        {"kk": "a", "rt": ts(11), "m": 3},  # after -> excluded
+        {"kk": "a", "rt": ts(6), "m": 4},   # too early
+        {"kk": "b", "rt": ts(9), "m": 5},
+    ])
+    out = range_join(left, right, ["k"], ["kk"], "t", "rt",
+                     before=datetime.timedelta(hours=3)).to_pandas()
+    got = sorted(zip(out["ev"], out["m"]))
+    assert got == [(1, 1), (1, 2), (2, 5)]
