@@ -269,6 +269,8 @@ def _make_combiner(keys: List[str], plan):
                     parts[col] = g.size()
                 elif how == "count":
                     parts[col] = g[src].count()
+                elif how == "sum":
+                    parts[col] = g[src].sum(min_count=1)
                 else:
                     parts[col] = g[src].agg(how)
             out = pd.DataFrame(parts).reset_index()
@@ -311,6 +313,10 @@ def _make_partial_merge(keys: List[str], plan):
                     df[col]) and not pd.api.types.is_datetime64_any_dtype(
                     df[col]):
                 parts[col] = _selection_minmax(df, keys, col, how == "max")
+            elif kind in ("sum", "avg_sum"):
+                # all-null groups must stay null (reference: a sum that
+                # never saw a value is None), not become 0
+                parts[col] = g[col].sum(min_count=1)
             else:
                 parts[col] = g[col].agg(how)
         out = pd.concat(parts, axis=1).reset_index()

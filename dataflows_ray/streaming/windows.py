@@ -11,10 +11,11 @@ standard structured-streaming model:
   start in ( ts-size, ts ] stepped by slide — emitted via flat_map-style
   row replication (size/slide rows per event).
 - session(gap): per-key windows; events whose gaps are < gap merge into
-  one window [min_ts, max_ts + gap). Implemented as a per-key sorted scan
-  inside ``groupby(key).map_groups`` — the partitioning assumption is that
-  one key's events fit in one group (documented; keys are speakers/clip
-  prefixes, bounded per key).
+  one window [min_ts, max_ts + gap). Implemented as hash-repartition by
+  key + ONE vectorized boundary scan per partition (``keyed_merge``) —
+  the partitioning assumption is that one key's events fit in one
+  partition (documented; keys are speakers/clip prefixes, bounded per
+  key).
 
 All assignment is vectorized numpy over ``map_batches`` (zero-copy Arrow
 in); only session windows shuffle (by key).

@@ -1,0 +1,102 @@
+"""Property-based tests (hypothesis): the distributed keyed operators must
+agree with a sequential pandas ground truth on arbitrary inputs —
+arbitrary key cardinality (1 group .. all-unique), nulls, negative
+values, empty-ish frames, string and integer keys."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+import ray.data
+
+from dataflows_ray.stages.agg import grouped_aggregate
+from dataflows_ray.stages.dedup import dedup_dataset
+
+
+def _rows(draw, n):
+    keys = draw(st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=n, max_size=n))
+    vals = draw(st.lists(
+        st.one_of(st.integers(min_value=-1000, max_value=1000), st.none()),
+        min_size=n, max_size=n))
+    return keys, vals
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_grouped_aggregate_matches_pandas(data):
+    n = data.draw(st.integers(min_value=1, max_value=200))
+    keys, vals = _rows(data.draw, n)
+    df = pd.DataFrame({"k": keys, "v": vals})
+    df["v"] = df["v"].astype("float64")  # None -> NaN like arrow nulls
+
+    ds = ray.data.from_pandas(df)
+    out = grouped_aggregate(ds, ["k"], [
+        {"target": "s", "source": "v", "aggregate": "sum"},
+        {"target": "m", "source": "v", "aggregate": "min"},
+        {"target": "x", "source": "v", "aggregate": "max"},
+        {"target": "a", "source": "v", "aggregate": "avg"},
+        {"target": "c", "aggregate": "count"},
+    ]).to_pandas().sort_values("k").reset_index(drop=True)
+
+    g = df.groupby("k", sort=True)
+    exp = pd.DataFrame({
+        "s": g["v"].sum(min_count=1),
+        "m": g["v"].min(),
+        "x": g["v"].max(),
+        "a": g["v"].mean(),
+        "c": g.size(),
+    }).reset_index().rename(columns={"k": "k"})
+
+    assert list(out["k"]) == list(exp["k"])
+    for col in ["s", "m", "x", "a"]:
+        got = out[col].to_numpy(dtype=np.float64)
+        want = exp[col].to_numpy(dtype=np.float64)
+        both_nan = np.isnan(got) & np.isnan(want)
+        assert np.all(both_nan | np.isclose(got, want, equal_nan=True)), col
+    assert list(out["c"]) == list(exp["c"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_holistic_aggregators_match_pandas(data):
+    n = data.draw(st.integers(min_value=1, max_value=120))
+    keys = data.draw(st.lists(st.integers(min_value=0, max_value=5),
+                              min_size=n, max_size=n))
+    vals = data.draw(st.lists(st.integers(min_value=-50, max_value=50),
+                              min_size=n, max_size=n))
+    df = pd.DataFrame({"k": keys, "v": vals})
+    ds = ray.data.from_pandas(df)
+    out = grouped_aggregate(ds, ["k"], [
+        {"target": "med", "source": "v", "aggregate": "median"},
+        {"target": "st", "source": "v", "aggregate": "set"},
+    ]).to_pandas().sort_values("k").reset_index(drop=True)
+
+    g = df.groupby("k", sort=True)
+    for _, row in out.iterrows():
+        grp = df[df["k"] == row["k"]]["v"]
+        vs = sorted(grp.tolist())
+        mid = len(vs) // 2
+        med = (vs[mid - 1] + vs[mid]) / 2 if len(vs) % 2 == 0 else vs[mid]
+        assert row["med"] == med
+        assert list(row["st"]) == sorted(set(vs))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_dedup_keeps_first_by_order(data):
+    n = data.draw(st.integers(min_value=1, max_value=150))
+    keys = data.draw(st.lists(st.integers(min_value=0, max_value=10),
+                              min_size=n, max_size=n))
+    df = pd.DataFrame({"k": keys, "rid": np.arange(n, dtype=np.int64)})
+    ds = ray.data.from_pandas(df)
+    out = dedup_dataset(ds, ["k"], "rid").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = df.drop_duplicates("k", keep="first").sort_values("k") \
+        .reset_index(drop=True)
+    assert list(out["k"]) == list(exp["k"])
+    assert list(out["rid"]) == list(exp["rid"])
