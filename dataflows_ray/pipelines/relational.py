@@ -624,6 +624,71 @@ FROM events a JOIN events b
 """
 
 
+def q31_top_orders_no_sort(sf_dir: str):
+    """Global top-k without a global sort (stages.setops.top_k): each
+    block contributes <= k survivors; one final reduce over them."""
+    import ray.data
+    from ..stages.setops import top_k
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+    return top_k(ds, ["o_totalprice", "o_orderkey"], 20,
+                 descending=[True, False])
+
+
+Q31_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q32_nation_intersect(sf_dir: str):
+    """SQL INTERSECT via one hash exchange (stages.setops)."""
+    import ray.data
+    from ..stages.setops import set_intersect
+    c = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["nationkey"]), batch_format="pyarrow")
+    su = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                               columns=["s_nationkey"]).map_batches(
+        lambda t: pa.table({"nationkey": pc.cast(t["s_nationkey"],
+                                                 pa.int32())}),
+        batch_format="pyarrow")
+    c2 = c.map_batches(lambda t: pa.table(
+        {"nationkey": pc.cast(t["nationkey"], pa.int32())}),
+        batch_format="pyarrow")
+    return set_intersect(c2, su)
+
+
+Q32_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q33_size_except_nations(sf_dir: str):
+    """SQL EXCEPT via one hash exchange (stages.setops): part sizes that
+    are not valid nation keys (non-empty by construction)."""
+    import ray.data
+    from ..stages.setops import set_except
+    p_ = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                               columns=["p_size"]).map_batches(
+        lambda t: pa.table({"v": pc.cast(t["p_size"], pa.int32())}),
+        batch_format="pyarrow")
+    n = ray.data.read_parquet(f"{sf_dir}/nation.parquet",
+                              columns=["n_nationkey"]).map_batches(
+        lambda t: pa.table({"v": pc.cast(t["n_nationkey"], pa.int32())}),
+        batch_format="pyarrow")
+    return set_except(p_, n)
+
+
+Q33_SQL = """
+SELECT p_size AS v FROM part
+EXCEPT
+SELECT n_nationkey AS v FROM nation
+"""
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -708,6 +773,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q28_approx_ndv": q28_approx_ndv,
     "q29_asof_latest_order": q29_asof_latest_order,
     "q30_range_join_recent_events": q30_range_join_recent_events,
+    "q31_top_orders_no_sort": q31_top_orders_no_sort,
+    "q32_nation_intersect": q32_nation_intersect,
+    "q33_size_except_nations": q33_size_except_nations,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -789,4 +857,7 @@ ORACLES: Dict[str, str] = {
     "q28_approx_ndv": Q28_SQL,
     "q29_asof_latest_order": Q29_SQL,
     "q30_range_join_recent_events": Q30_SQL,
+    "q31_top_orders_no_sort": Q31_SQL,
+    "q32_nation_intersect": Q32_SQL,
+    "q33_size_except_nations": Q33_SQL,
 }

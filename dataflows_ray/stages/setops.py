@@ -1,0 +1,95 @@
+"""Distributed top-k and set operations (INTERSECT / EXCEPT).
+
+Engine-defined (SURVEY §2.4 notes the reference has union only, and top-k
+is only expressible there as full sort + head).
+
+- ``top_k``: per-block vectorized partial top-k (each block contributes
+  at most k rows), then one final top-k over the <= k * n_blocks
+  survivors in a single task — no global sort, no all-to-all shuffle.
+  THE way to take heads at 100 TB.
+- ``set_intersect`` / ``set_except``: SQL distinct-set semantics. Both
+  sides are tagged and unioned; one hash exchange on ALL columns
+  co-locates equal rows; each partition reduces with a vectorized
+  side-flag min/max groupby.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from .agg import keyed_merge, _collect_nonempty_refs
+
+_SIDE = "__setop_side__"
+
+
+def top_k(ds: ray.data.Dataset, cols: List[str], k: int,
+          descending: Union[bool, List[bool]] = True) -> ray.data.Dataset:
+    """Global top-k rows by ``cols`` without a global sort."""
+    if isinstance(descending, bool):
+        asc = [not descending] * len(cols)
+    else:
+        asc = [not d for d in descending]
+
+    def partial(df: pd.DataFrame) -> pa.Table:
+        out = df.sort_values(cols, ascending=asc, kind="stable").head(k)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=None)
+    refs, rows, _b, first = _collect_nonempty_refs(parts)
+    if not refs:
+        return parts
+    merged = ray.data.from_arrow_refs(refs).repartition(1)
+    return merged.map_batches(partial, batch_format="pandas",
+                              batch_size=None)
+
+
+def _set_op(left: ray.data.Dataset, right: ray.data.Dataset,
+            op: str) -> ray.data.Dataset:
+    cols = left.columns()
+    if right.columns() != cols:
+        raise ValueError(f"set op requires identical schemas: "
+                         f"{cols} vs {right.columns()}")
+
+    def tag(side: int):
+        def fn(t: pa.Table, side=side) -> pa.Table:
+            return t.append_column(
+                _SIDE, pa.array(np.full(len(t), side, dtype=np.int8)))
+        return fn
+
+    union = left.map_batches(tag(0), batch_format="pyarrow",
+                             batch_size=None).union(
+        right.map_batches(tag(1), batch_format="pyarrow", batch_size=None))
+
+    def merge(df: pd.DataFrame, cols=cols, op=op) -> pa.Table:
+        if len(df) == 0:
+            out = df.reindex(columns=cols)
+        else:
+            g = df.groupby(cols, sort=False, dropna=False)[_SIDE]
+            flags = g.agg(["min", "max"]).reset_index()
+            if op == "intersect":
+                keep = (flags["min"] == 0) & (flags["max"] == 1)
+            else:  # except
+                keep = flags["max"] == 0
+            out = flags[keep][cols].reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    return keyed_merge(union, cols, merge)
+
+
+def set_intersect(left: ray.data.Dataset, right: ray.data.Dataset
+                  ) -> ray.data.Dataset:
+    """Distinct rows present in BOTH datasets (SQL INTERSECT)."""
+    return _set_op(left, right, "intersect")
+
+
+def set_except(left: ray.data.Dataset, right: ray.data.Dataset
+               ) -> ray.data.Dataset:
+    """Distinct rows of ``left`` absent from ``right`` (SQL EXCEPT)."""
+    return _set_op(left, right, "except")

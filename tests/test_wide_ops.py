@@ -291,3 +291,20 @@ def test_range_join_window():
                      before=datetime.timedelta(hours=3)).to_pandas()
     got = sorted(zip(out["ev"], out["m"]))
     assert got == [(1, 1), (1, 2), (2, 5)]
+
+
+def test_top_k_and_set_ops():
+    import ray.data
+    from dataflows_ray.stages.setops import top_k, set_intersect, set_except
+
+    ds = ray.data.from_items([{"v": i % 37, "id": i} for i in range(500)])
+    top = top_k(ds, ["v", "id"], 5, descending=[True, False]).to_pandas()
+    assert top["v"].tolist() == [36, 36, 36, 36, 36]
+    assert top["id"].tolist() == sorted(top["id"].tolist())
+
+    a = ray.data.from_items([{"x": i} for i in [1, 2, 2, 3, 4]])
+    b = ray.data.from_items([{"x": i} for i in [3, 4, 4, 5]])
+    inter = sorted(set_intersect(a, b).to_pandas()["x"])
+    assert inter == [3, 4]
+    exc = sorted(set_except(a, b).to_pandas()["x"])
+    assert exc == [1, 2]
