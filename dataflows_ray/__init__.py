@@ -38,6 +38,8 @@ from .stages.sort import sort_rows
 from .stages.dedup import deduplicate
 from .stages.join import join, join_with_self
 from .stages.asof import asof_join
+from .stages.rangejoin import range_join
+from .stages.setops import top_k, set_intersect, set_except
 from .stages.agg import grouped_aggregate
 from .sinks.dump import dump_to_path, dump_to_zip
 from .sinks.checkpoint import checkpoint
@@ -56,6 +58,7 @@ __all__ = [
     "unpivot", "concatenate", "duplicate", "delete_resource", "sources",
     "conditional", "update_stats", "finalizer", "printer",
     "sort_rows", "deduplicate", "join", "join_with_self", "asof_join",
+    "range_join", "top_k", "set_intersect", "set_except",
     "grouped_aggregate", "dump_to_path", "dump_to_zip", "checkpoint",
     "stream", "unstream", "parallelize", "dump_to_sql",
 ]

@@ -689,6 +689,41 @@ SELECT n_nationkey AS v FROM nation
 """
 
 
+def q34_pivot_events(sf_dir: str):
+    """Long -> wide pivot (stages.setops.pivot_table): per-user sum of
+    value per event_type as columns."""
+    import ray.data
+    from ..stages.setops import pivot_table
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "value"])
+    piv = pivot_table(ds, ["user_id"], "event_type", "value", agg="sum")
+
+    def post(t: pa.Table) -> pa.Table:
+        for c in t.column_names:
+            if c != "user_id":
+                t = t.set_column(t.schema.get_field_index(c), c,
+                                 pc.round(pc.cast(t[c], pa.float64()),
+                                          ndigits=4))
+        return t
+
+    return piv.map_batches(post, batch_format="pyarrow", batch_size=None)
+
+
+def _q34_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    import duckdb
+    con = duckdb.connect()
+    types = [r[0] for r in con.execute(
+        "SELECT DISTINCT event_type FROM "
+        f"read_parquet('{sf_dir}/events.parquet') ORDER BY 1").fetchall()]
+    cases = ",\n       ".join(
+        f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 4) "
+        f'AS "{t}"' for t in types)
+    return f"SELECT user_id,\n       {cases}\nFROM events GROUP BY user_id"
+
+
+Q34_SQL = _q34_sql()
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -776,6 +811,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q31_top_orders_no_sort": q31_top_orders_no_sort,
     "q32_nation_intersect": q32_nation_intersect,
     "q33_size_except_nations": q33_size_except_nations,
+    "q34_pivot_events": q34_pivot_events,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -860,4 +896,5 @@ ORACLES: Dict[str, str] = {
     "q31_top_orders_no_sort": Q31_SQL,
     "q32_nation_intersect": Q32_SQL,
     "q33_size_except_nations": Q33_SQL,
+    "q34_pivot_events": Q34_SQL,
 }

@@ -93,3 +93,41 @@ def set_except(left: ray.data.Dataset, right: ray.data.Dataset
                ) -> ray.data.Dataset:
     """Distinct rows of ``left`` absent from ``right`` (SQL EXCEPT)."""
     return _set_op(left, right, "except")
+
+
+def pivot_table(ds: ray.data.Dataset, index: List[str], key_col: str,
+                value_col: str, agg: str = "sum") -> ray.data.Dataset:
+    """Long -> wide (inverse of ``unpivot``): one output row per distinct
+    ``index`` tuple, one column per distinct ``key_col`` value, cells
+    aggregated by ``agg``. Output columns are the SORTED distinct key
+    values (discovered with a tiny distinct scan — group-count-sized).
+
+    One hash exchange on ``index``; each partition pivots vectorized
+    (``pandas.pivot_table``)."""
+    import pandas as pd
+    from .agg import grouped_aggregate
+
+    distinct = grouped_aggregate(ds.select_columns([key_col]), [key_col], [])
+    key_values = sorted(
+        v for b in distinct.iter_batches(batch_format="pyarrow",
+                                         batch_size=None)
+        for v in b[key_col].to_pylist())
+    out_cols = [str(v) for v in key_values]
+
+    def merge(df: pd.DataFrame, index=list(index), key_col=key_col,
+              value_col=value_col, agg=agg) -> pa.Table:
+        if len(df) == 0:
+            out = pd.DataFrame(columns=index + out_cols)
+        else:
+            piv = pd.pivot_table(df, index=index, columns=key_col,
+                                 values=value_col, aggfunc=agg)
+            piv.columns = [str(c) for c in piv.columns]
+            piv = piv.reindex(columns=out_cols)
+            out = piv.reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    projected = ds.select_columns(list(index) + [key_col, value_col])
+    arrow = projected.map_batches(lambda t: t, batch_format="pyarrow",
+                                  batch_size=None)
+    return keyed_merge(arrow, list(index), merge)

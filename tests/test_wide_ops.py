@@ -308,3 +308,19 @@ def test_top_k_and_set_ops():
     assert inter == [3, 4]
     exc = sorted(set_except(a, b).to_pandas()["x"])
     assert exc == [1, 2]
+
+
+def test_pivot_table_roundtrip_with_unpivot():
+    import ray.data
+    from dataflows_ray.stages.setops import pivot_table
+
+    rows = []
+    for name in ("x", "y"):
+        for year in ("1990", "2000"):
+            rows.append({"name": name, "year": year,
+                         "v": float(len(name) + int(year) % 7)})
+    ds = ray.data.from_items(rows)
+    wide = pivot_table(ds, ["name"], "year", "v", agg="sum").to_pandas() \
+        .sort_values("name").reset_index(drop=True)
+    assert list(wide.columns) == ["name", "1990", "2000"]
+    assert wide.loc[0, "1990"] == rows[0]["v"]
