@@ -187,3 +187,91 @@ def test_tight_watermark_emits_unmatched_without_loss(audio_dir, tmp_path):
     # either side — an unmatched clip and its late transcript may emit
     # separately, so we assert coverage, not row count)
     assert df["clip_id"].nunique() == n_clips
+
+
+def _sorted_audio_copy(audio_dir, dest, rows_per_file=100):
+    """Event-time-ordered copy of the audio table (a real stream arrives
+    roughly time-ordered; the synthetic table is written in clip-id
+    order)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    files = sorted(os.path.join(audio_dir, f) for f in os.listdir(audio_dir)
+                   if f.endswith(".parquet"))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    tbl = tbl.take(pa.compute.sort_indices(
+        tbl, sort_keys=[("event_ms", "ascending")]))
+    os.makedirs(dest, exist_ok=True)
+    for i in range(0, len(tbl), rows_per_file):
+        pq.write_table(tbl.slice(i, rows_per_file),
+                       os.path.join(dest, f"part-{i // rows_per_file:05d}.parquet"))
+    return dest
+
+
+def test_streaming_window_engine_matches_batch(audio_dir, tmp_path):
+    """Over a time-ordered stream, the streaming windowed aggregate
+    (watermark-triggered incremental emission) must produce exactly the
+    batch operator's result, with zero late drops."""
+    import ray.data
+    from dataflows_ray.streaming.window_engine import StreamingWindowEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+    from dataflows_ray.pipelines.audio import windowed_speaker_aggregate
+
+    audio_dir = _sorted_audio_copy(audio_dir, str(tmp_path / "sorted"))
+    out = str(tmp_path / "win")
+    eng = StreamingWindowEngine(audio_dir, out, num_partitions=2,
+                                rowgroups_per_epoch=1, window_ms=600_000)
+    eng.run()
+    # incremental emission really happened: >1 committed epoch has rows,
+    # and the ordered stream produced zero late drops
+    man = ExactlyOnceSink(out).read_manifest()
+    epochs_with_rows = sum(
+        1 for e in man["epochs"]
+        if sum(p.get("rows", 0) for p in e.get("partitions", [])) > 0)
+    assert epochs_with_rows > 1
+    assert all(p.get("late_dropped", 0) == 0
+               for e in man["epochs"] for p in e.get("partitions", []))
+    got = ExactlyOnceSink(out).read_output().to_pandas() \
+        .sort_values(["speaker", "window_start"]).reset_index(drop=True)
+
+    batch = windowed_speaker_aggregate(
+        ray.data.read_parquet(audio_dir).select_columns(
+            ["speaker", "event_ms", "dur_ms"]),
+        window_ms=600_000).to_pandas() \
+        .sort_values(["speaker", "window_start"]).reset_index(drop=True)
+
+    assert len(got) == len(batch)
+    assert list(got["speaker"]) == list(batch["speaker"])
+    assert list(got["window_start"]) == list(batch["window_start"])
+    assert list(got["total_dur_ms"]) == list(batch["total_dur_ms"])
+    assert list(got["n_clips"]) == list(batch["n_clips"])
+    assert list(got["max_event_ms"]) == list(batch["max_event_ms"])
+
+
+def test_streaming_window_engine_crash_resume(audio_dir, tmp_path):
+    from dataflows_ray.streaming.window_engine import StreamingWindowEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    clean_out = str(tmp_path / "clean")
+    clean = StreamingWindowEngine(audio_dir, clean_out, num_partitions=2,
+                                  rowgroups_per_epoch=1)
+    clean_rows = clean.run()["committed_rows"]
+
+    out = str(tmp_path / "crash")
+    eng = StreamingWindowEngine(audio_dir, out, num_partitions=2,
+                                rowgroups_per_epoch=1)
+    try:
+        eng.run(crash_after_stage_of_epoch=1)
+        assert False
+    except RuntimeError:
+        pass
+    resumed = StreamingWindowEngine(audio_dir, out, num_partitions=2,
+                                    rowgroups_per_epoch=1)
+    r = resumed.run()
+    assert r["committed_rows"] == clean_rows
+    # rerun over the fully committed sink is a no-op
+    again = StreamingWindowEngine(audio_dir, out, num_partitions=2,
+                                  rowgroups_per_epoch=1)
+    r2 = again.run()
+    assert r2["epochs_processed"] == 0
+    assert r2["committed_rows"] == clean_rows
