@@ -724,6 +724,57 @@ def _q34_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
 Q34_SQL = _q34_sql()
 
 
+def _sorted_audio_path(sf_dir: str) -> str:
+    """Event-time-ordered copy of the audio table (cached): streams arrive
+    roughly time-ordered; the synthetic table is written in clip order."""
+    import pyarrow.parquet as pq
+    src = _audio_path(sf_dir)
+    dest = src + "_sorted"
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        files = sorted(os.path.join(src, f) for f in os.listdir(src)
+                       if f.endswith(".parquet"))
+        tbl = pa.concat_tables([pq.read_table(f) for f in files])
+        tbl = tbl.take(pc.sort_indices(
+            tbl, sort_keys=[("event_ms", "ascending")]))
+        os.makedirs(dest, exist_ok=True)
+        rows_per_file = max(250, len(tbl) // 8)
+        for i in range(0, len(tbl), rows_per_file):
+            pq.write_table(
+                tbl.slice(i, rows_per_file),
+                os.path.join(dest, f"part-{i // rows_per_file:05d}.parquet"))
+        open(os.path.join(dest, "_SUCCESS"), "w").close()
+    return dest
+
+
+def q35_streaming_windowed_agg(sf_dir: str):
+    """The STREAMING windowed aggregate (micro-batch epochs, event-time
+    watermark, exactly-once emission) over the time-ordered audio stream —
+    verified against the same SQL the batch operator satisfies (window
+    aggregation is order-independent, so one oracle covers both)."""
+    import shutil
+    from ..streaming.window_engine import StreamingWindowEngine
+    from ..streaming.sink import ExactlyOnceSink
+    path = _sorted_audio_path(sf_dir)
+    out = f"/tmp/dataflows_ray_winsink/{os.path.basename(sf_dir.rstrip('/'))}"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingWindowEngine(path, out, num_partitions=4,
+                                rowgroups_per_epoch=2, window_ms=600_000)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["speaker", "window_start", "total_dur_ms", "n_clips",
+         "max_event_ms"])
+
+
+Q35_SQL = """
+SELECT speaker, (event_ms // 600000) * 600000 AS window_start,
+       CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms, count(*) AS n_clips,
+       max(event_ms) AS max_event_ms
+FROM read_parquet('/tmp/dataflows_ray_audio/sf0.01/*.parquet')
+GROUP BY 1, 2
+"""
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -812,6 +863,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q32_nation_intersect": q32_nation_intersect,
     "q33_size_except_nations": q33_size_except_nations,
     "q34_pivot_events": q34_pivot_events,
+    "q35_streaming_windowed_agg": q35_streaming_windowed_agg,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -897,4 +949,5 @@ ORACLES: Dict[str, str] = {
     "q32_nation_intersect": Q32_SQL,
     "q33_size_except_nations": Q33_SQL,
     "q34_pivot_events": Q34_SQL,
+    "q35_streaming_windowed_agg": Q35_SQL,
 }
