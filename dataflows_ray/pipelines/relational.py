@@ -724,6 +724,32 @@ def _q34_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
 Q34_SQL = _q34_sql()
 
 
+def q36_cep_click_to_purchase(sf_dir: str):
+    """CEP sequence detection: purchase within 1 hour after a click by
+    the same user (stages.setops.detect_sequence over the range-join
+    exchange)."""
+    import datetime
+    import ray.data
+    from ..stages.setops import detect_sequence
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    pairs = detect_sequence(ev, ["user_id"], "ts", "click", "purchase",
+                            within=datetime.timedelta(hours=1))
+    return pairs.select_columns(
+        ["event_id", "user_id", "ts", "event_id_r", "ts_r"])
+
+
+Q36_SQL = """
+SELECT a.event_id, a.user_id, a.ts,
+       b.event_id AS event_id_r, b.ts AS ts_r
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts BETWEEN a.ts AND a.ts + INTERVAL 1 HOUR
+"""
+
+
 def _sorted_audio_path(sf_dir: str) -> str:
     """Event-time-ordered copy of the audio table (cached): streams arrive
     roughly time-ordered; the synthetic table is written in clip order."""
@@ -864,6 +890,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q33_size_except_nations": q33_size_except_nations,
     "q34_pivot_events": q34_pivot_events,
     "q35_streaming_windowed_agg": q35_streaming_windowed_agg,
+    "q36_cep_click_to_purchase": q36_cep_click_to_purchase,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -950,4 +977,5 @@ ORACLES: Dict[str, str] = {
     "q33_size_except_nations": Q33_SQL,
     "q34_pivot_events": Q34_SQL,
     "q35_streaming_windowed_agg": Q35_SQL,
+    "q36_cep_click_to_purchase": Q36_SQL,
 }

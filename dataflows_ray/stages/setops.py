@@ -131,3 +131,29 @@ def pivot_table(ds: ray.data.Dataset, index: List[str], key_col: str,
     arrow = projected.map_batches(lambda t: t, batch_format="pyarrow",
                                   batch_size=None)
     return keyed_merge(arrow, list(index), merge)
+
+
+def detect_sequence(events: ray.data.Dataset, key_cols: List[str],
+                    ts_col: str, first_type, second_type,
+                    within, type_col: str = "event_type"
+                    ) -> ray.data.Dataset:
+    """CEP primitive: emit (first, second) event pairs where a
+    ``second_type`` event follows a ``first_type`` event of the same key
+    within ``within`` (timedelta). Built on the range-join exchange: one
+    hash shuffle, per-key-group vectorized window matching — the standard
+    "A followed by B within T" pattern (funnel steps, error-after-deploy,
+    purchase-after-click)."""
+    import pyarrow.compute as _pc
+    from .rangejoin import range_join
+
+    a = events.map_batches(
+        lambda t, ft=first_type: t.filter(_pc.equal(t[type_col], ft)),
+        batch_format="pyarrow", batch_size=None)
+    b = events.map_batches(
+        lambda t, st=second_type: t.filter(_pc.equal(t[type_col], st)),
+        batch_format="pyarrow", batch_size=None)
+    # second event in [first_ts, first_ts + within]
+    joined = range_join(a, b, key_cols, key_cols, ts_col, ts_col,
+                        before=0 if not hasattr(within, "total_seconds")
+                        else type(within)(0), after=within)
+    return joined
