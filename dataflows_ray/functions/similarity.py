@@ -16,7 +16,6 @@ Engine-defined (no reference equivalent). Two paths:
 from __future__ import annotations
 
 import functools
-import heapq
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

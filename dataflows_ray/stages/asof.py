@@ -16,7 +16,7 @@ operator here); the small-input path coalesces instead of shuffling.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pandas as pd
