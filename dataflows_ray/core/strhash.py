@@ -63,6 +63,61 @@ def hash_string_array(keys) -> np.ndarray:
     return sums.astype(np.uint64)
 
 
+_FULL_POW_CACHE: dict = {}  # prime -> growing uint64 weight table
+
+
+def _full_weights(prime: int, n: int) -> np.ndarray:
+    """P**i mod 2**64 for i in [0, n) — grown on demand, cached per prime."""
+    arr = _FULL_POW_CACHE.get(prime)
+    if arr is None or len(arr) < n:
+        m = max(n, 1024)
+        out = np.empty(m, dtype=np.uint64)
+        out[0] = 1
+        with np.errstate(over="ignore"):
+            np.multiply.accumulate(
+                np.full(m - 1, prime, dtype=np.uint64), out=out[1:])
+        _FULL_POW_CACHE[prime] = arr = out
+    return arr
+
+
+def content_hash_array(keys, prime: int = int(FNV_PRIME)) -> np.ndarray:
+    """Full-length polynomial content hash per element of a pyarrow string
+    array: ``h(s) = len(s)*P**len(s) + sum(byte[i] * P**i) mod 2**64``.
+
+    Unlike ``hash_string_array`` (bucketing hash, position weights capped
+    at 255), every byte position gets a distinct weight — suitable as an
+    exact-dedup content fingerprint (pair two primes for 128 bits).
+    Vectorized over the Arrow buffers; nulls and empty strings hash to 0.
+    """
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks() if keys.num_chunks != 1 else keys.chunk(0)
+    n = len(keys)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off_dtype, off_w = ((np.int64, 8) if pa.types.is_large_string(keys.type)
+                        else (np.int32, 4))
+    offsets = np.frombuffer(keys.buffers()[1], dtype=off_dtype,
+                            count=n + 1, offset=keys.offset * off_w)
+    values = np.frombuffer(keys.buffers()[2], dtype=np.uint8)
+    starts = offsets[:-1].astype(np.int64)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    span = values[offsets[0]:offsets[-1]].astype(np.uint64)
+    if len(span) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    maxlen = int(lengths.max())
+    pow_tab = _full_weights(prime, maxlen + 1)
+    rel_starts = starts - starts[0]
+    pos = np.arange(len(span), dtype=np.int64) - np.repeat(rel_starts, lengths)
+    with np.errstate(over="ignore"):
+        contrib = span * pow_tab[pos]
+        idx = np.minimum(rel_starts, len(span) - 1)
+        sums = np.add.reduceat(contrib, idx)
+        # mix the length in with its own weight so prefix-sums can't alias
+        sums = sums + lengths.astype(np.uint64) * pow_tab[
+            np.minimum(lengths, maxlen)]
+    return np.where(lengths > 0, sums, np.uint64(0)).astype(np.uint64)
+
+
 def combine_hash_cols(*cols: np.ndarray) -> np.ndarray:
     """Order-dependent combination of uint64 hash columns into one."""
     out = np.zeros_like(cols[0])

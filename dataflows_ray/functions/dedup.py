@@ -213,27 +213,45 @@ class MinHasher:
 BROADCAST_ID_LIMIT = 50_000_000
 
 
+# second multiplier for the 128-bit content key (any odd 64-bit constant
+# co-prime-ish to FNV works; this is splitmix64's golden-gamma)
+_PRIME_B = 0x9E3779B97F4A7C15
+
+
+def _content_hash_table(batch: pa.Table, text_col: str,
+                        id_col: str) -> pa.Table:
+    """(hash cols..., id) projection for exact dedup: 128-bit content key
+    via two independent full-length polynomial hashes over the Arrow
+    string buffers (``core.strhash.content_hash_array`` — one numpy pass
+    per prime, no per-row Python)."""
+    from ..core.strhash import content_hash_array
+    col = batch[text_col]
+    return pa.table({
+        "__ch_a__": pa.array(content_hash_array(col), type=pa.uint64()),
+        "__ch_b__": pa.array(content_hash_array(col, prime=_PRIME_B),
+                             type=pa.uint64()),
+        id_col: batch[id_col],
+    })
+
+
 def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
                 id_col: str = "doc_id") -> ray.data.Dataset:
     """Keep the min-id row per distinct text content.
 
-    Scale shape: vectorized sha1 hash stage -> combining aggregate
-    (``stages.agg.grouped_aggregate``: per-block combiner + hash-shuffle
-    merge, no per-group Python) over (hash, id) ONLY -> broadcast the
-    keeper-id set and filter the corpus in place. The documents are never
-    shuffled."""
+    Scale shape: vectorized 128-bit content-hash stage (no per-row
+    Python) -> combining aggregate (``stages.agg.grouped_aggregate``:
+    per-block combiner + hash-shuffle merge, no per-group Python) over
+    (hash, id) ONLY -> broadcast the keeper-id set and filter the corpus
+    in place. The documents are never shuffled."""
     from ..stages.agg import grouped_aggregate
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        import hashlib
-        hashes = [hashlib.sha1((t or "").encode()).hexdigest()
-                  for t in batch[text_col].to_pylist()]
-        return batch.append_column("__content_hash__", pa.array(hashes))
+        return _content_hash_table(batch, text_col, id_col)
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
     keep = grouped_aggregate(
-        hashed.select_columns(["__content_hash__", id_col]),
-        ["__content_hash__"],
+        hashed,
+        ["__ch_a__", "__ch_b__"],
         [{"target": "__keep_id__", "source": id_col, "aggregate": "min"}])
     chunks = [b["__keep_id__"].to_numpy(zero_copy_only=False)
               for b in keep.select_columns(["__keep_id__"]).iter_batches(
@@ -296,25 +314,49 @@ def minhash_lsh_candidates(ds: ray.data.Dataset, num_perm: int = 128,
     return keyed_merge(exploded, ["band", "band_hash"], pairs_block)
 
 
-def verify_jaccard(pairs_df: pd.DataFrame, texts: Dict[int, str],
-                   k: int = 5, threshold: float = 0.7) -> pd.DataFrame:
-    """Exact n-gram Jaccard verification of candidate pairs (driver-side
-    or inside map_batches with a broadcast text lookup for small corpora)."""
+def shingle_sets(texts, ids, k: int = 5) -> Dict[int, np.ndarray]:
+    """{doc_id: sorted unique shingle hashes} for a batch of texts — one
+    vectorized ``_shingle_hashes`` pass, per-doc ``np.unique`` slices."""
+    sh, offs = _shingle_hashes(texts, k)
+    return {int(i): np.unique(sh[offs[j]:offs[j + 1]])
+            for j, i in enumerate(ids)}
+
+
+def jaccard_from_sets(pairs_df: pd.DataFrame,
+                      sets: Dict[int, np.ndarray],
+                      threshold: float = 0.7) -> pd.DataFrame:
+    """Exact Jaccard over precomputed sorted-unique shingle-hash arrays
+    (C-speed ``intersect1d`` per pair; no re-shingling, no Python sets)."""
+    empty = np.empty(0, dtype=np.uint64)
     keep_a, keep_b, sims = [], [], []
     seen = set()
     for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"]):
         if (a, b) in seen:
             continue
         seen.add((a, b))
-        sa = set(_shingles(texts.get(a, ""), k).tolist())
-        sb = set(_shingles(texts.get(b, ""), k).tolist())
-        union = len(sa | sb)
-        sim = len(sa & sb) / union if union else 0.0
+        sa = sets.get(int(a), empty)
+        sb = sets.get(int(b), empty)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        sim = inter / union if union else 0.0
         if sim >= threshold:
             keep_a.append(a)
             keep_b.append(b)
             sims.append(round(sim, 4))
     return pd.DataFrame({"doc_a": keep_a, "doc_b": keep_b, "jaccard": sims})
+
+
+def verify_jaccard(pairs_df: pd.DataFrame, texts: Dict[int, str],
+                   k: int = 5, threshold: float = 0.7) -> pd.DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs: shingle every
+    unique candidate doc ONCE (batched kernel), then intersect per pair."""
+    if len(pairs_df) == 0:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+    uniq = np.unique(np.concatenate([
+        np.asarray(pairs_df["doc_a"]), np.asarray(pairs_df["doc_b"])]))
+    arr = pa.array([texts.get(int(i), "") or "" for i in uniq])
+    sets = shingle_sets(arr, uniq, k)
+    return jaccard_from_sets(pairs_df, sets, threshold)
 
 
 def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
