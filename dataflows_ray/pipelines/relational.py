@@ -750,6 +750,67 @@ FROM events a JOIN events b
 """
 
 
+def _sorted_events_path(sf_dir: str) -> str:
+    """Event-time-ordered integer-ms copy of the events table (cached):
+    stream-source scaffolding that simulates ordered arrival for the
+    streaming CEP engine — same role as ``_sorted_audio_path``; the
+    full-table read is sf0.01 source prep, not a pipeline stage."""
+    import pyarrow.parquet as pq
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    dest = f"/tmp/dataflows_ray_events_sorted/{sf}"
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        tbl = pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"])
+        ms = pc.divide(pc.cast(tbl["ts"], pa.int64()), 1000)
+        tbl = tbl.drop_columns(["ts"]).append_column("ms", ms)
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("ms", "ascending")]))
+        os.makedirs(dest, exist_ok=True)
+        rows_per_file = max(250, len(tbl) // 8)
+        for i in range(0, len(tbl), rows_per_file):
+            pq.write_table(
+                tbl.slice(i, rows_per_file),
+                os.path.join(dest, f"part-{i // rows_per_file:05d}.parquet"))
+        open(os.path.join(dest, "_SUCCESS"), "w").close()
+    return dest
+
+
+def q38_streaming_cep(sf_dir: str):
+    """STREAMING CEP ("purchase within 1h after a click by the same
+    user") over the time-ordered events stream: per-partition pattern
+    buffers, watermark-finalized B events, exactly-once pair emission —
+    the streaming counterpart of the batch ``detect_sequence`` (q36),
+    verified against the same range-join SQL on truncated-ms time."""
+    import shutil
+    from ..streaming.cep_engine import StreamingCepEngine
+    from ..streaming.sink import ExactlyOnceSink
+    path = _sorted_events_path(sf_dir)
+    out = f"/tmp/dataflows_ray_cepsink/{os.path.basename(sf_dir.rstrip('/'))}"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingCepEngine(path, out, num_partitions=4,
+                             rowgroups_per_epoch=2, key="user_id",
+                             ts_col="ms", type_col="event_type",
+                             id_col="event_id", first_type="click",
+                             second_type="purchase", within=3_600_000)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["event_id", "user_id", "ms", "event_id_r", "ms_r"])
+
+
+# the engine's event time is integer ms (us // 1000); the oracle compares
+# on the SAME truncated values, or the 1-hour boundary diverges by <1 ms
+Q38_SQL = """
+SELECT a.event_id, a.user_id, epoch_us(a.ts) // 1000 AS ms,
+       b.event_id AS event_id_r, epoch_us(b.ts) // 1000 AS ms_r
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND epoch_us(b.ts) // 1000 BETWEEN epoch_us(a.ts) // 1000
+                                AND epoch_us(a.ts) // 1000 + 3600000
+"""
+
+
 def _sorted_audio_path(sf_dir: str) -> str:
     """Event-time-ordered copy of the audio table (cached): streams arrive
     roughly time-ordered; the synthetic table is written in clip order."""
@@ -798,6 +859,47 @@ SELECT speaker, (event_ms // 600000) * 600000 AS window_start,
        max(event_ms) AS max_event_ms
 FROM read_parquet('/tmp/dataflows_ray_audio/sf0.01/*.parquet')
 GROUP BY 1, 2
+"""
+
+
+def q37_streaming_session_windows(sf_dir: str):
+    """STREAMING session windows (per-partition vectorized gap merge,
+    sessions finalized when ``end + gap <= watermark``, exactly-once)
+    over the time-ordered audio stream — verified against the batch
+    gaps-and-islands SQL (session assignment is order-independent, so
+    one oracle covers the batch operator and this engine)."""
+    import shutil
+    from ..streaming.window_engine import StreamingSessionEngine
+    from ..streaming.sink import ExactlyOnceSink
+    path = _sorted_audio_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_sesssink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingSessionEngine(path, out, num_partitions=4,
+                                 rowgroups_per_epoch=2, gap_ms=120_000)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["speaker", "window_start", "window_end", "total_dur_ms",
+         "n_clips"])
+
+
+Q37_SQL = """
+SELECT speaker, min(event_ms) AS window_start,
+       max(event_ms) + 120000 AS window_end,
+       CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms,
+       count(*) AS n_clips
+FROM (
+  SELECT speaker, event_ms, dur_ms, sum(is_new) OVER (
+      PARTITION BY speaker ORDER BY event_ms
+      ROWS UNBOUNDED PRECEDING) AS grp
+  FROM (
+    SELECT speaker, event_ms, dur_ms,
+           CASE WHEN event_ms - lag(event_ms) OVER (
+                    PARTITION BY speaker ORDER BY event_ms) < 120000
+                THEN 0 ELSE 1 END AS is_new
+    FROM read_parquet('/tmp/dataflows_ray_audio/sf0.01/*.parquet'))
+) GROUP BY speaker, grp
 """
 
 
@@ -891,6 +993,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q34_pivot_events": q34_pivot_events,
     "q35_streaming_windowed_agg": q35_streaming_windowed_agg,
     "q36_cep_click_to_purchase": q36_cep_click_to_purchase,
+    "q37_streaming_session_windows": q37_streaming_session_windows,
+    "q38_streaming_cep": q38_streaming_cep,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -978,4 +1082,6 @@ ORACLES: Dict[str, str] = {
     "q34_pivot_events": Q34_SQL,
     "q35_streaming_windowed_agg": Q35_SQL,
     "q36_cep_click_to_purchase": Q36_SQL,
+    "q37_streaming_session_windows": Q37_SQL,
+    "q38_streaming_cep": Q38_SQL,
 }

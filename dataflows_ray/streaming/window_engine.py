@@ -1,29 +1,36 @@
 """Streaming windowed aggregation: micro-batch epochs -> per-partition
 window state -> watermark-triggered exactly-once emission.
 
-North-rule component ("tumbling windows keyed by speaker/clip prefix with
-event-time watermarks"): the batch operator (`streaming.windows` +
-`stages.agg`) computes windows over a bounded table; THIS engine computes
-the same result over an unbounded stream of micro-batches, emitting each
-window exactly once — when the event-time watermark passes its end — and
-committing per epoch through the 2PC sink with state snapshots for
-crash/resume.
+North-rule component ("tumbling/sliding/session windows keyed by
+speaker/clip prefix with event-time watermarks"): the batch operators
+(`streaming.windows` + `stages.agg`) compute windows over a bounded
+table; the engines here compute the same result over an unbounded stream
+of micro-batches, emitting each window exactly once — when the
+event-time watermark passes its end — and committing per epoch through
+the 2PC sink with state snapshots for crash/resume.
 
-Topology per epoch (same skeleton as the stream-stream join engine):
+Shared topology per epoch (``MicroBatchEngine``, also used by the CEP
+engine in ``cep_engine.py``; same skeleton as the stream-stream join
+engine in ``engine.py``):
 
 1. SPLIT: one Ray task per row group hash-partitions its rows by the
-   window KEY (speaker) and returns P objects + the partition max event
-   time (``num_returns=P`` shuffle routing, no driver materialization).
-2. ACCUMULATE: partition p's ``WindowStateActor`` assigns tumbling
-   windows vectorized, folds the rows into its per-(key, window) partial
-   state (sum/count/max — a combiner, so state size is O(open windows),
-   not O(rows)).
-3. EMIT: windows with ``window_end <= watermark`` finalize, are staged
-   for the epoch (phase 1 of 2PC) and leave the state.
+   stream KEY and returns P objects + the partition max event time
+   (``num_returns=P`` shuffle routing, no driver materialization).
+2. ACCUMULATE: partition p's state actor folds its rows into per-key
+   operator state (a combiner — state size is O(open windows / open
+   sessions / in-flight events), not O(rows)).
+3. EMIT: results finalized by the current watermark are staged for the
+   epoch (phase 1 of 2PC) and leave the state.
 4. COMMIT: the driver commits the epoch with per-partition lineage
    metrics + state snapshots. A resumed run restores state and skips
    committed epochs; the final flush (watermark = +inf) drains all
-   remaining windows and is itself a committed epoch.
+   remaining state and is itself a committed epoch.
+
+Late data: each actor counts and drops rows that can only belong to
+already-emitted results (``late_dropped`` in the lineage metrics) —
+standard watermark semantics: output parity with the batch operator
+holds whenever per-partition disorder <= allowed_lateness (an in-order
+stream is always exact).
 """
 
 from __future__ import annotations
@@ -43,18 +50,146 @@ from .sink import ExactlyOnceSink
 from .watermark import WatermarkTracker
 
 
+def _partition_on(keys: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
+    """Hash-partition a key column of any type: strings through the
+    vectorized Arrow-buffer hash, integers directly."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+        return _hash_partition(keys, num_partitions)
+    vals = keys.to_numpy(zero_copy_only=False).astype(np.int64)
+    return np.abs(vals) % num_partitions
+
+
 @ray.remote
 def _split_by_key(path: str, row_group: int, num_partitions: int,
                   key: str, columns: List[str], ts_col: str):
     pf = pq.ParquetFile(path)
     tbl = pf.read_row_group(row_group, columns=columns)
-    parts = _hash_partition(tbl[key].combine_chunks(), num_partitions)
+    parts = _partition_on(tbl[key], num_partitions)
     out = []
     for p in range(num_partitions):
         sub = tbl.filter(pa.array(parts == p))
         max_ms = int(pa.compute.max(sub[ts_col]).as_py()) if len(sub) else -1
         out.append((sub, max_ms))
     return tuple(out) if num_partitions > 1 else out[0]
+
+
+class MicroBatchEngine:
+    """Shared micro-batch epoch loop: plan epochs from parquet row
+    groups, split by key hash, feed per-partition state actors,
+    watermark-gated emission, 2PC commit with state snapshots, resume.
+
+    Subclasses define ``columns()`` (what the split reads) and
+    ``make_actor(p)`` (the per-partition state actor); the actor
+    protocol is ``ingest_and_stage(epoch, refs, watermark, sink_dir) ->
+    stats dict`` (must include ``max_event_ms``), ``snapshot()``,
+    ``restore(snap)``.
+    """
+
+    def __init__(self, input_path: str, out_dir: str, num_partitions: int = 4,
+                 rowgroups_per_epoch: int = 2,
+                 allowed_lateness_ms: int = 60_000,
+                 key: str = "speaker", ts_col: str = "event_ms"):
+        self.input_path = input_path
+        self.out_dir = out_dir
+        self.num_partitions = num_partitions
+        self.rowgroups_per_epoch = rowgroups_per_epoch
+        self.allowed_lateness_ms = allowed_lateness_ms
+        self.key = key
+        self.ts_col = ts_col
+        self.sink = ExactlyOnceSink(out_dir)
+
+    # -- subclass hooks ----------------------------------------------------
+    def columns(self) -> List[str]:
+        raise NotImplementedError
+
+    def make_actor(self, partition: int):
+        raise NotImplementedError
+
+    # -- epoch planning ----------------------------------------------------
+    def plan_epochs(self) -> List[List[Dict]]:
+        paths = []
+        if os.path.isdir(self.input_path):
+            for root, _d, files in os.walk(self.input_path):
+                paths.extend(os.path.join(root, f)
+                             for f in sorted(files) if f.endswith(".parquet"))
+            paths.sort()
+        else:
+            paths = [self.input_path]
+        tasks = []
+        for p in paths:
+            meta = pq.read_metadata(p)
+            for rg in range(meta.num_row_groups):
+                tasks.append({"path": p, "row_group": rg})
+        return [tasks[i:i + self.rowgroups_per_epoch]
+                for i in range(0, len(tasks), self.rowgroups_per_epoch)]
+
+    # -- run loop ----------------------------------------------------------
+    @staticmethod
+    def _lineage(stats: List[Dict]) -> List[Dict]:
+        return [{k: v for k, v in s.items() if k != "max_event_ms"}
+                for s in stats]
+
+    def run(self, crash_after_stage_of_epoch: Optional[int] = None) -> Dict:
+        P = self.num_partitions
+        cols = self.columns()
+        actors = [self.make_actor(p) for p in range(P)]
+        tracker = WatermarkTracker.remote(P, self.allowed_lateness_ms)
+
+        committed = set(self.sink.committed_epochs())
+        state = self.sink.latest_state()
+        if state is not None:
+            ray.get([actors[p].restore.remote(state["actors"][p])
+                     for p in range(P)])
+            ray.get(tracker.restore.remote(state["watermark"]))
+
+        epochs = self.plan_epochs()
+        total_rows = 0
+        n_done = 0
+        for epoch_id, tasks in enumerate(epochs):
+            if epoch_id in committed:
+                continue
+            wm = ray.get(tracker.watermark.remote())
+            split_refs = [
+                _split_by_key.options(num_returns=P if P > 1 else 1).remote(
+                    t["path"], t["row_group"], P, self.key, cols, self.ts_col)
+                for t in tasks]
+            per_part = ([split_refs] if P == 1 else
+                        [[r[p] for r in split_refs] for p in range(P)])
+            stats = ray.get([actors[p].ingest_and_stage.remote(
+                epoch_id, per_part[p], wm, self.out_dir) for p in range(P)])
+            for s in stats:
+                ray.get(tracker.report.remote(s["partition"],
+                                              s["max_event_ms"]))
+            new_wm = ray.get(tracker.watermark.remote())
+            if crash_after_stage_of_epoch == epoch_id:
+                raise RuntimeError(
+                    f"injected crash after staging epoch {epoch_id}")
+            snaps = ray.get([a.snapshot.remote() for a in actors])
+            wm_snap = ray.get(tracker.snapshot.remote())
+            self.sink.commit(epoch_id, self._lineage(stats), new_wm,
+                             state_snapshots={"actors": snaps,
+                                              "watermark": wm_snap})
+            total_rows += sum(s["rows"] for s in stats)
+            n_done += 1
+
+        # final flush: +inf watermark drains all remaining state
+        flush_epoch = len(epochs)
+        if flush_epoch not in committed:
+            stats = ray.get([actors[p].ingest_and_stage.remote(
+                flush_epoch, [], 2 ** 62, self.out_dir) for p in range(P)])
+            snaps = ray.get([a.snapshot.remote() for a in actors])
+            wm_snap = ray.get(tracker.snapshot.remote())
+            self.sink.commit(flush_epoch, self._lineage(stats), 2 ** 62,
+                             state_snapshots={"actors": snaps,
+                                              "watermark": wm_snap})
+            total_rows += sum(s["rows"] for s in stats)
+        for a in actors:
+            ray.kill(a)
+        ray.kill(tracker)
+        return {"epochs_processed": n_done, "rows_emitted": total_rows,
+                "committed_rows": self.sink.committed_row_count()}
 
 
 @ray.remote
@@ -146,7 +281,7 @@ class WindowStateActor:
         self.state = _deserialize(snap.get("state"))
 
 
-class StreamingWindowEngine:
+class StreamingWindowEngine(MicroBatchEngine):
     """Tumbling windowed aggregate over micro-batch epochs of the audio
     table, keyed by speaker, exactly-once, resumable."""
 
@@ -154,100 +289,149 @@ class StreamingWindowEngine:
                  rowgroups_per_epoch: int = 2, window_ms: int = 600_000,
                  allowed_lateness_ms: int = 60_000, key: str = "speaker",
                  ts_col: str = "event_ms", dur_col: str = "dur_ms"):
-        self.input_path = input_path
-        self.out_dir = out_dir
-        self.num_partitions = num_partitions
-        self.rowgroups_per_epoch = rowgroups_per_epoch
+        super().__init__(input_path, out_dir, num_partitions,
+                         rowgroups_per_epoch, allowed_lateness_ms, key, ts_col)
         self.window_ms = window_ms
-        self.allowed_lateness_ms = allowed_lateness_ms
+        self.dur_col = dur_col
+
+    def columns(self) -> List[str]:
+        return [self.key, self.ts_col, self.dur_col]
+
+    def make_actor(self, partition: int):
+        return WindowStateActor.remote(partition, self.key, self.ts_col,
+                                       self.dur_col, self.window_ms)
+
+
+@ray.remote
+class SessionStateActor:
+    """Per-partition session-window state: one row per OPEN session
+    (key, start_ms, end_ms, total_dur_ms, n_clips). New events merge into
+    sessions via one vectorized interval-merge scan per epoch (sort by
+    (key, start), per-key running-max end, boundary where the gap >=
+    gap_ms) — the streaming counterpart of
+    ``streaming.windows.assign_session``'s boundary scan.
+
+    A session finalizes when ``end_ms + gap <= watermark`` (no future
+    event can extend it); emission carries ``window_end = end_ms + gap``,
+    matching the batch operator. Events that could only belong to an
+    already-closed session (``ts + gap <= watermark``) are late: dropped
+    and counted.
+    """
+
+    _COLS = ["__key__", "start_ms", "end_ms", "total_dur_ms", "n_clips"]
+
+    def __init__(self, partition: int, key: str, ts_col: str,
+                 dur_col: str, gap_ms: int):
+        self.partition = partition
         self.key = key
         self.ts_col = ts_col
         self.dur_col = dur_col
-        self.sink = ExactlyOnceSink(out_dir)
+        self.gap_ms = gap_ms
+        self.state: Optional[pd.DataFrame] = None
 
-    def plan_epochs(self) -> List[List[Dict]]:
-        paths = []
-        if os.path.isdir(self.input_path):
-            for root, _d, files in os.walk(self.input_path):
-                paths.extend(os.path.join(root, f)
-                             for f in sorted(files) if f.endswith(".parquet"))
-            paths.sort()
+    def _merge(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Interval-merge sessions/events sharing a key when the gap
+        between them is < gap_ms. Vectorized: mergesort + per-key cummax
+        of end + boundary scan; no per-key Python."""
+        df = df.sort_values(["__key__", "start_ms"],
+                            kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        key_change = np.zeros(n, dtype=bool)
+        key_change[0] = True
+        kv = df["__key__"].to_numpy()
+        key_change[1:] = kv[1:] != kv[:-1]
+        kseg = np.cumsum(key_change)
+        run_end = df.groupby(kseg)["end_ms"].cummax().to_numpy()
+        start = df["start_ms"].to_numpy()
+        boundary = key_change.copy()
+        boundary[1:] |= start[1:] >= run_end[:-1] + self.gap_ms
+        sess = np.cumsum(boundary)
+        g = df.groupby(sess, sort=False)
+        return pd.DataFrame({
+            "__key__": g["__key__"].first(),
+            "start_ms": g["start_ms"].min(),
+            "end_ms": g["end_ms"].max(),
+            "total_dur_ms": g["total_dur_ms"].sum(),
+            "n_clips": g["n_clips"].sum(),
+        }).reset_index(drop=True)
+
+    def ingest_and_stage(self, epoch: int, refs: List, watermark_ms: int,
+                         sink_dir: str) -> Dict:
+        tuples = ray.get(list(refs)) if refs else []
+        tables = [t[0] for t in tuples if t[0] is not None and len(t[0])]
+        max_ms = max([t[1] for t in tuples], default=-1)
+        n_late = 0
+        frames = [] if self.state is None else [self.state]
+        if tables:
+            tbl = pa.concat_tables(tables)
+            ts = tbl[self.ts_col].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            df = pd.DataFrame({
+                "__key__": tbl[self.key].to_numpy(zero_copy_only=False),
+                "start_ms": ts,
+                "end_ms": ts,
+                "total_dur_ms": tbl[self.dur_col].to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "n_clips": np.ones(len(ts), dtype=np.int64),
+            })
+            if watermark_ms >= 0:
+                late = df["end_ms"] + self.gap_ms <= watermark_ms
+                n_late = int(late.sum())
+                df = df[~late]
+            if len(df):
+                frames.append(df)
+        merged = (self._merge(pd.concat(frames, ignore_index=True))
+                  if frames else pd.DataFrame(columns=self._COLS))
+
+        closed = (merged["end_ms"] + self.gap_ms <= watermark_ms
+                  if len(merged) else pd.Series(dtype=bool))
+        emitted = merged[closed] if len(merged) else merged
+        self.state = (merged[~closed].reset_index(drop=True)
+                      if len(merged) else None)
+
+        sink = ExactlyOnceSink(sink_dir)
+        if len(emitted):
+            out = pd.DataFrame({
+                self.key: emitted["__key__"].to_numpy(),
+                "window_start": emitted["start_ms"].to_numpy(),
+                "window_end": emitted["end_ms"].to_numpy() + self.gap_ms,
+                "total_dur_ms": emitted["total_dur_ms"].to_numpy(),
+                "n_clips": emitted["n_clips"].to_numpy(),
+            })
+            stats = sink.stage(epoch, self.partition,
+                               pa.Table.from_pandas(out,
+                                                    preserve_index=False))
         else:
-            paths = [self.input_path]
-        tasks = []
-        for p in paths:
-            meta = pq.read_metadata(p)
-            for rg in range(meta.num_row_groups):
-                tasks.append({"path": p, "row_group": rg})
-        return [tasks[i:i + self.rowgroups_per_epoch]
-                for i in range(0, len(tasks), self.rowgroups_per_epoch)]
+            stats = {"partition": self.partition, "rows": 0, "bytes": 0}
+        stats.update({"max_event_ms": max_ms, "late_dropped": n_late,
+                      "open_sessions": 0 if self.state is None
+                      else len(self.state)})
+        return stats
 
-    def run(self, crash_after_stage_of_epoch: Optional[int] = None) -> Dict:
-        P = self.num_partitions
-        cols = [self.key, self.ts_col, self.dur_col]
-        actors = [WindowStateActor.remote(
-            p, self.key, self.ts_col, self.dur_col, self.window_ms)
-            for p in range(P)]
-        tracker = WatermarkTracker.remote(P, self.allowed_lateness_ms)
+    def snapshot(self) -> Dict:
+        return {"state": _serialize(self.state)}
 
-        committed = set(self.sink.committed_epochs())
-        state = self.sink.latest_state()
-        if state is not None:
-            ray.get([actors[p].restore.remote(state["actors"][p])
-                     for p in range(P)])
-            ray.get(tracker.restore.remote(state["watermark"]))
+    def restore(self, snap: Dict) -> None:
+        self.state = _deserialize(snap.get("state"))
 
-        epochs = self.plan_epochs()
-        total_rows = 0
-        n_done = 0
-        for epoch_id, tasks in enumerate(epochs):
-            if epoch_id in committed:
-                continue
-            wm = ray.get(tracker.watermark.remote())
-            split_refs = [
-                _split_by_key.options(num_returns=P if P > 1 else 1).remote(
-                    t["path"], t["row_group"], P, self.key, cols, self.ts_col)
-                for t in tasks]
-            per_part = ([split_refs] if P == 1 else
-                        [[r[p] for r in split_refs] for p in range(P)])
-            stats = ray.get([actors[p].ingest_and_stage.remote(
-                epoch_id, per_part[p], wm, self.out_dir) for p in range(P)])
-            for s in stats:
-                ray.get(tracker.report.remote(s["partition"],
-                                              s["max_event_ms"]))
-            new_wm = ray.get(tracker.watermark.remote())
-            if crash_after_stage_of_epoch == epoch_id:
-                raise RuntimeError(
-                    f"injected crash after staging epoch {epoch_id}")
-            snaps = ray.get([a.snapshot.remote() for a in actors])
-            wm_snap = ray.get(tracker.snapshot.remote())
-            self.sink.commit(
-                epoch_id,
-                [{"partition": s["partition"], "rows": s["rows"],
-                  "bytes": s["bytes"], "late_dropped": s["late_dropped"],
-                  "open_windows": s["open_windows"]} for s in stats],
-                new_wm, state_snapshots={"actors": snaps,
-                                         "watermark": wm_snap})
-            total_rows += sum(s["rows"] for s in stats)
-            n_done += 1
 
-        # final flush: +inf watermark closes every remaining window
-        flush_epoch = len(epochs)
-        if flush_epoch not in committed:
-            stats = ray.get([actors[p].ingest_and_stage.remote(
-                flush_epoch, [], 2 ** 62, self.out_dir) for p in range(P)])
-            snaps = ray.get([a.snapshot.remote() for a in actors])
-            wm_snap = ray.get(tracker.snapshot.remote())
-            self.sink.commit(
-                flush_epoch,
-                [{"partition": s["partition"], "rows": s["rows"],
-                  "bytes": s["bytes"],
-                  "open_windows": s["open_windows"]} for s in stats],
-                2 ** 62, state_snapshots={"actors": snaps,
-                                          "watermark": wm_snap})
-            total_rows += sum(s["rows"] for s in stats)
-        for a in actors:
-            ray.kill(a)
-        ray.kill(tracker)
-        return {"epochs_processed": n_done, "rows_emitted": total_rows,
-                "committed_rows": self.sink.committed_row_count()}
+class StreamingSessionEngine(MicroBatchEngine):
+    """Session windowed aggregate over micro-batch epochs, keyed by
+    speaker, exactly-once, resumable — the streaming counterpart of the
+    batch ``assign_session`` operator."""
+
+    def __init__(self, input_path: str, out_dir: str, num_partitions: int = 4,
+                 rowgroups_per_epoch: int = 2, gap_ms: int = 120_000,
+                 allowed_lateness_ms: int = 60_000, key: str = "speaker",
+                 ts_col: str = "event_ms", dur_col: str = "dur_ms"):
+        super().__init__(input_path, out_dir, num_partitions,
+                         rowgroups_per_epoch, allowed_lateness_ms, key, ts_col)
+        self.gap_ms = gap_ms
+        self.dur_col = dur_col
+
+    def columns(self) -> List[str]:
+        return [self.key, self.ts_col, self.dur_col]
+
+    def make_actor(self, partition: int):
+        return SessionStateActor.remote(partition, self.key, self.ts_col,
+                                        self.dur_col, self.gap_ms)

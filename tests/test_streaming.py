@@ -275,3 +275,159 @@ def test_streaming_window_engine_crash_resume(audio_dir, tmp_path):
     r2 = again.run()
     assert r2["epochs_processed"] == 0
     assert r2["committed_rows"] == clean_rows
+
+
+def test_streaming_session_engine_matches_batch(audio_dir, tmp_path):
+    """Over a time-ordered stream, the streaming session-window engine
+    (gap merge in per-partition state, watermark finalization) must
+    reproduce the batch gaps-and-islands result, with zero late drops."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from dataflows_ray.streaming.window_engine import StreamingSessionEngine
+
+    GAP = 120_000
+    sorted_dir = _sorted_audio_copy(audio_dir, str(tmp_path / "sorted"))
+    out = str(tmp_path / "sess")
+    eng = StreamingSessionEngine(sorted_dir, out, num_partitions=2,
+                                 rowgroups_per_epoch=1, gap_ms=GAP)
+    eng.run()
+    man = ExactlyOnceSink(out).read_manifest()
+    epochs_with_rows = sum(
+        1 for e in man["epochs"]
+        if sum(p.get("rows", 0) for p in e.get("partitions", [])) > 0)
+    assert epochs_with_rows > 1  # incremental emission really happened
+    assert all(p.get("late_dropped", 0) == 0
+               for e in man["epochs"] for p in e.get("partitions", []))
+    got = ExactlyOnceSink(out).read_output().to_pandas() \
+        .sort_values(["speaker", "window_start"]).reset_index(drop=True)
+
+    # ground truth: pandas gaps-and-islands over the same rows
+    files = sorted(glob.glob(os.path.join(audio_dir, "*.parquet")))
+    df = pa.concat_tables(
+        [pq.read_table(f, columns=["speaker", "event_ms", "dur_ms"])
+         for f in files]).to_pandas()
+    df = df.sort_values(["speaker", "event_ms"]).reset_index(drop=True)
+    new = (df["speaker"] != df["speaker"].shift()) | \
+        (df["event_ms"] - df["event_ms"].shift() >= GAP)
+    grp = new.cumsum()
+    exp = df.groupby(grp).agg(
+        speaker=("speaker", "first"), window_start=("event_ms", "min"),
+        window_end=("event_ms", "max"), total_dur_ms=("dur_ms", "sum"),
+        n_clips=("dur_ms", "count")).reset_index(drop=True)
+    exp["window_end"] += GAP
+    exp = exp.sort_values(["speaker", "window_start"]).reset_index(drop=True)
+
+    assert len(got) == len(exp)
+    for c in ["speaker", "window_start", "window_end", "total_dur_ms",
+              "n_clips"]:
+        assert list(got[c]) == list(exp[c]), c
+
+
+def test_streaming_session_engine_crash_resume(audio_dir, tmp_path):
+    from dataflows_ray.streaming.window_engine import StreamingSessionEngine
+
+    clean_out = str(tmp_path / "clean")
+    clean = StreamingSessionEngine(audio_dir, clean_out, num_partitions=2,
+                                   rowgroups_per_epoch=1)
+    clean_rows = clean.run()["committed_rows"]
+
+    out = str(tmp_path / "crash")
+    eng = StreamingSessionEngine(audio_dir, out, num_partitions=2,
+                                 rowgroups_per_epoch=1)
+    with pytest.raises(RuntimeError):
+        eng.run(crash_after_stage_of_epoch=1)
+    resumed = StreamingSessionEngine(audio_dir, out, num_partitions=2,
+                                     rowgroups_per_epoch=1)
+    r = resumed.run()
+    assert r["committed_rows"] == clean_rows
+    again = StreamingSessionEngine(audio_dir, out, num_partitions=2,
+                                   rowgroups_per_epoch=1)
+    r2 = again.run()
+    assert r2["epochs_processed"] == 0
+    assert r2["committed_rows"] == clean_rows
+
+
+@pytest.fixture(scope="module")
+def cep_events_dir(tmp_path_factory):
+    """Small time-ordered typed-event stream for the CEP engine."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+        "ms": pa.array(np.sort(rng.integers(0, 50_000_000, n))
+                       .astype(np.int64)),
+        "event_type": pa.array(
+            rng.choice(["click", "purchase", "view"], n,
+                       p=[0.4, 0.3, 0.3])),
+    })
+    d = str(tmp_path_factory.mktemp("cepev"))
+    for i in range(0, n, 300):
+        pq.write_table(tbl.slice(i, 300),
+                       os.path.join(d, f"part-{i // 300:05d}.parquet"))
+    return d
+
+
+def test_streaming_cep_matches_bruteforce(cep_events_dir, tmp_path):
+    """The streaming CEP engine must emit exactly the (click, purchase
+    within T, same user) pairs a brute-force join produces — each pair
+    exactly once — over an in-order stream with zero late drops."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from dataflows_ray.streaming.cep_engine import StreamingCepEngine
+
+    WITHIN = 600_000
+    out = str(tmp_path / "cep")
+    eng = StreamingCepEngine(cep_events_dir, out, num_partitions=2,
+                             rowgroups_per_epoch=1, key="user_id",
+                             ts_col="ms", type_col="event_type",
+                             id_col="event_id", first_type="click",
+                             second_type="purchase", within=WITHIN)
+    eng.run()
+    man = ExactlyOnceSink(out).read_manifest()
+    epochs_with_rows = sum(
+        1 for e in man["epochs"]
+        if sum(p.get("rows", 0) for p in e.get("partitions", [])) > 0)
+    assert epochs_with_rows > 1
+    assert all(p.get("late_dropped", 0) == 0
+               for e in man["epochs"] for p in e.get("partitions", []))
+    got = ExactlyOnceSink(out).read_output().to_pandas()
+
+    files = sorted(glob.glob(os.path.join(cep_events_dir, "*.parquet")))
+    df = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    a = df[df["event_type"] == "click"]
+    b = df[df["event_type"] == "purchase"]
+    m = a.merge(b, on="user_id", suffixes=("", "_r"))
+    m = m[(m["ms_r"] >= m["ms"]) & (m["ms_r"] <= m["ms"] + WITHIN)]
+
+    assert len(got) == len(m)
+    assert set(zip(got["event_id"], got["event_id_r"])) == \
+        set(zip(m["event_id"], m["event_id_r"]))
+    # emitted exactly once: no duplicate pairs
+    assert len(got) == len(set(zip(got["event_id"], got["event_id_r"])))
+
+
+def test_streaming_cep_crash_resume(cep_events_dir, tmp_path):
+    from dataflows_ray.streaming.cep_engine import StreamingCepEngine
+
+    kw = dict(num_partitions=2, rowgroups_per_epoch=1, key="user_id",
+              ts_col="ms", type_col="event_type", id_col="event_id",
+              first_type="click", second_type="purchase", within=600_000)
+    clean_out = str(tmp_path / "clean")
+    clean_rows = StreamingCepEngine(
+        cep_events_dir, clean_out, **kw).run()["committed_rows"]
+
+    out = str(tmp_path / "crash")
+    eng = StreamingCepEngine(cep_events_dir, out, **kw)
+    with pytest.raises(RuntimeError):
+        eng.run(crash_after_stage_of_epoch=2)
+    r = StreamingCepEngine(cep_events_dir, out, **kw).run()
+    assert r["committed_rows"] == clean_rows
+    r2 = StreamingCepEngine(cep_events_dir, out, **kw).run()
+    assert r2["epochs_processed"] == 0
+    assert r2["committed_rows"] == clean_rows
