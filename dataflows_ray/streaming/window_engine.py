@@ -63,7 +63,17 @@ def _partition_on(keys: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
 
 @ray.remote
 def _split_by_key(path: str, row_group: int, num_partitions: int,
-                  key: str, columns: List[str], ts_col: str):
+                  key: str, columns: List[str], ts_col: str,
+                  precombine=None):
+    """Split one row group by key hash. ``precombine`` (optional) is the
+    engine's COMBINER: applied per partition chunk BEFORE the exchange,
+    it collapses rows into combinable partials (per-window sums, merged
+    session intervals), so shuffle volume and hot-key state-actor load
+    scale with O(open windows / sessions) per chunk — not O(rows). This
+    is the salted-repartition alternative for skewed keys: a hot key's
+    rows are reduced in every split task in parallel; only tiny partials
+    converge on its state partition. Watermarks are computed on the RAW
+    event times before combining."""
     pf = pq.ParquetFile(path)
     tbl = pf.read_row_group(row_group, columns=columns)
     parts = _partition_on(tbl[key], num_partitions)
@@ -71,6 +81,8 @@ def _split_by_key(path: str, row_group: int, num_partitions: int,
     for p in range(num_partitions):
         sub = tbl.filter(pa.array(parts == p))
         max_ms = int(pa.compute.max(sub[ts_col]).as_py()) if len(sub) else -1
+        if precombine is not None and len(sub):
+            sub = precombine(sub)
         out.append((sub, max_ms))
     return tuple(out) if num_partitions > 1 else out[0]
 
@@ -106,6 +118,11 @@ class MicroBatchEngine:
 
     def make_actor(self, partition: int):
         raise NotImplementedError
+
+    def precombine(self):
+        """Optional combiner applied to each partition chunk inside the
+        split task (see ``_split_by_key``); None = ship raw rows."""
+        return None
 
     # -- epoch planning ----------------------------------------------------
     def plan_epochs(self) -> List[List[Dict]]:
@@ -153,7 +170,8 @@ class MicroBatchEngine:
             wm = ray.get(tracker.watermark.remote())
             split_refs = [
                 _split_by_key.options(num_returns=P if P > 1 else 1).remote(
-                    t["path"], t["row_group"], P, self.key, cols, self.ts_col)
+                    t["path"], t["row_group"], P, self.key, cols,
+                    self.ts_col, self.precombine())
                 for t in tasks]
             per_part = ([split_refs] if P == 1 else
                         [[r[p] for r in split_refs] for p in range(P)])
@@ -192,17 +210,38 @@ class MicroBatchEngine:
                 "committed_rows": self.sink.committed_row_count()}
 
 
+def _window_partials(tbl: pa.Table, key: str, ts_col: str, dur_col: str,
+                     window_ms: int) -> pa.Table:
+    """Combiner for tumbling windows: raw rows -> one combinable partial
+    per (key, window_start) present in the chunk."""
+    ts = tbl[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    df = pd.DataFrame({
+        key: tbl[key].to_numpy(zero_copy_only=False),
+        "window_start": (ts // window_ms) * window_ms,
+        "total_dur_ms": tbl[dur_col].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        "n_clips": np.ones(len(ts), dtype=np.int64),
+        "max_event_ms": ts,
+    })
+    g = df.groupby([key, "window_start"], sort=False)
+    out = pd.DataFrame({
+        "total_dur_ms": g["total_dur_ms"].sum(),
+        "n_clips": g["n_clips"].sum(),
+        "max_event_ms": g["max_event_ms"].max(),
+    }).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 @ray.remote
 class WindowStateActor:
-    """Per-partition tumbling-window partial state: one row per open
-    (key, window_start) with combinable partials."""
+    """Per-partition tumbling-window state: one row per open
+    (key, window_start). Receives COMBINED partials from the split tasks
+    (see ``_window_partials``) and folds them in — hot-key load on this
+    actor is O(open windows), not O(rows)."""
 
-    def __init__(self, partition: int, key: str, ts_col: str,
-                 dur_col: str, window_ms: int):
+    def __init__(self, partition: int, key: str, window_ms: int):
         self.partition = partition
         self.key = key
-        self.ts_col = ts_col
-        self.dur_col = dur_col
         self.window_ms = window_ms
         self.state: Optional[pd.DataFrame] = None
 
@@ -222,34 +261,17 @@ class WindowStateActor:
         tables = [t[0] for t in tuples if t[0] is not None and len(t[0])]
         max_ms = max([t[1] for t in tuples], default=-1)
         if tables:
-            tbl = pa.concat_tables(tables)
-            ts = tbl[self.ts_col].to_numpy(zero_copy_only=False).astype(
-                np.int64)
-            start = (ts // self.window_ms) * self.window_ms
-            df = pd.DataFrame({
-                self.key: tbl[self.key].to_numpy(zero_copy_only=False),
-                "window_start": start,
-                "total_dur_ms": tbl[self.dur_col].to_numpy(
-                    zero_copy_only=False).astype(np.int64),
-                "n_clips": np.ones(len(ts), dtype=np.int64),
-                "max_event_ms": ts,
-            })
-            # standard watermark semantics: rows whose window is already
-            # closed are LATE — dropped and counted, never re-emitted (a
-            # closed window stays emitted exactly once)
+            df = pa.concat_tables(tables).to_pandas()
+            # standard watermark semantics: partials whose window is
+            # already closed are LATE — dropped and counted (row-weighted
+            # by n_clips), never re-emitted (a closed window stays
+            # emitted exactly once)
             late_mask = (df["window_start"] + self.window_ms
                          <= watermark_ms) if watermark_ms >= 0 else \
                 pd.Series(False, index=df.index)
-            n_late = int(late_mask.sum())
+            n_late = int(df.loc[late_mask, "n_clips"].sum())
             df = df[~late_mask]
             if len(df):
-                # pre-combine the batch before folding into state
-                g = df.groupby([self.key, "window_start"], sort=False)
-                df = pd.DataFrame({
-                    "total_dur_ms": g["total_dur_ms"].sum(),
-                    "n_clips": g["n_clips"].sum(),
-                    "max_event_ms": g["max_event_ms"].max(),
-                }).reset_index()
                 self._fold(df)
         else:
             n_late = 0
@@ -298,62 +320,84 @@ class StreamingWindowEngine(MicroBatchEngine):
         return [self.key, self.ts_col, self.dur_col]
 
     def make_actor(self, partition: int):
-        return WindowStateActor.remote(partition, self.key, self.ts_col,
-                                       self.dur_col, self.window_ms)
+        return WindowStateActor.remote(partition, self.key, self.window_ms)
+
+    def precombine(self):
+        import functools
+        return functools.partial(
+            _window_partials, key=self.key, ts_col=self.ts_col,
+            dur_col=self.dur_col, window_ms=self.window_ms)
+
+
+def _interval_merge(df: pd.DataFrame, gap_ms: int) -> pd.DataFrame:
+    """Interval-merge sessions/events sharing a ``__key__`` when the gap
+    between them is < gap_ms. Vectorized: mergesort + per-key cummax of
+    end + boundary scan; no per-key Python. Closed under composition:
+    merging partials merged elsewhere gives the same sessions as merging
+    the raw events (what makes the split-task combiner sound)."""
+    df = df.sort_values(["__key__", "start_ms"],
+                        kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    key_change = np.zeros(n, dtype=bool)
+    key_change[0] = True
+    kv = df["__key__"].to_numpy()
+    key_change[1:] = kv[1:] != kv[:-1]
+    kseg = np.cumsum(key_change)
+    run_end = df.groupby(kseg)["end_ms"].cummax().to_numpy()
+    start = df["start_ms"].to_numpy()
+    boundary = key_change.copy()
+    boundary[1:] |= start[1:] >= run_end[:-1] + gap_ms
+    sess = np.cumsum(boundary)
+    g = df.groupby(sess, sort=False)
+    return pd.DataFrame({
+        "__key__": g["__key__"].first(),
+        "start_ms": g["start_ms"].min(),
+        "end_ms": g["end_ms"].max(),
+        "total_dur_ms": g["total_dur_ms"].sum(),
+        "n_clips": g["n_clips"].sum(),
+    }).reset_index(drop=True)
+
+
+def _session_partials(tbl: pa.Table, key: str, ts_col: str, dur_col: str,
+                      gap_ms: int) -> pa.Table:
+    """Combiner for session windows: raw rows -> partial sessions
+    interval-merged within the chunk."""
+    ts = tbl[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    df = pd.DataFrame({
+        "__key__": tbl[key].to_numpy(zero_copy_only=False),
+        "start_ms": ts,
+        "end_ms": ts,
+        "total_dur_ms": tbl[dur_col].to_numpy(
+            zero_copy_only=False).astype(np.int64),
+        "n_clips": np.ones(len(ts), dtype=np.int64),
+    })
+    return pa.Table.from_pandas(_interval_merge(df, gap_ms),
+                                preserve_index=False)
 
 
 @ray.remote
 class SessionStateActor:
     """Per-partition session-window state: one row per OPEN session
-    (key, start_ms, end_ms, total_dur_ms, n_clips). New events merge into
-    sessions via one vectorized interval-merge scan per epoch (sort by
-    (key, start), per-key running-max end, boundary where the gap >=
-    gap_ms) — the streaming counterpart of
-    ``streaming.windows.assign_session``'s boundary scan.
+    (key, start_ms, end_ms, total_dur_ms, n_clips). Receives partial
+    sessions pre-merged in the split tasks (``_session_partials``) and
+    folds them in with one vectorized interval-merge scan per epoch —
+    the streaming counterpart of ``streaming.windows.assign_session``'s
+    boundary scan, with hot-key actor load O(open sessions) not O(rows).
 
     A session finalizes when ``end_ms + gap <= watermark`` (no future
     event can extend it); emission carries ``window_end = end_ms + gap``,
-    matching the batch operator. Events that could only belong to an
-    already-closed session (``ts + gap <= watermark``) are late: dropped
-    and counted.
+    matching the batch operator. Partials that could only extend an
+    already-closed session (``end_ms + gap <= watermark``) are late:
+    dropped and counted (row-weighted by n_clips).
     """
 
     _COLS = ["__key__", "start_ms", "end_ms", "total_dur_ms", "n_clips"]
 
-    def __init__(self, partition: int, key: str, ts_col: str,
-                 dur_col: str, gap_ms: int):
+    def __init__(self, partition: int, key: str, gap_ms: int):
         self.partition = partition
         self.key = key
-        self.ts_col = ts_col
-        self.dur_col = dur_col
         self.gap_ms = gap_ms
         self.state: Optional[pd.DataFrame] = None
-
-    def _merge(self, df: pd.DataFrame) -> pd.DataFrame:
-        """Interval-merge sessions/events sharing a key when the gap
-        between them is < gap_ms. Vectorized: mergesort + per-key cummax
-        of end + boundary scan; no per-key Python."""
-        df = df.sort_values(["__key__", "start_ms"],
-                            kind="mergesort").reset_index(drop=True)
-        n = len(df)
-        key_change = np.zeros(n, dtype=bool)
-        key_change[0] = True
-        kv = df["__key__"].to_numpy()
-        key_change[1:] = kv[1:] != kv[:-1]
-        kseg = np.cumsum(key_change)
-        run_end = df.groupby(kseg)["end_ms"].cummax().to_numpy()
-        start = df["start_ms"].to_numpy()
-        boundary = key_change.copy()
-        boundary[1:] |= start[1:] >= run_end[:-1] + self.gap_ms
-        sess = np.cumsum(boundary)
-        g = df.groupby(sess, sort=False)
-        return pd.DataFrame({
-            "__key__": g["__key__"].first(),
-            "start_ms": g["start_ms"].min(),
-            "end_ms": g["end_ms"].max(),
-            "total_dur_ms": g["total_dur_ms"].sum(),
-            "n_clips": g["n_clips"].sum(),
-        }).reset_index(drop=True)
 
     def ingest_and_stage(self, epoch: int, refs: List, watermark_ms: int,
                          sink_dir: str) -> Dict:
@@ -363,24 +407,15 @@ class SessionStateActor:
         n_late = 0
         frames = [] if self.state is None else [self.state]
         if tables:
-            tbl = pa.concat_tables(tables)
-            ts = tbl[self.ts_col].to_numpy(zero_copy_only=False).astype(
-                np.int64)
-            df = pd.DataFrame({
-                "__key__": tbl[self.key].to_numpy(zero_copy_only=False),
-                "start_ms": ts,
-                "end_ms": ts,
-                "total_dur_ms": tbl[self.dur_col].to_numpy(
-                    zero_copy_only=False).astype(np.int64),
-                "n_clips": np.ones(len(ts), dtype=np.int64),
-            })
+            df = pa.concat_tables(tables).to_pandas()
             if watermark_ms >= 0:
                 late = df["end_ms"] + self.gap_ms <= watermark_ms
-                n_late = int(late.sum())
+                n_late = int(df.loc[late, "n_clips"].sum())
                 df = df[~late]
             if len(df):
                 frames.append(df)
-        merged = (self._merge(pd.concat(frames, ignore_index=True))
+        merged = (_interval_merge(pd.concat(frames, ignore_index=True),
+                                  self.gap_ms)
                   if frames else pd.DataFrame(columns=self._COLS))
 
         closed = (merged["end_ms"] + self.gap_ms <= watermark_ms
@@ -433,5 +468,10 @@ class StreamingSessionEngine(MicroBatchEngine):
         return [self.key, self.ts_col, self.dur_col]
 
     def make_actor(self, partition: int):
-        return SessionStateActor.remote(partition, self.key, self.ts_col,
-                                        self.dur_col, self.gap_ms)
+        return SessionStateActor.remote(partition, self.key, self.gap_ms)
+
+    def precombine(self):
+        import functools
+        return functools.partial(
+            _session_partials, key=self.key, ts_col=self.ts_col,
+            dur_col=self.dur_col, gap_ms=self.gap_ms)
