@@ -750,6 +750,46 @@ FROM events a JOIN events b
 """
 
 
+def q39_streaming_sliding_windows(sf_dir: str):
+    """STREAMING sliding windows (20-min windows sliding by 10 min,
+    events replicated in the split-task combiner, watermark emission)
+    over the time-ordered audio stream — verified against the standard
+    UNION-ALL replication SQL the batch operator satisfies."""
+    import shutil
+    from ..streaming.window_engine import StreamingSlidingEngine
+    from ..streaming.sink import ExactlyOnceSink
+    path = _sorted_audio_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_slidesink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingSlidingEngine(path, out, num_partitions=4,
+                                 rowgroups_per_epoch=2,
+                                 size_ms=1_200_000, slide_ms=600_000)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["speaker", "window_start", "total_dur_ms", "n_clips",
+         "max_event_ms"])
+
+
+Q39_SQL = """
+SELECT speaker, window_start,
+       CAST(sum(dur_ms) AS BIGINT) AS total_dur_ms, count(*) AS n_clips,
+       max(event_ms) AS max_event_ms
+FROM (
+  SELECT speaker, dur_ms, event_ms,
+         (event_ms // 600000) * 600000 AS window_start
+  FROM read_parquet('/tmp/dataflows_ray_audio/sf0.01/*.parquet')
+  UNION ALL
+  SELECT speaker, dur_ms, event_ms,
+         (event_ms // 600000) * 600000 - 600000
+  FROM read_parquet('/tmp/dataflows_ray_audio/sf0.01/*.parquet')
+)
+WHERE window_start >= 0
+GROUP BY speaker, window_start
+"""
+
+
 def _sorted_events_path(sf_dir: str) -> str:
     """Event-time-ordered integer-ms copy of the events table (cached):
     stream-source scaffolding that simulates ordered arrival for the
@@ -995,6 +1035,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q36_cep_click_to_purchase": q36_cep_click_to_purchase,
     "q37_streaming_session_windows": q37_streaming_session_windows,
     "q38_streaming_cep": q38_streaming_cep,
+    "q39_streaming_sliding_windows": q39_streaming_sliding_windows,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1084,4 +1125,5 @@ ORACLES: Dict[str, str] = {
     "q36_cep_click_to_purchase": Q36_SQL,
     "q37_streaming_session_windows": Q37_SQL,
     "q38_streaming_cep": Q38_SQL,
+    "q39_streaming_sliding_windows": Q39_SQL,
 }

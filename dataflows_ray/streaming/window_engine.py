@@ -329,6 +329,37 @@ class StreamingWindowEngine(MicroBatchEngine):
             dur_col=self.dur_col, window_ms=self.window_ms)
 
 
+def _sliding_partials(tbl: pa.Table, key: str, ts_col: str, dur_col: str,
+                      size_ms: int, slide_ms: int) -> pa.Table:
+    """Combiner for sliding windows: replicate each event into its
+    size/slide overlapping windows (clipped at t=0, matching the batch
+    ``assign_sliding``), then combine per (key, window_start) — the
+    replication never leaves the split task."""
+    ts = tbl[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    dur = tbl[dur_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = tbl[key].to_numpy(zero_copy_only=False)
+    n, n_w = len(ts), size_ms // slide_ms
+    idx = np.repeat(np.arange(n), n_w)
+    k = np.tile(np.arange(n_w), n)
+    starts = (ts // slide_ms) * slide_ms
+    rep_starts = starts[idx] - k * slide_ms
+    valid = rep_starts >= 0
+    df = pd.DataFrame({
+        key: keys[idx[valid]],
+        "window_start": rep_starts[valid],
+        "total_dur_ms": dur[idx[valid]],
+        "n_clips": np.ones(int(valid.sum()), dtype=np.int64),
+        "max_event_ms": ts[idx[valid]],
+    })
+    g = df.groupby([key, "window_start"], sort=False)
+    out = pd.DataFrame({
+        "total_dur_ms": g["total_dur_ms"].sum(),
+        "n_clips": g["n_clips"].sum(),
+        "max_event_ms": g["max_event_ms"].max(),
+    }).reset_index()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def _interval_merge(df: pd.DataFrame, gap_ms: int) -> pd.DataFrame:
     """Interval-merge sessions/events sharing a ``__key__`` when the gap
     between them is < gap_ms. Vectorized: mergesort + per-key cummax of
@@ -448,6 +479,40 @@ class SessionStateActor:
 
     def restore(self, snap: Dict) -> None:
         self.state = _deserialize(snap.get("state"))
+
+
+class StreamingSlidingEngine(MicroBatchEngine):
+    """Sliding windowed aggregate over micro-batch epochs: events are
+    replicated into their size/slide overlapping windows INSIDE the
+    split-task combiner (``_sliding_partials``), then the tumbling
+    ``WindowStateActor`` machinery applies unchanged — a window closes
+    when ``window_start + size <= watermark``. Completes the streaming
+    tumbling/sliding/session trio."""
+
+    def __init__(self, input_path: str, out_dir: str, num_partitions: int = 4,
+                 rowgroups_per_epoch: int = 2, size_ms: int = 1_200_000,
+                 slide_ms: int = 600_000, allowed_lateness_ms: int = 60_000,
+                 key: str = "speaker", ts_col: str = "event_ms",
+                 dur_col: str = "dur_ms"):
+        assert size_ms % slide_ms == 0, "size must be a multiple of slide"
+        super().__init__(input_path, out_dir, num_partitions,
+                         rowgroups_per_epoch, allowed_lateness_ms, key, ts_col)
+        self.size_ms = size_ms
+        self.slide_ms = slide_ms
+        self.dur_col = dur_col
+
+    def columns(self) -> List[str]:
+        return [self.key, self.ts_col, self.dur_col]
+
+    def make_actor(self, partition: int):
+        return WindowStateActor.remote(partition, self.key, self.size_ms)
+
+    def precombine(self):
+        import functools
+        return functools.partial(
+            _sliding_partials, key=self.key, ts_col=self.ts_col,
+            dur_col=self.dur_col, size_ms=self.size_ms,
+            slide_ms=self.slide_ms)
 
 
 class StreamingSessionEngine(MicroBatchEngine):

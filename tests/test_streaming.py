@@ -431,3 +431,45 @@ def test_streaming_cep_crash_resume(cep_events_dir, tmp_path):
     r2 = StreamingCepEngine(cep_events_dir, out, **kw).run()
     assert r2["epochs_processed"] == 0
     assert r2["committed_rows"] == clean_rows
+
+
+def test_streaming_sliding_engine_matches_batch(audio_dir, tmp_path):
+    """Streaming sliding windows (replication in the split-task combiner)
+    must reproduce the batch UNION-ALL replication result."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from dataflows_ray.streaming.window_engine import StreamingSlidingEngine
+
+    SIZE, SLIDE = 1_200_000, 600_000
+    sorted_dir = _sorted_audio_copy(audio_dir, str(tmp_path / "sorted"))
+    out = str(tmp_path / "slide")
+    eng = StreamingSlidingEngine(sorted_dir, out, num_partitions=2,
+                                 rowgroups_per_epoch=1, size_ms=SIZE,
+                                 slide_ms=SLIDE)
+    eng.run()
+    man = ExactlyOnceSink(out).read_manifest()
+    assert all(p.get("late_dropped", 0) == 0
+               for e in man["epochs"] for p in e.get("partitions", []))
+    got = ExactlyOnceSink(out).read_output().to_pandas() \
+        .sort_values(["speaker", "window_start"]).reset_index(drop=True)
+
+    files = sorted(glob.glob(os.path.join(audio_dir, "*.parquet")))
+    df = pa.concat_tables(
+        [pq.read_table(f, columns=["speaker", "event_ms", "dur_ms"])
+         for f in files]).to_pandas()
+    import pandas as pd
+    rep = pd.concat([
+        df.assign(window_start=(df["event_ms"] // SLIDE) * SLIDE),
+        df.assign(window_start=(df["event_ms"] // SLIDE) * SLIDE - SLIDE),
+    ], ignore_index=True)
+    rep = rep[rep["window_start"] >= 0]
+    exp = rep.groupby(["speaker", "window_start"]).agg(
+        total_dur_ms=("dur_ms", "sum"), n_clips=("dur_ms", "count"),
+        max_event_ms=("event_ms", "max")).reset_index() \
+        .sort_values(["speaker", "window_start"]).reset_index(drop=True)
+
+    assert len(got) == len(exp)
+    for c in ["speaker", "window_start", "total_dur_ms", "n_clips",
+              "max_event_ms"]:
+        assert list(got[c]) == list(exp[c]), c
