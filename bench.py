@@ -62,6 +62,21 @@ def run_benchmarks() -> dict:
     timed("q17_exact_dedup", lambda: q17_exact_dedup(SF_DIR).count())
     timed("q18_knn_cosine", lambda: q18_knn_cosine(SF_DIR).to_pandas())
 
+    # streaming windowed-aggregate engine (micro-batch epochs, watermark
+    # emission, 2PC sink) over the same audio table — the engine-form
+    # counterpart of q12/q23's batch window aggregate
+    def streaming_window_engine():
+        from dataflows_ray.streaming.window_engine import StreamingWindowEngine
+        out = f"/tmp/bench_winsink_{NUM_CPUS}"
+        if os.path.exists(out):
+            shutil.rmtree(out)
+        eng = StreamingWindowEngine(_audio_path(SF_DIR), out,
+                                    num_partitions=max(4, NUM_CPUS // 4),
+                                    rowgroups_per_epoch=8)
+        return eng.run()["committed_rows"]
+
+    timed("q35_streaming_window_engine", streaming_window_engine)
+
     # headline: audio decode (real FFT/mel features) + windowed aggregate +
     # stateful stream-stream join (clips/sec)
     audio = _audio_path(SF_DIR)
