@@ -235,15 +235,21 @@ def _content_hash_table(batch: pa.Table, text_col: str,
 
 
 def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
-                id_col: str = "doc_id") -> ray.data.Dataset:
+                id_col: str = "doc_id",
+                broadcast_limit: int = BROADCAST_ID_LIMIT
+                ) -> ray.data.Dataset:
     """Keep the min-id row per distinct text content.
 
     Scale shape: vectorized 128-bit content-hash stage (no per-row
     Python) -> combining aggregate (``stages.agg.grouped_aggregate``:
     per-block combiner + hash-shuffle merge, no per-group Python) over
-    (hash, id) ONLY -> broadcast the keeper-id set and filter the corpus
-    in place. The documents are never shuffled."""
+    (hash, id) ONLY -> semi-join the corpus against the keeper-id set
+    (``stages.semijoin``: broadcast value-set filter while the keepers
+    fit driver memory, distributed hash join beyond that — no scale
+    cliff). The documents themselves are never shuffled on the
+    broadcast path."""
     from ..stages.agg import grouped_aggregate
+    from ..stages.semijoin import semi_join_ids
 
     def add_hash(batch: pa.Table) -> pa.Table:
         return _content_hash_table(batch, text_col, id_col)
@@ -253,23 +259,8 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
         hashed,
         ["__ch_a__", "__ch_b__"],
         [{"target": "__keep_id__", "source": id_col, "aggregate": "min"}])
-    chunks = [b["__keep_id__"].to_numpy(zero_copy_only=False)
-              for b in keep.select_columns(["__keep_id__"]).iter_batches(
-                  batch_format="pyarrow", batch_size=None)]
-    keep_ids = (np.sort(np.concatenate(chunks)) if chunks
-                else np.empty(0, dtype=np.int64))
-    if len(keep_ids) > BROADCAST_ID_LIMIT:
-        raise NotImplementedError(
-            "exact_dedup keeper set exceeds broadcast limit; use a "
-            "distributed semi-join on the id column at this scale")
-    ref = ray.put(pa.array(keep_ids))
-
-    def keep_filter(batch: pa.Table) -> pa.Table:
-        # ray.get of the broadcast id set is a zero-copy shared-memory read
-        return batch.filter(pc.is_in(batch[id_col], value_set=ray.get(ref)))
-
-    return ds.map_batches(keep_filter, batch_format="pyarrow",
-                          batch_size=None)
+    return semi_join_ids(ds, keep, id_col, id_col="__keep_id__",
+                         broadcast_limit=broadcast_limit)
 
 
 def minhash_lsh_candidates(ds: ray.data.Dataset, num_perm: int = 128,

@@ -45,6 +45,32 @@ def test_exact_dedup_removes_planted_dupes():
     assert 0 in set(out["doc_id"])  # min id kept
 
 
+def test_exact_dedup_distributed_semijoin_path():
+    # broadcast_limit=0 forces the hash-join fallback (the 100-TB path);
+    # result must be identical to the broadcast path
+    ds = ray.data.from_items(_docs())
+    out = exact_dedup(ds, broadcast_limit=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ref = exact_dedup(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.equals(ref)
+    assert len(out) == 21
+
+
+def test_anti_join_ids():
+    from dataflows_ray.stages.semijoin import semi_join_ids
+    ds = ray.data.from_items([{"k": i, "v": i * 10} for i in range(20)])
+    ids = ray.data.from_items([{"k": i} for i in (3, 5, 7)])
+    for limit in (0, 10**6):  # both plans, same answer
+        kept = semi_join_ids(ds, ids, "k", anti=True,
+                             broadcast_limit=limit).to_pandas()
+        assert set(kept["k"]) == set(range(20)) - {3, 5, 7}
+        assert list(kept.columns) == ["k", "v"]
+        semi = semi_join_ids(ds, ids, "k", broadcast_limit=limit).to_pandas()
+        assert set(semi["k"]) == {3, 5, 7}
+        assert list(semi.columns) == ["k", "v"]
+
+
 def test_minhash_dedup_catches_near_dupe():
     ds = ray.data.from_items(_docs())
     deduped, pairs = minhash_dedup(ds, threshold=0.5)
