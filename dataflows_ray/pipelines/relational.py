@@ -943,6 +943,57 @@ FROM (
 """
 
 
+def _chunked_docs_path(sf_dir: str) -> str:
+    """Multi-file, multi-row-group copy of the documents table (cached):
+    the micro-batch streaming engines consume row groups as epochs, and
+    the testdata table is a single row group. Source prep, not a
+    pipeline stage — id order (stream order) is preserved."""
+    import pyarrow.parquet as pq
+    sf = os.path.basename(sf_dir.rstrip("/"))
+    dest = f"/tmp/dataflows_ray_docs_chunked/{sf}"
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        tbl = pq.read_table(f"{sf_dir}/documents.parquet")
+        os.makedirs(dest, exist_ok=True)
+        rows_per_file = max(100, len(tbl) // 4)
+        for i in range(0, len(tbl), rows_per_file):
+            pq.write_table(
+                tbl.slice(i, rows_per_file),
+                os.path.join(dest, f"part-{i // rows_per_file:05d}.parquet"),
+                row_group_size=max(50, rows_per_file // 2))
+        open(os.path.join(dest, "_SUCCESS"), "w").close()
+    return dest
+
+
+def q40_streaming_dedup(sf_dir: str):
+    """STREAMING exact dedup (micro-batch epochs, per-partition
+    seen-content state, first-seen emission, exactly-once sink) over the
+    id-ordered document stream — the streaming counterpart of q17;
+    because the stream is id-ordered, the committed output equals the
+    batch "min doc_id per distinct text" and one SQL oracle covers
+    both."""
+    import shutil
+    from ..streaming.dedup_engine import StreamingDedupEngine
+    from ..streaming.sink import ExactlyOnceSink
+    path = _chunked_docs_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_dedupsink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingDedupEngine(path, out, num_partitions=4,
+                               rowgroups_per_epoch=2)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["doc_id", "text", "lang", "source", "n_chars"])
+
+
+Q40_SQL = """
+SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+  USING (doc_id)
+"""
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1036,6 +1087,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q37_streaming_session_windows": q37_streaming_session_windows,
     "q38_streaming_cep": q38_streaming_cep,
     "q39_streaming_sliding_windows": q39_streaming_sliding_windows,
+    "q40_streaming_dedup": q40_streaming_dedup,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1126,4 +1178,5 @@ ORACLES: Dict[str, str] = {
     "q37_streaming_session_windows": Q37_SQL,
     "q38_streaming_cep": Q38_SQL,
     "q39_streaming_sliding_windows": Q39_SQL,
+    "q40_streaming_dedup": Q40_SQL,
 }

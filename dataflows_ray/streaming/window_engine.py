@@ -64,7 +64,7 @@ def _partition_on(keys: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
 @ray.remote
 def _split_by_key(path: str, row_group: int, num_partitions: int,
                   key: str, columns: List[str], ts_col: str,
-                  precombine=None):
+                  precombine=None, derive=None):
     """Split one row group by key hash. ``precombine`` (optional) is the
     engine's COMBINER: applied per partition chunk BEFORE the exchange,
     it collapses rows into combinable partials (per-window sums, merged
@@ -73,9 +73,15 @@ def _split_by_key(path: str, row_group: int, num_partitions: int,
     is the salted-repartition alternative for skewed keys: a hot key's
     rows are reduced in every split task in parallel; only tiny partials
     converge on its state partition. Watermarks are computed on the RAW
-    event times before combining."""
+    event times before combining.
+
+    ``derive`` (optional) maps the raw table to one with derived columns
+    BEFORE partitioning — for engines whose partition key is computed
+    (e.g. the dedup engine's content hash), not a file column."""
     pf = pq.ParquetFile(path)
     tbl = pf.read_row_group(row_group, columns=columns)
+    if derive is not None:
+        tbl = derive(tbl)
     parts = _partition_on(tbl[key], num_partitions)
     out = []
     for p in range(num_partitions):
@@ -122,6 +128,11 @@ class MicroBatchEngine:
     def precombine(self):
         """Optional combiner applied to each partition chunk inside the
         split task (see ``_split_by_key``); None = ship raw rows."""
+        return None
+
+    def derive(self):
+        """Optional derived-column map applied to the raw row group
+        before partitioning (see ``_split_by_key``); None = raw table."""
         return None
 
     # -- epoch planning ----------------------------------------------------
@@ -171,7 +182,7 @@ class MicroBatchEngine:
             split_refs = [
                 _split_by_key.options(num_returns=P if P > 1 else 1).remote(
                     t["path"], t["row_group"], P, self.key, cols,
-                    self.ts_col, self.precombine())
+                    self.ts_col, self.precombine(), self.derive())
                 for t in tasks]
             per_part = ([split_refs] if P == 1 else
                         [[r[p] for r in split_refs] for p in range(P)])

@@ -473,3 +473,95 @@ def test_streaming_sliding_engine_matches_batch(audio_dir, tmp_path):
     for c in ["speaker", "window_start", "total_dur_ms", "n_clips",
               "max_event_ms"]:
         assert list(got[c]) == list(exp[c]), c
+
+
+def _docs_stream_dir(dest: str, n_files: int = 4, per_file: int = 50):
+    """Id-ordered document stream with duplicates planted both within a
+    file and ACROSS files (later files repeat earlier content — the case
+    that requires cross-epoch seen-state)."""
+    import pyarrow.parquet as pq
+    os.makedirs(dest, exist_ok=True)
+    texts = [f"unique document number {i} with some filler words"
+             for i in range(n_files * per_file)]
+    doc_id = 0
+    for f in range(n_files):
+        rows_text, rows_id = [], []
+        for j in range(per_file):
+            i = f * per_file + j
+            if j % 10 == 7 and f > 0:
+                # duplicate of a doc from an EARLIER file
+                rows_text.append(texts[(f - 1) * per_file + j])
+            elif j % 10 == 8:
+                # duplicate of the previous row (same file)
+                rows_text.append(rows_text[-1])
+            else:
+                rows_text.append(texts[i])
+            rows_id.append(doc_id)
+            doc_id += 1
+        tbl = pa.table({"doc_id": pa.array(rows_id, type=pa.int64()),
+                        "text": pa.array(rows_text)})
+        pq.write_table(tbl, os.path.join(dest, f"part-{f:05d}.parquet"),
+                       row_group_size=25)
+    return dest
+
+
+def test_streaming_dedup_matches_batch(tmp_path):
+    """First-seen streaming dedup over an id-ordered stream == batch
+    min-doc_id-per-text; duplicates across epochs are caught by the
+    persistent seen-state."""
+    import glob
+    from dataflows_ray.streaming.dedup_engine import StreamingDedupEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    src = _docs_stream_dir(str(tmp_path / "docs"))
+    out = str(tmp_path / "dedup")
+    eng = StreamingDedupEngine(src, out, num_partitions=2,
+                               rowgroups_per_epoch=1)
+    res = eng.run()
+    got = ExactlyOnceSink(out).read_output().to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    import pyarrow.parquet as pq
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    df = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+    exp = df.loc[df.groupby("text")["doc_id"].idxmin()] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["text"]) == list(exp["text"])
+    assert res["committed_rows"] == len(exp)
+    # duplicates were planted, so some must have been dropped
+    assert len(exp) < len(df)
+
+
+def test_streaming_dedup_crash_resume(tmp_path):
+    """Crash at every epoch; a resumed run must neither re-emit (the
+    seen-state snapshot restores) nor lose rows."""
+    from dataflows_ray.streaming.dedup_engine import StreamingDedupEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    src = _docs_stream_dir(str(tmp_path / "docs"))
+    clean_out = str(tmp_path / "clean")
+    clean = StreamingDedupEngine(src, clean_out, num_partitions=2,
+                                 rowgroups_per_epoch=1)
+    clean_rows = clean.run()["committed_rows"]
+
+    for crash_at in (0, 2):
+        out = str(tmp_path / f"crash{crash_at}")
+        eng = StreamingDedupEngine(src, out, num_partitions=2,
+                                   rowgroups_per_epoch=1)
+        try:
+            eng.run(crash_after_stage_of_epoch=crash_at)
+            assert False
+        except RuntimeError:
+            pass
+        resumed = StreamingDedupEngine(src, out, num_partitions=2,
+                                       rowgroups_per_epoch=1)
+        r = resumed.run()
+        assert r["committed_rows"] == clean_rows
+        ids = ExactlyOnceSink(out).read_output().to_pandas()["doc_id"]
+        assert ids.is_unique
+        again = StreamingDedupEngine(src, out, num_partitions=2,
+                                     rowgroups_per_epoch=1)
+        r2 = again.run()
+        assert r2["epochs_processed"] == 0
+        assert r2["committed_rows"] == clean_rows
