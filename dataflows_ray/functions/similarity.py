@@ -213,3 +213,148 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float = 0.9,
         })
 
     return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse spherical k-means quantizer -> cell
+# assignment -> per-query probe of the nprobe nearest cells -> exact
+# re-rank inside probed cells only. The classic scale path (Sivic &
+# Zisserman 2003 / FAISS IVF-Flat): at 100 TB the cell id is the
+# partition key, so a query touches nprobe/n_cells of the corpus.
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(sample: np.ndarray, n_cells: int = 16,
+                     iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means on a (n, d) sample: seeded
+    kmeans++ init, fixed Lloyd iterations, assign by max dot product,
+    centroids renormalized each step. Pure numpy — identical output in
+    the driver trainer and the sequential fixture generator."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    n = len(x)
+    n_cells = min(n_cells, n)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # kmeans++ seeding on cosine distance (1 - dot)
+    centers = [x[int(rng.integers(n))]]
+    for _ in range(1, n_cells):
+        d = 1.0 - np.max(np.stack([x @ c for c in centers]), axis=0)
+        d = np.clip(d, 1e-12, None)
+        probs = d / d.sum()
+        centers.append(x[int(rng.choice(n, p=probs))])
+    c = np.stack(centers)
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_cells):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def _masked_partial_topk(m_norm: np.ndarray, ids: np.ndarray,
+                         cells: np.ndarray, qm_norm: np.ndarray,
+                         query_ids: List, allowed: np.ndarray, k: int
+                         ) -> pa.Table:
+    """Per-batch partial top-k where each query may only score rows whose
+    cell is in its probe set (``allowed``: (n_cells, n_queries) bool).
+    Shared by the distributed scorer and the sequential fixture path."""
+    scores = m_norm @ qm_norm.T  # (n, q) float64
+    mask = allowed[cells]        # (n, q)
+    scores = np.where(mask, scores, -np.inf)
+    out_q, out_id, out_s = [], [], []
+    for qi, qid in enumerate(query_ids):
+        col = scores[:, qi]
+        finite = np.nonzero(np.isfinite(col))[0]
+        if not len(finite):
+            continue
+        kk = min(k, len(finite))
+        sub = finite[np.argpartition(-col[finite], kk - 1)[:kk]] \
+            if kk < len(finite) else finite
+        for i in sub:
+            out_q.append(qid)
+            out_id.append(int(ids[i]))
+            out_s.append(float(col[i]))
+    return pa.table({
+        "query_id": pa.array(out_q),
+        "vec_id": pa.array(out_id, type=pa.int64()),
+        "score": pa.array(out_s, type=pa.float32()),
+    })
+
+
+def ivf_cell_column(ds: ray.data.Dataset, centroids: np.ndarray,
+                    vec_col: str = "embedding",
+                    cell_col: str = "ivf_cell") -> ray.data.Dataset:
+    """Add the coarse-quantizer cell id to every row — at scale this is
+    the hash-partition / parquet-partition key that makes probes touch
+    only nprobe/n_cells of the data."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)  # zero-copy shared-memory read
+        m = _normalize(_batch_matrix(batch, vec_col)).astype(np.float64)
+        return batch.append_column(
+            cell_col, pa.array(np.argmax(m @ c.T, axis=1).astype(np.int32)))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def ivf_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: List,
+             k: int = 10, centroids: Optional[np.ndarray] = None,
+             n_cells: int = 16, nprobe: int = 4,
+             train_ids_below: int = 4096, vec_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 7) -> ray.data.Dataset:
+    """IVF-Flat approximate top-k. ``centroids`` (trained offline) may be
+    passed in; otherwise a deterministic sample (rows with
+    ``id_col < train_ids_below`` — an explicit key range, reproducible
+    under parallel reads) trains the coarse quantizer on the driver.
+    Assignment + masked scoring is ONE fused map_batches pass (cells are
+    computed per batch, never shuffled); the tiny partial-top-k merge is
+    the only exchange."""
+    from ..stages.agg import keyed_merge
+
+    if centroids is None:
+        import pyarrow.compute as _pc
+        sample_rows = ds.select_columns([id_col, vec_col]).map_batches(
+            lambda t: t.filter(_pc.less(t[id_col], train_ids_below)),
+            batch_format="pyarrow", batch_size=None)
+        mats, mids = [], []
+        for b in sample_rows.iter_batches(batch_format="pyarrow",
+                                          batch_size=None):
+            if len(b):
+                mats.append(_batch_matrix(b, vec_col))
+                mids.append(b[id_col].to_numpy(zero_copy_only=False))
+        sample = np.vstack(mats)
+        # id-sorted: batch arrival order is nondeterministic, and k-means
+        # float summation is order-sensitive — sorting pins the result
+        sample = sample[np.argsort(np.concatenate(mids), kind="stable")]
+        centroids = kmeans_centroids(sample, n_cells, seed=seed)
+    centroids = np.asarray(centroids, dtype=np.float64)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    # per-query probe set: nprobe nearest centroids
+    qc = qm @ centroids.T  # (q, n_cells)
+    order = np.argsort(-qc, axis=1, kind="stable")[:, :nprobe]
+    allowed = np.zeros((len(centroids), len(query_ids)), dtype=bool)
+    for qi in range(len(query_ids)):
+        allowed[order[qi], qi] = True
+    ref = ray.put({"c": centroids, "qm": qm, "qids": list(query_ids),
+                   "allowed": allowed})
+
+    def score(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        m = _normalize(_batch_matrix(batch, vec_col)).astype(np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        cells = np.argmax(m @ s["c"].T, axis=1)
+        return _masked_partial_topk(m, ids, cells, s["qm"], s["qids"],
+                                    s["allowed"], k)
+
+    partial = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True], kind="stable")
+        rank = df.groupby("query_id", sort=False).cumcount()
+        out = df[rank < k].reset_index(drop=True)
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    return keyed_merge(partial, ["query_id"], merge)

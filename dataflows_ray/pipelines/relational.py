@@ -499,6 +499,21 @@ def q22_knn_lsh(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q41_knn_ivf(sf_dir: str):
+    """IVF-Flat ANN top-k (functions.similarity.ivf_topk): deterministic
+    spherical-k-means coarse quantizer trained on an explicit id range,
+    per-query nprobe cell probing, exact re-rank inside probed cells —
+    the third ANN path next to brute force (q18) and LSH (q22)."""
+    from ..functions.similarity import ivf_topk
+    import ray.data
+    queries, qids = _query_vectors(sf_dir, [0, 1, 2])
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    df = ivf_topk(ds, queries, qids, k=5, n_cells=16, nprobe=4).to_pandas()
+    df["score"] = df["score"].astype("float64").round(4)
+    return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1088,6 +1103,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q38_streaming_cep": q38_streaming_cep,
     "q39_streaming_sliding_windows": q39_streaming_sliding_windows,
     "q40_streaming_dedup": q40_streaming_dedup,
+    "q41_knn_ivf": q41_knn_ivf,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1137,6 +1153,12 @@ SELECT query_id, vec_id, score
 FROM read_parquet('{_FIX}/q22_knn_lsh.parquet')
 """
 
+Q41_SQL = f"""
+SELECT query_id, vec_id, score
+FROM read_parquet('{_FIX}/q41_knn_ivf.parquet')
+ORDER BY query_id, vec_id
+"""
+
 
 ORACLES: Dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
@@ -1179,4 +1201,5 @@ ORACLES: Dict[str, str] = {
     "q38_streaming_cep": Q38_SQL,
     "q39_streaming_sliding_windows": Q39_SQL,
     "q40_streaming_dedup": Q40_SQL,
+    "q41_knn_ivf": Q41_SQL,
 }

@@ -115,6 +115,41 @@ def gen_q22(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def gen_q41(sf_dir: str) -> pa.Table:
+    """Sequential mirror of functions.similarity.ivf_topk (n_cells=16,
+    nprobe=4, k=5, queries = vec_ids 0,1,2): same deterministic k-means
+    trainer, same masked scoring kernel, single batch."""
+    from dataflows_ray.functions.similarity import (
+        _masked_partial_topk, _normalize, kmeans_centroids)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    emb = np.vstack([np.asarray(v) for v in tbl["embedding"].to_pylist()])
+    ids = tbl["vec_id"].to_numpy()
+    qmask = np.isin(ids, [0, 1, 2])
+    qm = _normalize(np.asarray(emb[qmask], dtype=np.float64))
+    # float32 sample + float32 normalize-then-cast corpus: bit-identical
+    # to the distributed path (_batch_matrix emits float32)
+    sample = emb[ids < 4096][np.argsort(ids[ids < 4096], kind="stable")]
+    centroids = kmeans_centroids(sample.astype(np.float32), n_cells=16,
+                                 seed=7)
+    qc = qm @ centroids.T
+    order = np.argsort(-qc, axis=1, kind="stable")[:, :4]
+    allowed = np.zeros((len(centroids), int(qmask.sum())), dtype=bool)
+    for qi in range(int(qmask.sum())):
+        allowed[order[qi], qi] = True
+    m = _normalize(emb.astype(np.float32)).astype(np.float64)
+    cells = np.argmax(m @ centroids.T, axis=1)
+    scored = _masked_partial_topk(m, ids, cells, qm, ids[qmask].tolist(),
+                                  allowed, 5)
+    df = scored.to_pandas().sort_values(
+        ["query_id", "score", "vec_id"],
+        ascending=[True, False, True], kind="stable")
+    df = df[df.groupby("query_id", sort=False).cumcount() < 5]
+    df["score"] = df["score"].astype("float64").round(4)
+    df = df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def gen_q28(sf_dir: str) -> pa.Table:
     """Sequential HLL per event_type (registers are merge-order-invariant,
     so this equals the distributed run exactly)."""
@@ -154,6 +189,8 @@ def main():
         print(f"{name}: q22 written")
         pq.write_table(gen_q28(sf_dir), f"{fdir}/q28_approx_ndv.parquet")
         print(f"{name}: q28 written")
+        pq.write_table(gen_q41(sf_dir), f"{fdir}/q41_knn_ivf.parquet")
+        print(f"{name}: q41 written")
 
 
 if __name__ == "__main__":

@@ -195,3 +195,49 @@ def test_grouped_hll():
     assert abs(got["a"] - 500) / 500 < 0.05
     assert abs(got["b"] - 50) / 50 < 0.05
     assert got["c"] == 1
+
+
+def test_ivf_topk_high_recall_vs_brute_force():
+    """IVF with nprobe=half the cells must recover most of the exact
+    top-k on a clustered corpus; nprobe=n_cells is exhaustive == exact."""
+    from dataflows_ray.functions.similarity import ivf_topk, kmeans_centroids
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((4, 16)).astype(np.float32) * 3
+    vecs = np.vstack([c + rng.standard_normal((50, 16)).astype(np.float32)
+                      for c in centers])
+    ids = np.arange(len(vecs))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": ids,
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    queries = vecs[:2] + 0.01
+    exact = brute_force_topk(ds, queries, [0, 1], k=5).to_pandas()
+    cents = kmeans_centroids(vecs[:100], n_cells=8, seed=7)
+    # exhaustive probe == exact result
+    full = ivf_topk(ds, queries, [0, 1], k=5, centroids=cents,
+                    nprobe=8).to_pandas()
+    for q in (0, 1):
+        assert (set(full[full["query_id"] == q]["vec_id"])
+                == set(exact[exact["query_id"] == q]["vec_id"]))
+    # partial probe: high recall on the clustered corpus
+    part = ivf_topk(ds, queries, [0, 1], k=5, centroids=cents,
+                    nprobe=4).to_pandas()
+    for q in (0, 1):
+        got = set(part[part["query_id"] == q]["vec_id"])
+        want = set(exact[exact["query_id"] == q]["vec_id"])
+        assert len(got & want) >= 4
+
+
+def test_ivf_cell_column_partitions_corpus():
+    from dataflows_ray.functions.similarity import (
+        ivf_cell_column, kmeans_centroids)
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((80, 8)).astype(np.float32)
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": np.arange(80),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    cents = kmeans_centroids(vecs, n_cells=4, seed=7)
+    out = ivf_cell_column(ds, cents).to_pandas()
+    assert out["ivf_cell"].between(0, 3).all()
+    assert out["ivf_cell"].nunique() > 1
