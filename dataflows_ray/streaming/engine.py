@@ -60,15 +60,22 @@ def _hash_partition(keys: pa.Array, num_partitions: int) -> np.ndarray:
 
 
 @ray.remote
-def _split_rowgroup(path: str, row_group: int, num_partitions: int,
+def _split_rowgroup(path: str, row_group, num_partitions: int,
                     include_audio_bytes: bool):
-    """Read one row group and split into per-partition (clips, transcripts,
-    max_event_ms) tuples — one return value per partition."""
-    pf = pq.ParquetFile(path)
+    """Read one epoch unit (parquet row group, or Lance fragment via
+    ``sources.lance_io``) and split into per-partition (clips,
+    transcripts, max_event_ms) tuples — one return value per
+    partition."""
     cols = CLIP_COLS + TRANSCRIPT_COLS[1:]
     if include_audio_bytes:
         cols = ["bytes"] + cols
-    tbl = pf.read_row_group(row_group, columns=list(dict.fromkeys(cols)))
+    cols = list(dict.fromkeys(cols))
+    if isinstance(row_group, dict):
+        from ..sources.lance_io import read_stream_unit
+        tbl = read_stream_unit(row_group, columns=cols)
+    else:
+        pf = pq.ParquetFile(path)
+        tbl = pf.read_row_group(row_group, columns=cols)
     parts = _hash_partition(tbl["clip_id"].combine_chunks(), num_partitions)
     out = []
     clip_cols = (["bytes"] if include_audio_bytes else []) + CLIP_COLS
@@ -105,22 +112,10 @@ class StreamingJoinEngine:
 
     # -- source planning (metadata only) ----------------------------------
     def plan_epochs(self) -> List[List[Dict]]:
-        paths = []
-        if os.path.isdir(self.input_path):
-            for root, _d, files in os.walk(self.input_path):
-                paths.extend(os.path.join(root, f)
-                             for f in sorted(files) if f.endswith(".parquet"))
-            paths.sort()
-        else:
-            paths = [self.input_path]
-        tasks = []
-        for p in paths:
-            meta = pq.read_metadata(p)
-            for rg in range(meta.num_row_groups):
-                tasks.append({"path": p, "row_group": rg})
-        epochs = [tasks[i:i + self.rowgroups_per_epoch]
-                  for i in range(0, len(tasks), self.rowgroups_per_epoch)]
-        return epochs
+        """Epoch units are parquet row groups, or Lance fragments when
+        the input is a Lance dataset (``sources.lance_io``)."""
+        from ..sources.lance_io import plan_stream_epochs
+        return plan_stream_epochs(self.input_path, self.rowgroups_per_epoch)
 
     def run(self, max_epochs: Optional[int] = None,
             crash_after_stage_of_epoch: Optional[int] = None) -> Dict:
@@ -154,7 +149,7 @@ class StreamingJoinEngine:
             # 1. split (shuffle map) — P returns per task
             split_refs = [
                 _split_rowgroup.options(num_returns=P if P > 1 else 1).remote(
-                    t["path"], t["row_group"], P, self.include_audio_bytes)
+                    t["path"], t, P, self.include_audio_bytes)
                 for t in tasks]
             if P == 1:
                 per_part = [split_refs]

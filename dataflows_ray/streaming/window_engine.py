@@ -77,9 +77,17 @@ def _split_by_key(path: str, row_group: int, num_partitions: int,
 
     ``derive`` (optional) maps the raw table to one with derived columns
     BEFORE partitioning — for engines whose partition key is computed
-    (e.g. the dedup engine's content hash), not a file column."""
-    pf = pq.ParquetFile(path)
-    tbl = pf.read_row_group(row_group, columns=columns)
+    (e.g. the dedup engine's content hash), not a file column.
+
+    ``row_group`` is an epoch-unit descriptor: an int (parquet row
+    group) or a dict from ``sources.lance_io.plan_stream_epochs`` (a
+    Lance fragment when the library is present)."""
+    from ..sources.lance_io import read_stream_unit
+    if isinstance(row_group, dict):
+        tbl = read_stream_unit(row_group, columns=columns)
+    else:
+        pf = pq.ParquetFile(path)
+        tbl = pf.read_row_group(row_group, columns=columns)
     if derive is not None:
         tbl = derive(tbl)
     parts = _partition_on(tbl[key], num_partitions)
@@ -137,21 +145,10 @@ class MicroBatchEngine:
 
     # -- epoch planning ----------------------------------------------------
     def plan_epochs(self) -> List[List[Dict]]:
-        paths = []
-        if os.path.isdir(self.input_path):
-            for root, _d, files in os.walk(self.input_path):
-                paths.extend(os.path.join(root, f)
-                             for f in sorted(files) if f.endswith(".parquet"))
-            paths.sort()
-        else:
-            paths = [self.input_path]
-        tasks = []
-        for p in paths:
-            meta = pq.read_metadata(p)
-            for rg in range(meta.num_row_groups):
-                tasks.append({"path": p, "row_group": rg})
-        return [tasks[i:i + self.rowgroups_per_epoch]
-                for i in range(0, len(tasks), self.rowgroups_per_epoch)]
+        """Epoch units are parquet row groups, or Lance fragments when
+        the input is a Lance dataset (``sources.lance_io``)."""
+        from ..sources.lance_io import plan_stream_epochs
+        return plan_stream_epochs(self.input_path, self.rowgroups_per_epoch)
 
     # -- run loop ----------------------------------------------------------
     @staticmethod
@@ -181,7 +178,7 @@ class MicroBatchEngine:
             wm = ray.get(tracker.watermark.remote())
             split_refs = [
                 _split_by_key.options(num_returns=P if P > 1 else 1).remote(
-                    t["path"], t["row_group"], P, self.key, cols,
+                    t["path"], t, P, self.key, cols,
                     self.ts_col, self.precombine(), self.derive())
                 for t in tasks]
             per_part = ([split_refs] if P == 1 else

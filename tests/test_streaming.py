@@ -565,3 +565,29 @@ def test_streaming_dedup_crash_resume(tmp_path):
         r2 = again.run()
         assert r2["epochs_processed"] == 0
         assert r2["committed_rows"] == clean_rows
+
+
+def test_lance_io_parquet_fallback(tmp_path):
+    """Without the lance package, epoch planning and unit reads degrade
+    to parquet row groups with identical semantics."""
+    import pyarrow.parquet as pq
+    from dataflows_ray.sources import lance_io
+
+    d = str(tmp_path / "tbl")
+    os.makedirs(d)
+    t = pa.table({"x": list(range(100))})
+    pq.write_table(t, os.path.join(d, "a.parquet"), row_group_size=25)
+    pq.write_table(t, os.path.join(d, "b.parquet"), row_group_size=50)
+
+    epochs = lance_io.plan_stream_epochs(d, 2)
+    units = [u for e in epochs for u in e]
+    assert len(units) == 6  # 4 + 2 row groups
+    assert all("row_group" in u for u in units)
+    total = sum(len(lance_io.read_stream_unit(u)) for u in units)
+    assert total == 200
+    got = lance_io.read_stream_unit(units[0], columns=["x"])
+    assert got.column_names == ["x"] and len(got) == 25
+    # a lance-looking path without the library raises cleanly
+    if not lance_io.lance_available():
+        with pytest.raises(ImportError):
+            lance_io.plan_stream_epochs("/nonexistent/tbl.lance", 1)
