@@ -151,3 +151,117 @@ def grouped_approx_count_distinct(ds: ray.data.Dataset, keys: List[str],
     combined = ds.select_columns(keys + [col]).map_batches(
         combine, batch_format="pandas", batch_size=None)
     return keyed_merge(combined, keys, merge)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): fixed d x w integer
+# register matrix, merged by elementwise SUM — like the HLL above it is
+# a combiner-shaped aggregate (one tiny matrix per block leaves the
+# block; the merge is one vectorized add), and its estimates are
+# batch-layout-independent because integer addition commutes.
+# ---------------------------------------------------------------------------
+
+_CM_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                     dtype=np.uint64)
+
+
+def _cm_rows(hashes: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) register column indices for a batch of value hashes."""
+    idx = np.empty((depth, len(hashes)), dtype=np.int64)
+    for d in range(depth):
+        idx[d] = (_mix64(hashes ^ _CM_SEEDS[d]) % np.uint64(width)) \
+            .astype(np.int64)
+    return idx
+
+
+def _cm_sketch(hashes: np.ndarray, depth: int, width: int,
+               weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """``weights`` adds n per hash instead of 1 — integer adds commute,
+    so a weighted sketch over (value, count) aggregates is bit-identical
+    to the row-at-a-time sketch over the raw stream."""
+    reg = np.zeros((depth, width), dtype=np.int64)
+    if len(hashes):
+        idx = _cm_rows(hashes, depth, width)
+        w = np.ones(len(hashes), dtype=np.int64) if weights is None \
+            else np.asarray(weights, dtype=np.int64)
+        for d in range(depth):
+            np.add.at(reg[d], idx[d], w)
+    return reg
+
+
+def _cm_estimate(reg: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates (min over depth rows) for the given value hashes."""
+    depth, width = reg.shape
+    if not len(hashes):
+        return np.zeros(0, dtype=np.int64)
+    idx = _cm_rows(hashes, depth, width)
+    ests = np.stack([reg[d][idx[d]] for d in range(depth)])
+    return ests.min(axis=0)
+
+
+def count_min_sketch(ds: ray.data.Dataset, col: str, depth: int = 4,
+                     width: int = 2048) -> np.ndarray:
+    """Merged Count-Min sketch of ``col`` over the whole dataset: one
+    (depth, width) int64 matrix per block leaves each block; the driver
+    folds them with one vectorized add per block (the matrix is
+    KB-sized — the same shape HLL uses)."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        valid = np.asarray(pa.compute.is_valid(c))
+        h = _hash_column(c)[valid]
+        reg = _cm_sketch(h, depth, width)
+        return pa.table({"reg": pa.array([reg.tobytes()], type=pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        sketch, batch_format="pyarrow", batch_size=None)
+    merged = np.zeros((depth, width), dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for raw in b["reg"].to_pylist():
+            merged += np.frombuffer(raw, dtype=np.int64) \
+                .reshape(depth, width)
+    return merged
+
+
+def heavy_hitters(ds: ray.data.Dataset, col: str, k: int = 20,
+                  depth: int = 4, width: int = 2048) -> pa.Table:
+    """Top-k values of ``col`` by exact count, annotated with the
+    Count-Min estimate from ONE merged sketch (``cm_est >= n`` always —
+    the sketch only overestimates). The exact counts come from the
+    combining aggregate + shuffle-free top-k; the sketch pass
+    demonstrates the mergeable-registers path a pure-streaming caller
+    would use when exact counts are too expensive."""
+    from ..stages.agg import grouped_aggregate
+    from ..stages.setops import top_k
+
+    counts = grouped_aggregate(ds.select_columns([col]), [col],
+                               [{"target": "n", "aggregate": "count"}])
+    # ONE pass over the raw data total: the sketch is built WEIGHTED from
+    # the (value, count) aggregate (additions commute, so it is identical
+    # to sketching the raw stream), and both the sketch fold and top-k
+    # run over the group-count-sized counts table, not the corpus.
+    merged = np.zeros((depth, width), dtype=np.int64)
+
+    def sketch_counts(batch: pa.Table) -> pa.Table:
+        c = batch[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        reg = _cm_sketch(_hash_column(c), depth, width,
+                         weights=batch["n"].to_numpy(zero_copy_only=False))
+        return pa.table({"reg": pa.array([reg.tobytes()], type=pa.binary())})
+
+    for b in counts.map_batches(sketch_counts, batch_format="pyarrow",
+                                batch_size=None).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for raw in b["reg"].to_pylist():
+            merged += np.frombuffer(raw, dtype=np.int64) \
+                .reshape(depth, width)
+    top = top_k(counts, ["n", col], k,
+                descending=[True, False]).to_pandas().head(k)
+    h = _hash_column(pa.array(top[col].to_numpy()))
+    top["cm_est"] = _cm_estimate(merged, h)
+    return pa.Table.from_pandas(top.reset_index(drop=True),
+                                preserve_index=False)

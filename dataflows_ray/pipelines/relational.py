@@ -514,6 +514,23 @@ def q41_knn_ivf(sf_dir: str):
     return df.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
+
+def q42_heavy_hitters(sf_dir: str):
+    """Count-Min heavy hitters (functions.sketch.heavy_hitters): exact
+    top-20 users by event count (combining aggregate + shuffle-free
+    top-k) annotated with the merged Count-Min estimate — the sketch
+    registers merge by addition, so the estimate is identical at any
+    parallelism."""
+    import ray.data
+    from ..functions.sketch import heavy_hitters
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id"])
+    t = heavy_hitters(ds, "user_id", k=20)
+    import pandas as pd
+    return t.to_pandas().sort_values(
+        ["n", "user_id"], ascending=[False, True]).reset_index(drop=True)
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1104,6 +1121,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q39_streaming_sliding_windows": q39_streaming_sliding_windows,
     "q40_streaming_dedup": q40_streaming_dedup,
     "q41_knn_ivf": q41_knn_ivf,
+    "q42_heavy_hitters": q42_heavy_hitters,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1159,6 +1177,12 @@ FROM read_parquet('{_FIX}/q41_knn_ivf.parquet')
 ORDER BY query_id, vec_id
 """
 
+Q42_SQL = f"""
+SELECT user_id, n, cm_est
+FROM read_parquet('{_FIX}/q42_heavy_hitters.parquet')
+ORDER BY n DESC, user_id
+"""
+
 
 ORACLES: Dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
@@ -1202,4 +1226,5 @@ ORACLES: Dict[str, str] = {
     "q39_streaming_sliding_windows": Q39_SQL,
     "q40_streaming_dedup": Q40_SQL,
     "q41_knn_ivf": Q41_SQL,
+    "q42_heavy_hitters": Q42_SQL,
 }

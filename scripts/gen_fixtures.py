@@ -167,6 +167,25 @@ def gen_q28(sf_dir: str) -> pa.Table:
                      "approx_ndv": pa.array(ndv, type=pa.int64())})
 
 
+def gen_q42(sf_dir: str) -> pa.Table:
+    """Sequential mirror of functions.sketch.heavy_hitters (k=20): exact
+    pandas counts + one single-pass Count-Min sketch (register addition
+    is commutative, so this equals the distributed merge exactly)."""
+    from dataflows_ray.functions.sketch import (
+        _cm_estimate, _cm_sketch, _hash_column)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet", columns=["user_id"])
+    df = tbl.to_pandas()
+    counts = df.groupby("user_id").size().reset_index(name="n")
+    top = counts.sort_values(["n", "user_id"],
+                             ascending=[False, True]).head(20)
+    sketch = _cm_sketch(_hash_column(tbl["user_id"]), 4, 2048)
+    top["cm_est"] = _cm_estimate(sketch,
+                                 _hash_column(pa.array(top["user_id"]
+                                                       .to_numpy())))
+    return pa.Table.from_pandas(top.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def main():
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     for sf_dir in sf_dirs:
@@ -191,6 +210,8 @@ def main():
         print(f"{name}: q28 written")
         pq.write_table(gen_q41(sf_dir), f"{fdir}/q41_knn_ivf.parquet")
         print(f"{name}: q41 written")
+        pq.write_table(gen_q42(sf_dir), f"{fdir}/q42_heavy_hitters.parquet")
+        print(f"{name}: q42 written")
 
 
 if __name__ == "__main__":

@@ -241,3 +241,25 @@ def test_ivf_cell_column_partitions_corpus():
     out = ivf_cell_column(ds, cents).to_pandas()
     assert out["ivf_cell"].between(0, 3).all()
     assert out["ivf_cell"].nunique() > 1
+
+
+def test_count_min_heavy_hitters():
+    from dataflows_ray.functions.sketch import (
+        count_min_sketch, heavy_hitters, _cm_estimate, _hash_column)
+    rows = []
+    for uid, n in (("hot", 500), ("warm", 100), ("cold", 3)):
+        rows += [{"u": uid}] * n
+    rows += [{"u": f"tail_{i}"} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    top = heavy_hitters(ds, "u", k=2).to_pandas()
+    assert list(top["u"]) == ["hot", "warm"]
+    assert list(top["n"]) == [500, 100]
+    # count-min never underestimates, and is exact for heavy keys here
+    assert (top["cm_est"] >= top["n"]).all()
+    # merged raw sketch gives identical estimates to the weighted path
+    sk = count_min_sketch(ds, "u")
+    est = _cm_estimate(sk, _hash_column(pa.array(["hot", "warm"])))
+    assert list(top["cm_est"]) == list(est)
+    # determinism across block layouts
+    top2 = heavy_hitters(ds.repartition(7), "u", k=2).to_pandas()
+    assert top.equals(top2)
