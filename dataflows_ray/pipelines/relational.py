@@ -531,6 +531,36 @@ def q42_heavy_hitters(sf_dir: str):
         ["n", "user_id"], ascending=[False, True]).reset_index(drop=True)
 
 
+def q43_grouped_topk(sf_dir: str):
+    """Top-3 users by event count per event type (stages.setops.
+    grouped_top_k): per-block partial top-k per group, ONE hash exchange
+    of the O(k x groups) survivors, vectorized rank — the SQL
+    ``row_number() OVER (PARTITION BY ...) <= k`` pattern without a
+    global sort."""
+    import ray.data
+    from ..stages.agg import grouped_aggregate
+    from ..stages.setops import grouped_top_k
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    counts = grouped_aggregate(ev, ["event_type", "user_id"],
+                               [{"target": "n", "aggregate": "count"}])
+    top = grouped_top_k(counts, ["event_type"], ["n", "user_id"], 3,
+                        descending=[True, False], rank_col="rank")
+    return top.to_pandas().sort_values(
+        ["event_type", "rank"]).reset_index(drop=True)
+
+
+Q43_SQL = """
+SELECT event_type, user_id, n, rank FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rank
+  FROM events GROUP BY event_type, user_id)
+WHERE rank <= 3
+ORDER BY event_type, rank
+"""
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1026,6 +1056,41 @@ JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
 """
 
 
+def q44_streaming_windowed_topk(sf_dir: str):
+    """STREAMING top-5 speakers per 1-minute tumbling window (window-
+    partitioned state, count-partial combiner, watermark-gated exact
+    top-k emission, exactly-once) over the time-ordered audio stream —
+    verified against the batch ``row_number() OVER (PARTITION BY
+    window)`` SQL (window counting is order-independent, so one oracle
+    covers the batch ``grouped_top_k`` shape and this engine)."""
+    import shutil
+    from ..streaming.topk_engine import StreamingTopKEngine
+    from ..streaming.sink import ExactlyOnceSink
+    path = _sorted_audio_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_topksink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingTopKEngine(path, out, num_partitions=4,
+                              rowgroups_per_epoch=2, window_ms=60_000, k=5)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["window_start", "speaker", "n_clips", "rank"])
+
+
+Q44_SQL = """
+SELECT window_start, speaker, n_clips, rank FROM (
+  SELECT window_start, speaker, n_clips,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_clips DESC, speaker) AS rank
+  FROM (SELECT (event_ms // 60000) * 60000 AS window_start, speaker,
+               count(*) AS n_clips
+        FROM read_parquet('/tmp/dataflows_ray_audio/sf0.01/*.parquet')
+        GROUP BY 1, 2))
+WHERE rank <= 5
+"""
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1122,6 +1187,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q40_streaming_dedup": q40_streaming_dedup,
     "q41_knn_ivf": q41_knn_ivf,
     "q42_heavy_hitters": q42_heavy_hitters,
+    "q43_grouped_topk": q43_grouped_topk,
+    "q44_streaming_windowed_topk": q44_streaming_windowed_topk,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1227,4 +1294,6 @@ ORACLES: Dict[str, str] = {
     "q40_streaming_dedup": Q40_SQL,
     "q41_knn_ivf": Q41_SQL,
     "q42_heavy_hitters": Q42_SQL,
+    "q43_grouped_topk": Q43_SQL,
+    "q44_streaming_windowed_topk": Q44_SQL,
 }

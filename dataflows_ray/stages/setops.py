@@ -49,6 +49,46 @@ def top_k(ds: ray.data.Dataset, cols: List[str], k: int,
                               batch_size=None)
 
 
+def grouped_top_k(ds: ray.data.Dataset, group_cols: List[str],
+                  order_cols: List[str], k: int,
+                  descending: Union[bool, List[bool]] = True,
+                  rank_col: Optional[str] = None) -> ray.data.Dataset:
+    """Top-k rows PER GROUP — SQL ``row_number() OVER (PARTITION BY
+    group_cols ORDER BY order_cols) <= k``.
+
+    Scale shape: each block first keeps at most k rows per group it sees
+    (one vectorized sort + cumcount — no per-group Python), so the hash
+    exchange on ``group_cols`` ships O(k x groups-per-block), not O(rows);
+    each partition then finalizes with the same kernel and (optionally)
+    emits a 1-based ``rank_col``. Determinism requires ``order_cols`` to
+    totally order rows within a group (include a tie-break column, as SQL
+    row_number users do)."""
+    if isinstance(descending, bool):
+        asc = [not descending] * len(order_cols)
+    else:
+        asc = [not d for d in descending]
+
+    def head_per_group(df: pd.DataFrame, final: bool) -> pa.Table:
+        if len(df):
+            df = df.sort_values(
+                list(group_cols) + list(order_cols),
+                ascending=[True] * len(group_cols) + asc, kind="stable")
+            pos = df.groupby(list(group_cols), sort=False).cumcount()
+            df = df[pos < k]
+            if final and rank_col is not None:
+                df = df.assign(**{rank_col: (pos[pos < k] + 1).to_numpy()})
+        elif final and rank_col is not None:
+            df = df.assign(**{rank_col: np.array([], dtype=np.int64)})
+        return pa.Table.from_pandas(df.reset_index(drop=True),
+                                    preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    parts = ds.map_batches(lambda df: head_per_group(df, final=False),
+                           batch_format="pandas", batch_size=None)
+    return keyed_merge(parts, list(group_cols),
+                       lambda df: head_per_group(df, final=True))
+
+
 def _set_op(left: ray.data.Dataset, right: ray.data.Dataset,
             op: str) -> ray.data.Dataset:
     cols = left.columns()

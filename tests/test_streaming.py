@@ -591,3 +591,75 @@ def test_lance_io_parquet_fallback(tmp_path):
     if not lance_io.lance_available():
         with pytest.raises(ImportError):
             lance_io.plan_stream_epochs("/nonexistent/tbl.lance", 1)
+
+
+def test_streaming_topk_engine_matches_batch(audio_dir, tmp_path):
+    """Over a time-ordered stream, the streaming windowed top-k must
+    equal the batch row_number()-style ranking, emitted incrementally
+    with zero late drops."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from dataflows_ray.streaming.topk_engine import StreamingTopKEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    sorted_dir = _sorted_audio_copy(audio_dir, str(tmp_path / "sorted"))
+    out = str(tmp_path / "topk")
+    eng = StreamingTopKEngine(sorted_dir, out, num_partitions=3,
+                              rowgroups_per_epoch=1, window_ms=60_000, k=5)
+    eng.run()
+
+    man = ExactlyOnceSink(out).read_manifest()
+    epochs_with_rows = sum(
+        1 for e in man["epochs"]
+        if sum(p.get("rows", 0) for p in e.get("partitions", [])) > 0)
+    assert epochs_with_rows > 1  # incremental emission really happened
+    assert all(p.get("late_dropped", 0) == 0
+               for e in man["epochs"] for p in e.get("partitions", []))
+
+    got = ExactlyOnceSink(out).read_output().to_pandas() \
+        .sort_values(["window_start", "rank"]).reset_index(drop=True)
+
+    files = sorted(os.path.join(sorted_dir, f)
+                   for f in os.listdir(sorted_dir) if f.endswith(".parquet"))
+    df = pa.concat_tables([pq.read_table(f, columns=["speaker", "event_ms"])
+                           for f in files]).to_pandas()
+    df["window_start"] = (df["event_ms"] // 60_000) * 60_000
+    counts = df.groupby(["window_start", "speaker"]) \
+        .size().rename("n_clips").reset_index() \
+        .sort_values(["window_start", "n_clips", "speaker"],
+                     ascending=[True, False, True], kind="stable")
+    counts["rank"] = counts.groupby("window_start").cumcount() + 1
+    exp = counts[counts["rank"] <= 5].reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        got[["window_start", "speaker", "n_clips", "rank"]],
+        exp[["window_start", "speaker", "n_clips", "rank"]],
+        check_dtype=False)
+
+
+def test_streaming_topk_engine_crash_resume(audio_dir, tmp_path):
+    from dataflows_ray.streaming.topk_engine import StreamingTopKEngine
+
+    clean_out = str(tmp_path / "clean")
+    clean = StreamingTopKEngine(audio_dir, clean_out, num_partitions=2,
+                                rowgroups_per_epoch=1, window_ms=60_000, k=3)
+    clean_rows = clean.run()["committed_rows"]
+    assert clean_rows > 0
+
+    out = str(tmp_path / "crash")
+    eng = StreamingTopKEngine(audio_dir, out, num_partitions=2,
+                              rowgroups_per_epoch=1, window_ms=60_000, k=3)
+    try:
+        eng.run(crash_after_stage_of_epoch=1)
+        assert False
+    except RuntimeError:
+        pass
+    resumed = StreamingTopKEngine(audio_dir, out, num_partitions=2,
+                                  rowgroups_per_epoch=1, window_ms=60_000,
+                                  k=3)
+    assert resumed.run()["committed_rows"] == clean_rows
+    again = StreamingTopKEngine(audio_dir, out, num_partitions=2,
+                                rowgroups_per_epoch=1, window_ms=60_000, k=3)
+    r2 = again.run()
+    assert r2["epochs_processed"] == 0
+    assert r2["committed_rows"] == clean_rows

@@ -324,3 +324,25 @@ def test_pivot_table_roundtrip_with_unpivot():
         .sort_values("name").reset_index(drop=True)
     assert list(wide.columns) == ["name", "1990", "2000"]
     assert wide.loc[0, "1990"] == rows[0]["v"]
+
+
+def test_grouped_top_k_matches_pandas_row_number():
+    import ray.data
+    from dataflows_ray.stages.setops import grouped_top_k
+
+    rows = [{"g": f"g{i % 5}", "v": (i * 7) % 23, "id": i}
+            for i in range(400)]
+    ds = ray.data.from_items(rows).repartition(9)
+    out = grouped_top_k(ds, ["g"], ["v", "id"], 3,
+                        descending=[True, False], rank_col="rank") \
+        .to_pandas().sort_values(["g", "rank"]).reset_index(drop=True)
+
+    import pandas as pd
+    df = pd.DataFrame(rows).sort_values(
+        ["g", "v", "id"], ascending=[True, False, True])
+    df["rank"] = df.groupby("g").cumcount() + 1
+    exp = df[df["rank"] <= 3].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["g", "v", "id", "rank"]], exp[["g", "v", "id", "rank"]],
+        check_dtype=False)
+    assert out.groupby("g").size().eq(3).all()
