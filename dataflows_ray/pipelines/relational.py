@@ -561,6 +561,49 @@ ORDER BY event_type, rank
 """
 
 
+def q45_exact_quantiles(sf_dir: str):
+    """Exact distributed quantiles of the event value column
+    (functions.quantiles.exact_quantiles): iterative histogram
+    refinement — 3-4 streaming single-column scans whose per-block
+    output is a KB-sized mergeable count vector; no sort, no shuffle,
+    identical at any parallelism."""
+    import ray.data
+    from ..functions.quantiles import exact_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["value"])
+    t = exact_quantiles(ds, "value", [0.1, 0.5, 0.9, 0.99])
+    return t.to_pandas().sort_values("q").reset_index(drop=True)
+
+
+Q45_SQL = """
+SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q,
+       unnest(quantile_disc(value, [0.1, 0.5, 0.9, 0.99])) AS value
+FROM events
+ORDER BY q
+"""
+
+
+def q46_grouped_quantile(sf_dir: str):
+    """Per-event-type exact p90 of value (functions.quantiles.
+    grouped_exact_quantile): one hash exchange of the (key, value)
+    projection, vectorized per-partition sorted-prefix selection — the
+    complement of q45's shuffle-free global refinement for
+    many-groups/modest-rows shapes."""
+    import ray.data
+    from ..functions.quantiles import grouped_exact_quantile
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    out = grouped_exact_quantile(ds, ["event_type"], "value", 0.9)
+    df = out.to_pandas().rename(columns={"value": "p90"})
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+Q46_SQL = """
+SELECT event_type, quantile_disc(value, 0.9) AS p90
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1189,6 +1232,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q42_heavy_hitters": q42_heavy_hitters,
     "q43_grouped_topk": q43_grouped_topk,
     "q44_streaming_windowed_topk": q44_streaming_windowed_topk,
+    "q45_exact_quantiles": q45_exact_quantiles,
+    "q46_grouped_quantile": q46_grouped_quantile,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1296,4 +1341,6 @@ ORACLES: Dict[str, str] = {
     "q42_heavy_hitters": Q42_SQL,
     "q43_grouped_topk": Q43_SQL,
     "q44_streaming_windowed_topk": Q44_SQL,
+    "q45_exact_quantiles": Q45_SQL,
+    "q46_grouped_quantile": Q46_SQL,
 }

@@ -263,3 +263,59 @@ def test_count_min_heavy_hitters():
     # determinism across block layouts
     top2 = heavy_hitters(ds.repartition(7), "u", k=2).to_pandas()
     assert top.equals(top2)
+
+
+def test_exact_quantiles_matches_sorted_selection():
+    import numpy as np
+    from dataflows_ray.functions.quantiles import exact_quantiles
+
+    rng = np.random.Generator(np.random.PCG64(42))
+    vals = np.concatenate([rng.normal(0, 1, 5000),
+                           rng.normal(100, 5, 2000),
+                           np.full(500, 7.25)])  # heavy duplicates
+    ds = ray.data.from_items([{"v": float(x)} for x in vals]).repartition(11)
+    qs = [0.01, 0.25, 0.5, 0.9, 0.999]
+    out = exact_quantiles(ds, "v", qs, bins=64, collect_limit=50)
+    got = out["value"].to_pylist()
+
+    s = np.sort(vals)
+    n = len(s)
+    import math
+    exp = [float(s[min(n - 1, max(0, math.ceil(q * n) - 1))]) for q in qs]
+    assert got == exp
+    # determinism across block layouts
+    out2 = exact_quantiles(ds.repartition(3), "v", qs, bins=64,
+                           collect_limit=50)
+    assert out2["value"].to_pylist() == exp
+
+
+def test_exact_quantiles_constant_and_empty():
+    from dataflows_ray.functions.quantiles import exact_quantiles
+    ds = ray.data.from_items([{"v": 3.5}] * 40)
+    out = exact_quantiles(ds, "v", [0.1, 0.9])
+    assert out["value"].to_pylist() == [3.5, 3.5]
+    empty = ds.filter(lambda r: False)
+    out = exact_quantiles(empty, "v", [0.5])
+    assert out["value"].to_pylist() == [None]
+
+
+def test_grouped_exact_quantile_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import math
+    from dataflows_ray.functions.quantiles import grouped_exact_quantile
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    rows = [{"g": f"g{i % 4}", "v": float(rng.integers(0, 1000))}
+            for i in range(2000)]
+    ds = ray.data.from_items(rows).repartition(7)
+    out = grouped_exact_quantile(ds, ["g"], "v", 0.9).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+
+    df = pd.DataFrame(rows)
+    def disc(s, q=0.9):
+        s = np.sort(s.to_numpy())
+        return float(s[min(len(s) - 1, max(0, math.ceil(q * len(s)) - 1))])
+    exp = df.groupby("g")["v"].apply(disc).reset_index()
+    assert list(out["g"]) == list(exp["g"])
+    assert list(out["v"]) == list(exp["v"])
