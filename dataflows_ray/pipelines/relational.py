@@ -604,6 +604,80 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q47_rollup(sf_dir: str):
+    """GROUP BY ROLLUP over lineitem (stages.agg.rollup_aggregate): the
+    corpus is scanned once for the finest level; subtotal and grand-total
+    levels re-aggregate the group-count-sized output, NULL-filling the
+    rolled-up keys."""
+    import ray.data
+    from ..stages.agg import rollup_aggregate
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"])
+    out = rollup_aggregate(li, ["l_returnflag", "l_linestatus"], [
+        {"target": "sum_qty", "source": "l_quantity", "aggregate": "sum"},
+        {"target": "n", "aggregate": "count"},
+    ])
+    return out.to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus"],
+        na_position="last").reset_index(drop=True)
+
+
+Q47_SQL = """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+"""
+
+
+def q48_keyed_window_funcs(sf_dir: str):
+    """Per-user ordered analytics (stages.analytic.keyed_window):
+    running sum, lag and row_number over (ts, event_id) order in ONE
+    hash exchange + vectorized per-partition kernels — SQL window
+    functions without a global sort. Values are integer cents so the
+    running sum is byte-identical to the SQL engine's."""
+    import numpy as np
+    import ray.data
+    from ..stages.analytic import keyed_window
+
+    def derive(t: pa.Table) -> pa.Table:
+        ms = pc.divide(pc.cast(t["ts"], pa.int64()), 1000)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ms": ms, "cents": pa.array(cents)})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"]).map_batches(
+        derive, batch_format="pyarrow", batch_size=None)
+    out = keyed_window(ev, ["user_id"], ["ms", "event_id"], "cents",
+                       running_sum="running_cents", lag="prev_cents",
+                       row_number="rn")
+    return out.to_pandas().sort_values(
+        ["user_id", "ms", "event_id"]).reset_index(drop=True)
+
+
+Q48_SQL = """
+SELECT event_id, user_id, ms, cents,
+       CAST(sum(cents) OVER (PARTITION BY user_id
+                             ORDER BY ms, event_id)
+            AS BIGINT) AS running_cents,
+       lag(cents) OVER (PARTITION BY user_id
+                        ORDER BY ms, event_id) AS prev_cents,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ms, event_id) AS rn
+FROM (SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+ORDER BY user_id, ms, event_id
+"""
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1234,6 +1308,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q44_streaming_windowed_topk": q44_streaming_windowed_topk,
     "q45_exact_quantiles": q45_exact_quantiles,
     "q46_grouped_quantile": q46_grouped_quantile,
+    "q47_rollup": q47_rollup,
+    "q48_keyed_window_funcs": q48_keyed_window_funcs,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1343,4 +1419,6 @@ ORACLES: Dict[str, str] = {
     "q44_streaming_windowed_topk": Q44_SQL,
     "q45_exact_quantiles": Q45_SQL,
     "q46_grouped_quantile": Q46_SQL,
+    "q47_rollup": Q47_SQL,
+    "q48_keyed_window_funcs": Q48_SQL,
 }

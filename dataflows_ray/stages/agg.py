@@ -475,3 +475,72 @@ def grouped_aggregate(
             return batch
         out = out.map_batches(post, batch_format="pyarrow", batch_size=None)
     return out
+
+
+# re-aggregation rule for combining a finer rollup level into a coarser
+# one (only distributive aggregates roll up; count re-aggregates as sum)
+_ROLLUP_REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def rollup_aggregate(ds: ray.data.Dataset, keys: Sequence[str],
+                     specs: Sequence[Dict[str, Any]]) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP(keys)``: one result set per key-prefix level
+    (``keys``, ``keys[:-1]``, ..., grand total), with the dropped key
+    columns NULL-filled.
+
+    Scale shape — the classic rollup optimization: the corpus is scanned
+    ONCE (the finest level via ``grouped_aggregate``); every coarser
+    level re-aggregates the previous level's GROUP-COUNT-SIZED output
+    (sum->sum, count->sum, min->min, max->max), so each step is a tiny
+    keyed exchange. Only distributive aggregates are supported."""
+    keys = list(keys)
+    for s in specs:
+        if s["aggregate"] not in _ROLLUP_REAGG:
+            raise ValueError(
+                f"rollup supports {sorted(_ROLLUP_REAGG)} aggregates, "
+                f"got {s['aggregate']!r}")
+    targets = [s["target"] for s in specs]
+    respecs = [{"target": s["target"], "source": s["target"],
+                "aggregate": _ROLLUP_REAGG[s["aggregate"]]} for s in specs]
+
+    finest = grouped_aggregate(ds, keys, specs)
+    key_types = {f.name: f.type for f in
+                 pa.schema([(k, t) for k, t in
+                            zip(finest.schema().names,
+                                finest.schema().types)])
+                 if f.name in keys}
+
+    def level_fill(level_keys: List[str]):
+        """Append typed-NULL columns for the rolled-up keys and order
+        columns uniformly as keys + targets."""
+        def fn(batch: pa.Table, level_keys=list(level_keys)) -> pa.Table:
+            for k in keys:
+                if k not in level_keys:
+                    batch = batch.append_column(
+                        k, pa.nulls(len(batch), type=key_types[k]))
+            return batch.select(keys + targets)
+        return fn
+
+    levels = [finest.map_batches(level_fill(keys), batch_format="pyarrow",
+                                 batch_size=None)]
+    prev = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        lv_keys = keys[:depth]
+        if lv_keys:
+            lv = grouped_aggregate(prev, lv_keys, respecs)
+        else:
+            const = prev.map_batches(
+                lambda t: t.append_column(
+                    "__rollup_all__",
+                    pa.array(np.zeros(len(t), dtype=np.int8))),
+                batch_format="pyarrow", batch_size=None)
+            lv = grouped_aggregate(const, ["__rollup_all__"], respecs) \
+                .drop_columns(["__rollup_all__"])
+        prev = lv
+        levels.append(lv.map_batches(level_fill(lv_keys),
+                                     batch_format="pyarrow",
+                                     batch_size=None))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

@@ -346,3 +346,65 @@ def test_grouped_top_k_matches_pandas_row_number():
         out[["g", "v", "id", "rank"]], exp[["g", "v", "id", "rank"]],
         check_dtype=False)
     assert out.groupby("g").size().eq(3).all()
+
+
+def test_rollup_aggregate_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.agg import rollup_aggregate
+
+    rows = [{"a": f"a{i % 3}", "b": f"b{i % 2}", "v": float(i % 7),
+             "w": i % 5} for i in range(300)]
+    ds = ray.data.from_items(rows).repartition(5)
+    out = rollup_aggregate(ds, ["a", "b"], [
+        {"target": "sv", "source": "v", "aggregate": "sum"},
+        {"target": "n", "aggregate": "count"},
+        {"target": "mx", "source": "w", "aggregate": "max"},
+    ]).to_pandas().sort_values(["a", "b"], na_position="last") \
+        .reset_index(drop=True)
+
+    df = pd.DataFrame(rows)
+    fine = df.groupby(["a", "b"]).agg(
+        sv=("v", "sum"), n=("v", "size"), mx=("w", "max")).reset_index()
+    mid = df.groupby(["a"]).agg(
+        sv=("v", "sum"), n=("v", "size"), mx=("w", "max")).reset_index()
+    mid["b"] = None
+    tot = pd.DataFrame([{"a": None, "b": None, "sv": df["v"].sum(),
+                         "n": len(df), "mx": df["w"].max()}])
+    exp = pd.concat([fine, mid, tot], ignore_index=True) \
+        .sort_values(["a", "b"], na_position="last").reset_index(drop=True)
+
+    assert len(out) == len(exp)
+    assert out["a"].fillna("~").tolist() == exp["a"].fillna("~").tolist()
+    assert out["b"].fillna("~").tolist() == exp["b"].fillna("~").tolist()
+    assert out["sv"].tolist() == exp["sv"].tolist()
+    assert out["n"].tolist() == exp["n"].tolist()
+    assert out["mx"].tolist() == exp["mx"].tolist()
+
+
+def test_keyed_window_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.analytic import keyed_window
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    rows = [{"k": f"k{i % 6}", "o": int(rng.integers(0, 1000)) * 10 + i,
+             "v": int(rng.integers(-5, 50))} for i in range(500)]
+    ds = ray.data.from_items(rows).repartition(8)
+    out = keyed_window(ds, ["k"], ["o"], "v").to_pandas() \
+        .sort_values(["k", "o"]).reset_index(drop=True)
+
+    df = pd.DataFrame(rows).sort_values(["k", "o"]).reset_index(drop=True)
+    g = df.groupby("k", sort=False)
+    df["running_sum"] = g["v"].cumsum()
+    df["prev_value"] = g["v"].shift(1)
+    df["rn"] = g.cumcount() + 1
+
+    assert out["running_sum"].tolist() == df["running_sum"].tolist()
+    assert out["rn"].tolist() == df["rn"].tolist()
+    got_prev = out["prev_value"].astype("float64").tolist()
+    exp_prev = df["prev_value"].tolist()
+    for a, b in zip(got_prev, exp_prev):
+        assert (pd.isna(a) and pd.isna(b)) or a == b
