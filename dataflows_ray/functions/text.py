@@ -126,3 +126,49 @@ def token_count_vectorized(ds: ray.data.Dataset) -> ray.data.Dataset:
         return batch.append_column("ws_tokens", pc.cast(toks, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def term_doc_frequency(ds: ray.data.Dataset, text_col: str = "text",
+                       top: int = None) -> ray.data.Dataset:
+    """Document frequency per term (the DF half of TF-IDF): tokenize =
+    lowercase + split on non-word runs (Arrow C++ regex — the same
+    tokenizer as the dedup/minhash family), count each term once per
+    document, sum across the corpus.
+
+    Scale shape: the explode never leaves the batch — each block emits
+    one (term, partial_df) row per DISTINCT (doc, term) pair already
+    pre-aggregated to per-block term counts (the combiner), so the
+    exchange ships O(vocab-per-block), not O(tokens). ``top`` adds the
+    shuffle-free ``top_k`` head (df desc, term asc)."""
+    import pyarrow.compute as pc
+    from ..stages.agg import grouped_aggregate
+
+    def block_df(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(texts, "")), pattern=r"\W+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64),
+                            np.diff(offs))
+        df = pd.DataFrame({"doc": doc_idx,
+                           "term": flat.to_numpy(zero_copy_only=False)})
+        df = df[df["term"] != ""].drop_duplicates(["doc", "term"])
+        out = df.groupby("term", sort=False).size() \
+            .rename("df").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    partials = ds.select_columns([text_col]).map_batches(
+        block_df, batch_format="pyarrow", batch_size=None)
+    totals = grouped_aggregate(partials, ["term"], [
+        {"target": "df", "source": "df", "aggregate": "sum"}])
+    if top is None:
+        return totals
+    from ..stages.setops import top_k
+    return top_k(totals, ["df", "term"], top, descending=[True, False])

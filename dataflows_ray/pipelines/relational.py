@@ -678,6 +678,33 @@ ORDER BY user_id, ms, event_id
 """
 
 
+def q49_term_doc_frequency(sf_dir: str):
+    """Top-20 terms by document frequency (functions.text.
+    term_doc_frequency): the explode never leaves the batch — each block
+    pre-aggregates distinct (doc, term) pairs to per-block term counts,
+    the exchange ships O(vocab), and the head is the shuffle-free
+    top_k."""
+    import ray.data
+    from ..functions.text import term_doc_frequency
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    out = term_doc_frequency(ds, "text", top=20)
+    return out.to_pandas().sort_values(
+        ["df", "term"], ascending=[False, True]).reset_index(drop=True)
+
+
+Q49_SQL = """
+SELECT term, count(*) AS df FROM (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\W+')) AS term
+  FROM documents)
+WHERE term <> ''
+GROUP BY term
+ORDER BY df DESC, term
+LIMIT 20
+"""
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1310,6 +1337,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q46_grouped_quantile": q46_grouped_quantile,
     "q47_rollup": q47_rollup,
     "q48_keyed_window_funcs": q48_keyed_window_funcs,
+    "q49_term_doc_frequency": q49_term_doc_frequency,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1421,4 +1449,5 @@ ORACLES: Dict[str, str] = {
     "q46_grouped_quantile": Q46_SQL,
     "q47_rollup": Q47_SQL,
     "q48_keyed_window_funcs": Q48_SQL,
+    "q49_term_doc_frequency": Q49_SQL,
 }

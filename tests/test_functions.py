@@ -319,3 +319,20 @@ def test_grouped_exact_quantile_matches_pandas():
     exp = df.groupby("g")["v"].apply(disc).reset_index()
     assert list(out["g"]) == list(exp["g"])
     assert list(out["v"]) == list(exp["v"])
+
+
+def test_term_doc_frequency_counts_each_doc_once():
+    from dataflows_ray.functions.text import term_doc_frequency
+    rows = [
+        {"text": "Alpha beta beta GAMMA"},
+        {"text": "alpha; alpha, delta!"},
+        {"text": "beta"},
+        {"text": ""},
+    ]
+    ds = ray.data.from_items(rows).repartition(3)
+    out = term_doc_frequency(ds, "text").to_pandas() \
+        .sort_values("term").reset_index(drop=True)
+    got = dict(zip(out["term"], out["df"]))
+    assert got == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
+    top = term_doc_frequency(ds, "text", top=2).to_pandas()
+    assert list(top["term"]) == ["alpha", "beta"]
