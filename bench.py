@@ -38,7 +38,9 @@ def run_benchmarks() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from dataflows_ray.pipelines.relational import (
         q01_pricing_summary, q05_priority_counts, q12_tumbling_hour,
-        q16_token_counts, q17_exact_dedup, q18_knn_cosine, _audio_path)
+        q16_token_counts, q17_exact_dedup, q18_knn_cosine,
+        q20_minhash_dedup, q45_exact_quantiles, q48_keyed_window_funcs,
+        q49_term_doc_frequency, _audio_path)
     from dataflows_ray.pipelines.audio import decode_stage, windowed_speaker_aggregate
     from dataflows_ray.streaming.engine import StreamingJoinEngine
     from dataflows_ray.streaming.sink import ExactlyOnceSink
@@ -61,6 +63,10 @@ def run_benchmarks() -> dict:
     timed("q16_token_counts", lambda: q16_token_counts(SF_DIR).count())
     timed("q17_exact_dedup", lambda: q17_exact_dedup(SF_DIR).count())
     timed("q18_knn_cosine", lambda: q18_knn_cosine(SF_DIR).to_pandas())
+    timed("q20_minhash_dedup", lambda: q20_minhash_dedup(SF_DIR).count())
+    timed("q45_exact_quantiles", lambda: q45_exact_quantiles(SF_DIR))
+    timed("q48_keyed_window_funcs", lambda: len(q48_keyed_window_funcs(SF_DIR)))
+    timed("q49_term_doc_frequency", lambda: q49_term_doc_frequency(SF_DIR))
 
     # streaming windowed-aggregate engine (micro-batch epochs, watermark
     # emission, 2PC sink) over the same audio table — the engine-form

@@ -705,6 +705,31 @@ LIMIT 20
 """
 
 
+def q50_cluster_dedup(sf_dir: str):
+    """Cluster-aware near-dedup: MinHash-LSH verified pairs ->
+    distributed connected components (functions.components, min-label
+    propagation over keyed exchanges — no driver union-find) -> keep the
+    min-id representative per duplicate CLUSTER, so transitive chains
+    collapse to one keeper. Oracle: sequential mirror (same kernels +
+    union-find) in fixtures/."""
+    import pandas as pd
+    import ray.data
+    from ..functions.dedup import minhash_dedup
+    from ..functions.components import dedup_by_components
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    _pairwise, verified = minhash_dedup(ds, threshold=0.7)
+    if len(verified) == 0:
+        deduped = ds
+    else:
+        pairs = ray.data.from_pandas(
+            pd.DataFrame({"doc_a": verified["doc_a"].astype("int64"),
+                          "doc_b": verified["doc_b"].astype("int64")}))
+        deduped, _comp = dedup_by_components(ds, pairs)
+    out = deduped.select_columns(["doc_id"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1338,6 +1363,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q47_rollup": q47_rollup,
     "q48_keyed_window_funcs": q48_keyed_window_funcs,
     "q49_term_doc_frequency": q49_term_doc_frequency,
+    "q50_cluster_dedup": q50_cluster_dedup,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1399,6 +1425,11 @@ FROM read_parquet('{_FIX}/q42_heavy_hitters.parquet')
 ORDER BY n DESC, user_id
 """
 
+Q50_SQL = f"""
+SELECT doc_id FROM read_parquet('{_FIX}/q50_cluster_dedup.parquet')
+ORDER BY doc_id
+"""
+
 
 ORACLES: Dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
@@ -1450,4 +1481,5 @@ ORACLES: Dict[str, str] = {
     "q47_rollup": Q47_SQL,
     "q48_keyed_window_funcs": Q48_SQL,
     "q49_term_doc_frequency": Q49_SQL,
+    "q50_cluster_dedup": Q50_SQL,
 }

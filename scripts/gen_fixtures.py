@@ -186,6 +186,56 @@ def gen_q42(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def gen_q50(sf_dir: str) -> pa.Table:
+    """Sequential mirror of q50 cluster-aware near-dedup: same MinHash /
+    LSH / Jaccard kernels run single-process over the whole table, then
+    a plain union-find replaces the distributed min-label propagation —
+    both compute min-id-per-connected-component, so outputs must match
+    exactly."""
+    import numpy as np
+    from dataflows_ray.functions.dedup import (
+        _cached_minhasher, verify_jaccard)
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text"])
+    mh = _cached_minhasher(128, 32, 5)
+    exploded = mh(tbl).to_pandas()
+    out_a, out_b = [], []
+    for _k, idx in exploded.groupby(["band", "band_hash"],
+                                    sort=False).indices.items():
+        ids = np.unique(exploded["doc_id"].to_numpy()[idx])
+        m = len(ids)
+        if m < 2 or m > 200:  # same mega-bucket cap as the engine
+            continue
+        iu, ju = np.triu_indices(m, 1)
+        out_a.append(ids[iu])
+        out_b.append(ids[ju])
+    import pandas as pd
+    if out_a:
+        pairs = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                              "doc_b": np.concatenate(out_b)}) \
+            .drop_duplicates()
+    else:
+        pairs = pd.DataFrame({"doc_a": [], "doc_b": []})
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    verified = verify_jaccard(pairs, texts, k=5, threshold=0.7)
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(verified["doc_a"], verified["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    drop = {n for n in parent if find(n) != n}
+    keep = sorted(d for d in tbl["doc_id"].to_pylist() if d not in drop)
+    return pa.table({"doc_id": pa.array(keep, type=pa.int64())})
+
+
 def main():
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     for sf_dir in sf_dirs:
@@ -212,6 +262,8 @@ def main():
         print(f"{name}: q41 written")
         pq.write_table(gen_q42(sf_dir), f"{fdir}/q42_heavy_hitters.parquet")
         print(f"{name}: q42 written")
+        pq.write_table(gen_q50(sf_dir), f"{fdir}/q50_cluster_dedup.parquet")
+        print(f"{name}: q50 written")
 
 
 if __name__ == "__main__":

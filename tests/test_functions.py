@@ -336,3 +336,29 @@ def test_term_doc_frequency_counts_each_doc_once():
     assert got == {"alpha": 2, "beta": 2, "gamma": 1, "delta": 1}
     top = term_doc_frequency(ds, "text", top=2).to_pandas()
     assert list(top["term"]) == ["alpha", "beta"]
+
+
+def test_connected_components_min_label():
+    from dataflows_ray.functions.components import connected_components
+    # two chains and one clique: {1,2,3,9}, {4,5}, {6,7,8}
+    pairs = [(2, 1), (2, 3), (3, 9), (4, 5), (6, 7), (7, 8), (6, 8)]
+    ds = ray.data.from_items(
+        [{"doc_a": a, "doc_b": b} for a, b in pairs]).repartition(3)
+    out = connected_components(ds).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    got = dict(zip(out["node"], out["label"]))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6}
+
+
+def test_dedup_by_components_transitive_chain():
+    from dataflows_ray.functions.components import dedup_by_components
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"t{i}"} for i in range(10)])
+    # chain 0~1, 1~2 must collapse to keeper 0 even though (0,2) was
+    # never a candidate pair
+    pairs = ray.data.from_items(
+        [{"doc_a": 0, "doc_b": 1}, {"doc_a": 1, "doc_b": 2},
+         {"doc_a": 7, "doc_b": 8}])
+    deduped, comp = dedup_by_components(docs, pairs)
+    kept = sorted(r["doc_id"] for r in deduped.take_all())
+    assert kept == [0, 3, 4, 5, 6, 7, 9]
