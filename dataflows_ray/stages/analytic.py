@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
@@ -34,11 +35,15 @@ def keyed_window(ds: ray.data.Dataset, keys: List[str],
                  order_cols: List[str], value_col: str,
                  running_sum: Optional[str] = "running_sum",
                  lag: Optional[str] = "prev_value",
-                 row_number: Optional[str] = "rn") -> ray.data.Dataset:
+                 row_number: Optional[str] = "rn",
+                 dense_rank: Optional[str] = None,
+                 ntile: Optional[int] = None,
+                 ntile_col: str = "ntile") -> ray.data.Dataset:
     """Append per-key ordered analytics of ``value_col``: cumulative sum
     (``running_sum``), previous row's value (``lag``, NULL on each key's
-    first row), and 1-based position (``row_number``). Pass None to skip
-    an output."""
+    first row), 1-based position (``row_number``), SQL ``dense_rank``
+    over ``order_cols`` (ties share a rank, no gaps), and SQL
+    ``ntile(N)`` buckets. Pass None to skip an output."""
 
     def merge(df: pd.DataFrame) -> pa.Table:
         out_cols = {}
@@ -55,8 +60,32 @@ def keyed_window(ds: ray.data.Dataset, keys: List[str],
                 out_cols[lag] = shifted
             if row_number is not None:
                 out_cols[row_number] = g.cumcount() + 1
+            if dense_rank is not None:
+                # new (key, order) tuple -> rank bump; ties share ranks
+                changed = pd.Series(True, index=df.index)
+                cols = list(keys) + list(order_cols)
+                same = (df[cols] == df[cols].shift(1)).all(axis=1)
+                changed[same] = False
+                within = g.cumcount() == 0
+                bump = changed & ~within
+                out_cols[dense_rank] = bump.groupby(
+                    [df[k] for k in keys], sort=False).cumsum() + 1
+            if ntile is not None:
+                pos = g.cumcount()
+                size = g[value_col].transform("size")
+                # SQL ntile: first (size % n) buckets get the extra row
+                big = size // ntile + 1
+                n_big = size % ntile
+                cut = n_big * big
+                in_big = pos < cut
+                small = (size // ntile).where(size // ntile > 0, 1)
+                tile = np.where(
+                    in_big, pos // big.where(big > 0, 1),
+                    n_big + (pos - cut) // small)
+                out_cols[ntile_col] = tile.astype(np.int64) + 1
         else:
-            for name in (running_sum, lag, row_number):
+            for name in (running_sum, lag, row_number, dense_rank,
+                         ntile_col if ntile is not None else None):
                 if name is not None:
                     out_cols[name] = pd.Series([], dtype="Int64")
         out = df.assign(**out_cols)

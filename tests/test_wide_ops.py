@@ -408,3 +408,54 @@ def test_keyed_window_matches_pandas():
     exp_prev = df["prev_value"].tolist()
     for a, b in zip(got_prev, exp_prev):
         assert (pd.isna(a) and pd.isna(b)) or a == b
+
+
+def test_keyed_window_dense_rank_and_ntile_match_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.analytic import keyed_window
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    rows = [{"k": f"k{i % 5}", "o": int(rng.integers(0, 9)),
+             "id": i, "v": int(rng.integers(0, 100))} for i in range(230)]
+    ds = ray.data.from_items(rows).repartition(6)
+    out = keyed_window(ds, ["k"], ["o", "id"], "v",
+                       running_sum=None, lag=None, row_number=None,
+                       dense_rank="dr", ntile=4).to_pandas() \
+        .sort_values(["k", "o", "id"]).reset_index(drop=True)
+
+    df = pd.DataFrame(rows)
+    exp = duckdb.connect().execute("""
+        SELECT k, o, id, v,
+               dense_rank() OVER (PARTITION BY k ORDER BY o, id) AS dr,
+               ntile(4) OVER (PARTITION BY k ORDER BY o, id) AS nt
+        FROM df ORDER BY k, o, id""").df()
+    assert out["dr"].tolist() == exp["dr"].tolist()
+    assert out["ntile"].tolist() == exp["nt"].tolist()
+
+
+def test_keyed_window_dense_rank_with_ties():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.analytic import keyed_window
+
+    rng = np.random.Generator(np.random.PCG64(13))
+    rows = [{"k": f"k{i % 3}", "o": int(rng.integers(0, 5)), "id": i}
+            for i in range(120)]
+    ds = ray.data.from_items(rows).repartition(4)
+    out = keyed_window(ds, ["k"], ["o"], "id",
+                       running_sum=None, lag=None, row_number=None,
+                       dense_rank="dr").to_pandas()
+    got = {(k, o): dr for k, o, dr in zip(out["k"], out["o"], out["dr"])}
+
+    df = pd.DataFrame(rows)
+    exp = duckdb.connect().execute("""
+        SELECT DISTINCT k, o,
+               dense_rank() OVER (PARTITION BY k ORDER BY o) AS dr
+        FROM df""").df()
+    for k, o, dr in zip(exp["k"], exp["o"], exp["dr"]):
+        assert got[(k, o)] == dr
