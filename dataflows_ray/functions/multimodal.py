@@ -1,13 +1,25 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-Images/audio/video are carried as ``binary`` columns with metadata columns
-(codec, dims, sample rate). Decode/resize/frame-sample run as actor-pool
-``map_batches`` stages with SMALL batch sizes (wide binary rows — SURVEY
-§7.5). The decode kernels themselves are STUBBED (PIL/ffmpeg are not in
-this container) behind ``NotImplementedError`` or a deterministic fake;
-the Ray-side plumbing — schema, batch size, actor signature, output
-layout — is real and tested. Audio PCM decode is fully real in
-``streaming/audio.py``.
+Images/audio/video are carried as ``binary`` columns with metadata
+columns (codec, dims, sample rate). Decode/resize/frame-sample run as
+actor-pool ``map_batches`` stages with SMALL batch sizes (wide binary
+rows — SURVEY §7.5).
+
+Round 2: the decode path is REAL for library-free formats, mirroring
+what ``streaming/audio.py`` does with PCM —
+
+- ``ppm``: binary netpbm P6 (a real standard image format any image
+  tool opens) encoded/decoded here with pure numpy: header parse,
+  pixel-buffer reshape, nearest-neighbor resize, channel/luma features;
+- ``raw-rgb``: headerless pixel buffer with dims from metadata columns;
+- ``rawvideo``: ffmpeg ``-f rawvideo``-layout concatenated RGB frames;
+  frame sampling really slices every-nth frame and computes per-frame
+  features.
+
+Compressed codecs (jpeg/png/h264) raise ``NotImplementedError`` exactly
+where a PIL/turbojpeg/ffmpeg call would slot in — those libraries are
+not in this container; the surrounding Ray plumbing (schema, batch
+size, actor signature, output layout) is identical either way.
 """
 
 from __future__ import annotations
@@ -21,38 +33,83 @@ import ray.data
 IMAGE_SCHEMA = pa.schema([
     ("image_id", pa.string()),
     ("bytes", pa.binary()),
-    ("format", pa.string()),      # e.g. jpeg/png — opaque here
+    ("format", pa.string()),      # ppm / raw-rgb decode; jpeg/png stubbed
     ("width", pa.int32()),
     ("height", pa.int32()),
 ])
 
 
-def synth_image_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake 'encoded images': raw RGB bytes with known dims
-    (stands in for jpeg payloads so the plumbing is testable)."""
+# ---------------------------------------------------------------------------
+# PPM (netpbm P6) codec — a real image format, no libraries required
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(raw: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8. Handles whitespace and
+    ``#`` comment lines in the header per the netpbm spec."""
+    if raw[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields = []
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos:pos + 1].isspace():
+            pos += 1
+        if raw[pos:pos + 1] == b"#":  # comment to end of line
+            pos = raw.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    return np.frombuffer(raw, dtype=np.uint8,
+                         count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+def synth_image_table(n: int, seed: int = 42, fmt: str = "ppm") -> pa.Table:
+    """Deterministic synthetic images encoded as real binary PPM (or as
+    headerless ``raw-rgb``): gradient + per-image sinusoid pattern, so
+    features vary smoothly and decode errors are visible."""
     rows = {name: [] for name in IMAGE_SCHEMA.names}
     for i in range(n):
         rng = np.random.Generator(np.random.PCG64(seed * 7919 + i))
         w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
-        payload = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 255 // max(1, w - 1)).astype(np.uint8)
+        phase = float(rng.random()) * 2 * np.pi
+        wave = (127 + 120 * np.sin(yy / 3.0 + phase)).astype(np.uint8)
+        noise = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        img = np.stack([base, wave, noise], axis=2)
         rows["image_id"].append(f"img-{i:08d}")
-        rows["bytes"].append(payload.tobytes())
-        rows["format"].append("raw-rgb")
+        rows["bytes"].append(encode_ppm(img) if fmt == "ppm"
+                             else img.tobytes())
+        rows["format"].append(fmt)
         rows["width"].append(w)
         rows["height"].append(h)
     return pa.Table.from_pydict(rows, schema=IMAGE_SCHEMA)
 
 
 class ImageDecoder:
-    """Actor-pool decode stage. Real codecs are unavailable in this
-    container: ``raw-rgb`` decodes for real (reshape), everything else
-    raises ``NotImplementedError`` exactly where a PIL/turbojpeg call
-    would slot in."""
+    """Actor-pool decode stage: real decode for ppm/raw-rgb,
+    ``NotImplementedError`` where a PIL/turbojpeg call would slot in.
+    Emits per-image features: mean pixel, per-channel means, 8-bin luma
+    histogram (normalized)."""
 
     def __init__(self, target_size: Optional[Tuple[int, int]] = None):
         self.target_size = target_size  # (w, h) nearest-neighbor resize
 
     def _decode(self, raw: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+        if fmt == "ppm":
+            return decode_ppm(raw)
         if fmt == "raw-rgb":
             return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
         raise NotImplementedError(
@@ -69,16 +126,29 @@ class ImageDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         means, out_w, out_h = [], [], []
+        ch_means = [[], [], []]
+        histos = []
         for raw, fmt, w, h in zip(batch["bytes"].to_pylist(),
                                   batch["format"].to_pylist(),
                                   batch["width"].to_pylist(),
                                   batch["height"].to_pylist()):
             img = self._resize(self._decode(raw, fmt, w, h))
             means.append(float(img.mean()))
+            for c in range(3):
+                ch_means[c].append(float(img[:, :, c].mean()))
+            luma = (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1]
+                    + 0.114 * img[:, :, 2])
+            hist, _ = np.histogram(luma, bins=8, range=(0.0, 256.0))
+            histos.append((hist / max(1, luma.size)).astype(np.float32))
             out_h.append(img.shape[0])
             out_w.append(img.shape[1])
         out = batch.drop_columns(["bytes"])
         out = out.append_column("mean_pixel", pa.array(means))
+        for c, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            out = out.append_column(name, pa.array(ch_means[c]))
+        out = out.append_column(
+            "luma_hist", pa.array([h.tolist() for h in histos],
+                                  type=pa.list_(pa.float32())))
         out = out.append_column("out_width", pa.array(out_w, type=pa.int32()))
         out = out.append_column("out_height", pa.array(out_h, type=pa.int32()))
         return out
@@ -95,19 +165,78 @@ def image_feature_stage(ds: ray.data.Dataset,
         concurrency=concurrency, num_cpus=1)
 
 
+VIDEO_SCHEMA = pa.schema([
+    ("video_id", pa.string()),
+    ("bytes", pa.binary()),
+    ("format", pa.string()),      # rawvideo decodes; mp4/h264 stubbed
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("n_frames", pa.int32()),
+])
+
+
+def synth_video_table(n: int, seed: int = 99) -> pa.Table:
+    """Deterministic synthetic clips in ffmpeg ``-f rawvideo`` layout:
+    concatenated (h, w, 3) uint8 RGB frames, brightness ramping over
+    time so per-frame features are distinguishable."""
+    rows = {name: [] for name in VIDEO_SCHEMA.names}
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(seed * 6007 + i))
+        w, h = int(rng.integers(8, 16)), int(rng.integers(8, 16))
+        nf = int(rng.integers(5, 24))
+        t = np.arange(nf, dtype=np.float64)[:, None, None, None]
+        base = rng.integers(0, 128, size=(1, h, w, 3)).astype(np.float64)
+        clip = np.clip(base + t * (127.0 / max(1, nf - 1)),
+                       0, 255).astype(np.uint8)
+        rows["video_id"].append(f"vid-{i:08d}")
+        rows["bytes"].append(clip.tobytes())
+        rows["format"].append("rawvideo")
+        rows["width"].append(w)
+        rows["height"].append(h)
+        rows["n_frames"].append(nf)
+    return pa.Table.from_pydict(rows, schema=VIDEO_SCHEMA)
+
+
 class VideoFrameSampler:
-    """Frame sampling stub: real ffmpeg is absent; payload layout and the
-    every-nth-frame arithmetic are real."""
+    """Every-nth-frame sampling over ``rawvideo`` payloads — REAL frame
+    slicing (one reshape + stride view per clip, no copies of unsampled
+    frames); compressed containers raise where the ffmpeg demux call
+    would slot in. Emits the sampled-frame count and per-sampled-frame
+    mean brightness."""
 
     def __init__(self, every_n: int = 10):
         self.every_n = every_n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n_frames = []
-        for fmt in batch["format"].to_pylist():
-            if fmt != "raw-rgb-frames":
+        n_sampled, frame_means = [], []
+        for raw, fmt, w, h, nf in zip(batch["bytes"].to_pylist(),
+                                      batch["format"].to_pylist(),
+                                      batch["width"].to_pylist(),
+                                      batch["height"].to_pylist(),
+                                      batch["n_frames"].to_pylist()):
+            if fmt != "rawvideo":
                 raise NotImplementedError(
                     f"video format {fmt!r}: ffmpeg not present in container")
-            n_frames.append(0)
-        return batch.append_column("sampled_frames",
-                                   pa.array(n_frames, type=pa.int32()))
+            frames = np.frombuffer(raw, dtype=np.uint8) \
+                .reshape(nf, h, w, 3)[::self.every_n]
+            n_sampled.append(len(frames))
+            frame_means.append(frames.mean(axis=(1, 2, 3))
+                               .astype(np.float32).tolist())
+        out = batch.drop_columns(["bytes"])
+        out = out.append_column("sampled_frames",
+                                pa.array(n_sampled, type=pa.int32()))
+        out = out.append_column("frame_means",
+                                pa.array(frame_means,
+                                         type=pa.list_(pa.float32())))
+        return out
+
+
+def video_sample_stage(ds: ray.data.Dataset, every_n: int = 10,
+                       concurrency: int = 2, batch_size: int = 16
+                       ) -> ray.data.Dataset:
+    """Video payloads are the widest rows in the engine — batch_size is
+    deliberately tiny so batch bytes x concurrency fits worker heaps."""
+    return ds.map_batches(
+        VideoFrameSampler, fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

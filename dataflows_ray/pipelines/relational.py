@@ -1260,6 +1260,67 @@ WHERE rank <= 5
 """
 
 
+def _image_path(sf_dir: str) -> str:
+    """Deterministic synthetic PPM image table sized by sf (cached)."""
+    import pyarrow.parquet as pq
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n = max(200, int(float(sf) * 20_000))
+    path = f"/tmp/dataflows_ray_images/sf{sf}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(path, exist_ok=True)
+        per_file = max(100, n // 8)
+        for i in range(0, n, per_file):
+            # shard-independent: image i depends only on (seed, i)
+            tbl = _synth_image_slice(i, min(per_file, n - i))
+            pq.write_table(tbl, os.path.join(
+                path, f"part-{i // per_file:05d}.parquet"))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+def _synth_image_slice(start: int, count: int) -> pa.Table:
+    """Rows [start, start+count) of the deterministic image table —
+    per-image RNG is seeded by absolute index, so slices concatenate to
+    the same table at any sharding."""
+    import numpy as np
+    from ..functions.multimodal import IMAGE_SCHEMA, encode_ppm
+    rows = {name: [] for name in IMAGE_SCHEMA.names}
+    for i in range(start, start + count):
+        rng = np.random.Generator(np.random.PCG64(42 * 7919 + i))
+        w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (xx * 255 // max(1, w - 1)).astype(np.uint8)
+        phase = float(rng.random()) * 2 * np.pi
+        wave = (127 + 120 * np.sin(yy / 3.0 + phase)).astype(np.uint8)
+        noise = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        img = np.stack([base, wave, noise], axis=2)
+        rows["image_id"].append(f"img-{i:08d}")
+        rows["bytes"].append(encode_ppm(img))
+        rows["format"].append("ppm")
+        rows["width"].append(w)
+        rows["height"].append(h)
+    return pa.Table.from_pydict(rows, schema=IMAGE_SCHEMA)
+
+
+def q51_image_features(sf_dir: str):
+    """REAL image decode + features over binary payload columns
+    (functions.multimodal): netpbm P6 parse, nearest-neighbor resize to
+    16x16, channel means — an actor-pool map_batches stage with small
+    batches (wide binary rows). Oracle: sequential decode of the same
+    deterministic payloads (fixtures/)."""
+    import ray.data
+    from ..functions.multimodal import image_feature_stage
+    ds = ray.data.read_parquet(_image_path(sf_dir))
+    out = image_feature_stage(ds, target_size=(16, 16), concurrency=4,
+                              batch_size=64)
+    df = out.select_columns(
+        ["image_id", "mean_pixel", "mean_r", "mean_g", "mean_b",
+         "out_width", "out_height"]).to_pandas()
+    for c in ("mean_pixel", "mean_r", "mean_g", "mean_b"):
+        df[c] = df[c].round(6)
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1364,6 +1425,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q48_keyed_window_funcs": q48_keyed_window_funcs,
     "q49_term_doc_frequency": q49_term_doc_frequency,
     "q50_cluster_dedup": q50_cluster_dedup,
+    "q51_image_features": q51_image_features,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1430,6 +1492,13 @@ SELECT doc_id FROM read_parquet('{_FIX}/q50_cluster_dedup.parquet')
 ORDER BY doc_id
 """
 
+Q51_SQL = f"""
+SELECT image_id, mean_pixel, mean_r, mean_g, mean_b,
+       out_width, out_height
+FROM read_parquet('{_FIX}/q51_image_features.parquet')
+ORDER BY image_id
+"""
+
 
 ORACLES: Dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
@@ -1482,4 +1551,5 @@ ORACLES: Dict[str, str] = {
     "q48_keyed_window_funcs": Q48_SQL,
     "q49_term_doc_frequency": Q49_SQL,
     "q50_cluster_dedup": Q50_SQL,
+    "q51_image_features": Q51_SQL,
 }

@@ -236,6 +236,38 @@ def gen_q50(sf_dir: str) -> pa.Table:
     return pa.table({"doc_id": pa.array(keep, type=pa.int64())})
 
 
+def gen_q51(sf_dir: str) -> pa.Table:
+    """Sequential mirror of q51 image features: decode every PPM payload
+    of the deterministic synthetic image table with the SAME kernel the
+    distributed stage uses, single-process."""
+    import glob
+    import pandas as pd
+    from dataflows_ray.functions.multimodal import ImageDecoder
+    from dataflows_ray.pipelines.relational import _image_path
+    dec = ImageDecoder(target_size=(16, 16))
+    rows = []
+    for f in sorted(glob.glob(os.path.join(_image_path(sf_dir),
+                                           "*.parquet"))):
+        t = pq.read_table(f)
+        for raw, iid, fmt, w, h in zip(t["bytes"].to_pylist(),
+                                       t["image_id"].to_pylist(),
+                                       t["format"].to_pylist(),
+                                       t["width"].to_pylist(),
+                                       t["height"].to_pylist()):
+            img = dec._resize(dec._decode(raw, fmt, w, h))
+            rows.append({
+                "image_id": iid,
+                "mean_pixel": round(float(img.mean()), 6),
+                "mean_r": round(float(img[:, :, 0].mean()), 6),
+                "mean_g": round(float(img[:, :, 1].mean()), 6),
+                "mean_b": round(float(img[:, :, 2].mean()), 6),
+                "out_width": np.int32(img.shape[1]),
+                "out_height": np.int32(img.shape[0]),
+            })
+    df = pd.DataFrame(rows).sort_values("image_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def main():
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     for sf_dir in sf_dirs:
@@ -264,6 +296,8 @@ def main():
         print(f"{name}: q42 written")
         pq.write_table(gen_q50(sf_dir), f"{fdir}/q50_cluster_dedup.parquet")
         print(f"{name}: q50 written")
+        pq.write_table(gen_q51(sf_dir), f"{fdir}/q51_image_features.parquet")
+        print(f"{name}: q51 written")
 
 
 if __name__ == "__main__":

@@ -362,3 +362,47 @@ def test_dedup_by_components_transitive_chain():
     deduped, comp = dedup_by_components(docs, pairs)
     kept = sorted(r["doc_id"] for r in deduped.take_all())
     assert kept == [0, 3, 4, 5, 6, 7, 9]
+
+
+def test_ppm_codec_roundtrip_and_comment_header():
+    import numpy as np
+    from dataflows_ray.functions.multimodal import decode_ppm, encode_ppm
+    rng = np.random.Generator(np.random.PCG64(5))
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # spec allows comment lines inside the header
+    with_comment = b"P6\n# made by a tool\n7 11\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+
+
+def test_image_stage_decodes_real_ppm():
+    from dataflows_ray.functions.multimodal import (
+        decode_ppm, image_feature_stage, synth_image_table)
+    tbl = synth_image_table(8, fmt="ppm")
+    ds = ray.data.from_arrow(tbl)
+    out = image_feature_stage(ds, concurrency=1).to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    # features match a sequential decode of the same payloads
+    import numpy as np
+    for i in range(8):
+        img = decode_ppm(tbl["bytes"][i].as_py())
+        assert abs(out.loc[i, "mean_pixel"] - img.mean()) < 1e-9
+        assert abs(out.loc[i, "mean_g"] - img[:, :, 1].mean()) < 1e-9
+        assert abs(sum(out.loc[i, "luma_hist"]) - 1.0) < 1e-3
+
+
+def test_video_rawvideo_frame_sampling():
+    import numpy as np
+    from dataflows_ray.functions.multimodal import (
+        synth_video_table, video_sample_stage)
+    tbl = synth_video_table(6)
+    ds = ray.data.from_arrow(tbl)
+    out = video_sample_stage(ds, every_n=4, concurrency=1).to_pandas() \
+        .sort_values("video_id").reset_index(drop=True)
+    for i in range(6):
+        nf = tbl["n_frames"][i].as_py()
+        exp_sampled = len(range(0, nf, 4))
+        assert out.loc[i, "sampled_frames"] == exp_sampled
+        # brightness ramps over time -> sampled means non-decreasing
+        fm = out.loc[i, "frame_means"]
+        assert all(b >= a - 1e-3 for a, b in zip(fm, fm[1:]))
