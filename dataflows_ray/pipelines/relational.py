@@ -1321,6 +1321,29 @@ def q51_image_features(sf_dir: str):
     return df.sort_values("image_id").reset_index(drop=True)
 
 
+def q52_streaming_windowed_ndv(sf_dir: str):
+    """STREAMING approx distinct speakers per 10-min tumbling window
+    (streaming.ndv_engine): per-window HyperLogLog registers as operator
+    state, merged by max (commutative + idempotent — replay-safe),
+    exactly-once NDV emission at watermark close. Oracle: sequential
+    single-pass HLL over the same windows (fixtures/) — register max
+    commutes, so the results are bit-identical."""
+    import shutil
+    from ..streaming.ndv_engine import StreamingNdvEngine
+    from ..streaming.sink import ExactlyOnceSink
+    path = _sorted_audio_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_ndvsink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingNdvEngine(path, out, num_partitions=4,
+                             rowgroups_per_epoch=2, window_ms=600_000,
+                             p=12)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["window_start", "approx_ndv"])
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1426,6 +1449,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q49_term_doc_frequency": q49_term_doc_frequency,
     "q50_cluster_dedup": q50_cluster_dedup,
     "q51_image_features": q51_image_features,
+    "q52_streaming_windowed_ndv": q52_streaming_windowed_ndv,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1499,6 +1523,12 @@ FROM read_parquet('{_FIX}/q51_image_features.parquet')
 ORDER BY image_id
 """
 
+Q52_SQL = f"""
+SELECT window_start, approx_ndv
+FROM read_parquet('{_FIX}/q52_windowed_ndv.parquet')
+ORDER BY window_start
+"""
+
 
 ORACLES: Dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
@@ -1552,4 +1582,5 @@ ORACLES: Dict[str, str] = {
     "q49_term_doc_frequency": Q49_SQL,
     "q50_cluster_dedup": Q50_SQL,
     "q51_image_features": Q51_SQL,
+    "q52_streaming_windowed_ndv": Q52_SQL,
 }

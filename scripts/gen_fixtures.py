@@ -268,6 +268,29 @@ def gen_q51(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def gen_q52(sf_dir: str) -> pa.Table:
+    """Sequential mirror of q52 streaming windowed NDV: one single-pass
+    HLL per 10-min window over the audio table (register max commutes,
+    so this equals the streaming engine's merged registers exactly)."""
+    import glob
+    from dataflows_ray.functions.sketch import (
+        _estimate, _hash_column, _registers)
+    from dataflows_ray.pipelines.relational import _audio_path
+    files = sorted(glob.glob(os.path.join(_audio_path(sf_dir),
+                                          "*.parquet")))
+    tbl = pa.concat_tables([
+        pq.read_table(f, columns=["speaker", "event_ms"]) for f in files])
+    ev = tbl["event_ms"].to_numpy(zero_copy_only=False)
+    h = _hash_column(tbl["speaker"])
+    widx = ev // 600_000
+    starts, ndv = [], []
+    for w in np.unique(widx):
+        starts.append(int(w) * 600_000)
+        ndv.append(int(round(_estimate(_registers(h[widx == w], 12)))))
+    return pa.table({"window_start": pa.array(starts, type=pa.int64()),
+                     "approx_ndv": pa.array(ndv, type=pa.int64())})
+
+
 def main():
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     for sf_dir in sf_dirs:
@@ -298,6 +321,8 @@ def main():
         print(f"{name}: q50 written")
         pq.write_table(gen_q51(sf_dir), f"{fdir}/q51_image_features.parquet")
         print(f"{name}: q51 written")
+        pq.write_table(gen_q52(sf_dir), f"{fdir}/q52_windowed_ndv.parquet")
+        print(f"{name}: q52 written")
 
 
 if __name__ == "__main__":

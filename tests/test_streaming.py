@@ -663,3 +663,71 @@ def test_streaming_topk_engine_crash_resume(audio_dir, tmp_path):
     r2 = again.run()
     assert r2["epochs_processed"] == 0
     assert r2["committed_rows"] == clean_rows
+
+
+def test_streaming_ndv_engine_matches_sequential_hll(audio_dir, tmp_path):
+    """Per-window HLL registers merge by max (commutative/idempotent),
+    so the streaming emission must equal a sequential single-pass HLL
+    over the same windows, exactly."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from dataflows_ray.functions.sketch import (
+        _estimate, _hash_column, _registers)
+    from dataflows_ray.streaming.ndv_engine import StreamingNdvEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    sorted_dir = _sorted_audio_copy(audio_dir, str(tmp_path / "sorted"))
+    out = str(tmp_path / "ndv")
+    eng = StreamingNdvEngine(sorted_dir, out, num_partitions=3,
+                             rowgroups_per_epoch=1, window_ms=300_000,
+                             p=12)
+    eng.run()
+    got = ExactlyOnceSink(out).read_output().to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+
+    files = sorted(os.path.join(sorted_dir, f)
+                   for f in os.listdir(sorted_dir) if f.endswith(".parquet"))
+    tbl = pa.concat_tables([pq.read_table(f, columns=["speaker", "event_ms"])
+                            for f in files])
+    ev = tbl["event_ms"].to_numpy(zero_copy_only=False)
+    h = _hash_column(tbl["speaker"])
+    import numpy as np
+    widx = ev // 300_000
+    exp = {}
+    for w in np.unique(widx):
+        exp[int(w) * 300_000] = int(round(_estimate(
+            _registers(h[widx == w], 12))))
+    assert dict(zip(got["window_start"], got["approx_ndv"])) == exp
+    # estimates are close to exact distinct counts
+    truth = pd.DataFrame({"w": widx, "s": tbl["speaker"].to_pylist()}) \
+        .groupby("w")["s"].nunique()
+    for w, nd in truth.items():
+        est = exp[int(w) * 300_000]
+        assert abs(est - nd) <= max(2, 0.1 * nd)
+
+
+def test_streaming_ndv_engine_crash_resume(audio_dir, tmp_path):
+    from dataflows_ray.streaming.ndv_engine import StreamingNdvEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    clean_out = str(tmp_path / "clean")
+    clean = StreamingNdvEngine(audio_dir, clean_out, num_partitions=2,
+                               rowgroups_per_epoch=1, window_ms=300_000)
+    clean.run()
+    clean_df = ExactlyOnceSink(clean_out).read_output().to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+
+    out = str(tmp_path / "crash")
+    eng = StreamingNdvEngine(audio_dir, out, num_partitions=2,
+                             rowgroups_per_epoch=1, window_ms=300_000)
+    try:
+        eng.run(crash_after_stage_of_epoch=1)
+        assert False
+    except RuntimeError:
+        pass
+    StreamingNdvEngine(audio_dir, out, num_partitions=2,
+                       rowgroups_per_epoch=1, window_ms=300_000).run()
+    got = ExactlyOnceSink(out).read_output().to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    # identical emissions, not just counts: registers are idempotent
+    assert got.equals(clean_df)
