@@ -730,6 +730,70 @@ def q50_cluster_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q53_semi_join(sf_dir: str):
+    """SQL EXISTS / IN (stages.semijoin.semi_join_ids): customers with
+    at least one urgent order — the id set broadcasts once (ray.put)
+    while it fits driver memory and switches to a distributed hash join
+    beyond; the customer table itself never shuffles."""
+    import ray.data
+    from ..stages.agg import grouped_aggregate
+    from ..stages.semijoin import semi_join_ids
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_name",
+                                          "c_acctbal"])
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'")
+    keys = grouped_aggregate(urgent.select_columns(["o_custkey"]),
+                             ["o_custkey"], [])
+    out = semi_join_ids(cust, keys, "c_custkey", id_col="o_custkey")
+    return out.to_pandas().sort_values("c_custkey").reset_index(drop=True)
+
+
+Q53_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def q54_anti_join(sf_dir: str):
+    """SQL NOT EXISTS (semi_join_ids(anti=True)): customers with NO
+    urgent order — the classic anti-join, broadcast or distributed by
+    the same adaptive rule as q53."""
+    import pandas as pd
+    import ray.data
+    from ..stages.agg import grouped_aggregate
+    from ..stages.semijoin import semi_join_ids
+    cols = ["c_custkey", "c_name"]
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=cols)
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"]).filter(
+        expr="o_orderpriority == '1-URGENT'")
+    keys = grouped_aggregate(urgent.select_columns(["o_custkey"]),
+                             ["o_custkey"], [])
+    out = semi_join_ids(cust, keys, "c_custkey", id_col="o_custkey",
+                        anti=True)
+    df = out.to_pandas()
+    if df.empty:  # empty Datasets drop their schema in to_pandas
+        df = pd.DataFrame(columns=cols)
+    return df.sort_values("c_custkey").reset_index(drop=True)
+
+
+Q54_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1450,6 +1514,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q50_cluster_dedup": q50_cluster_dedup,
     "q51_image_features": q51_image_features,
     "q52_streaming_windowed_ndv": q52_streaming_windowed_ndv,
+    "q53_semi_join": q53_semi_join,
+    "q54_anti_join": q54_anti_join,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1583,4 +1649,6 @@ ORACLES: Dict[str, str] = {
     "q50_cluster_dedup": Q50_SQL,
     "q51_image_features": Q51_SQL,
     "q52_streaming_windowed_ndv": Q52_SQL,
+    "q53_semi_join": Q53_SQL,
+    "q54_anti_join": Q54_SQL,
 }
