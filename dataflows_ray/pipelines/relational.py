@@ -1408,6 +1408,44 @@ def q52_streaming_windowed_ndv(sf_dir: str):
         ["window_start", "approx_ndv"])
 
 
+def q55_streaming_image_etl(sf_dir: str):
+    """STREAMING exactly-once image ETL (streaming.map_engine): the PPM
+    decode + feature transform runs inside the split tasks over
+    micro-batch epochs, per-partition idempotent staging, 2PC commit,
+    crash-resumable — the streaming counterpart of batch q51, verified
+    against the SAME sequential-decode fixture."""
+    import shutil
+    from ..functions.multimodal import ImageDecoder
+    from ..streaming.map_engine import StreamingMapEngine
+    from ..streaming.sink import ExactlyOnceSink
+
+    path = _image_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_imgsink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    decoder = ImageDecoder(target_size=(16, 16))
+
+    def derive(t: pa.Table) -> pa.Table:
+        # 'img-00000042' -> 42: a monotone sequence standing in for
+        # event time (lineage only; a stateless map gates nothing on it)
+        seq = pc.cast(pc.utf8_slice_codeunits(t["image_id"], 4, 12),
+                      pa.int64())
+        return t.append_column("__seq__", seq)
+
+    eng = StreamingMapEngine(path, out, transform=decoder,
+                             key="image_id", ts_col="__seq__",
+                             derive=derive, num_partitions=4,
+                             rowgroups_per_epoch=2)
+    eng.run()
+    df = ExactlyOnceSink(out).read_output().select_columns(
+        ["image_id", "mean_pixel", "mean_r", "mean_g", "mean_b",
+         "out_width", "out_height"]).to_pandas()
+    for c in ("mean_pixel", "mean_r", "mean_g", "mean_b"):
+        df[c] = df[c].round(6)
+    return df.sort_values("image_id").reset_index(drop=True)
+
+
 def _audio_path(sf_dir: str) -> str:
     """Deterministic synthetic audio table sized by sf (cached in /tmp)."""
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -1516,6 +1554,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q52_streaming_windowed_ndv": q52_streaming_windowed_ndv,
     "q53_semi_join": q53_semi_join,
     "q54_anti_join": q54_anti_join,
+    "q55_streaming_image_etl": q55_streaming_image_etl,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1651,4 +1690,7 @@ ORACLES: Dict[str, str] = {
     "q52_streaming_windowed_ndv": Q52_SQL,
     "q53_semi_join": Q53_SQL,
     "q54_anti_join": Q54_SQL,
+    # q55 re-uses q51's sequential-decode fixture: same rows must come
+    # out of the streaming ETL as out of the batch stage
+    "q55_streaming_image_etl": Q51_SQL,
 }

@@ -731,3 +731,47 @@ def test_streaming_ndv_engine_crash_resume(audio_dir, tmp_path):
         .sort_values("window_start").reset_index(drop=True)
     # identical emissions, not just counts: registers are idempotent
     assert got.equals(clean_df)
+
+
+def test_streaming_map_engine_exactly_once_crash_resume(tmp_path):
+    """Stateless streaming ETL: crash mid-run, resume, rerun — rows out
+    equal a clean run's, each input transformed exactly once."""
+    import pyarrow.parquet as pq
+    from dataflows_ray.functions.multimodal import synth_image_table, ImageDecoder
+    from dataflows_ray.streaming.map_engine import StreamingMapEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+    import pyarrow.compute as pc
+
+    src = str(tmp_path / "imgs")
+    os.makedirs(src)
+    tbl = synth_image_table(120)
+    for i in range(0, 120, 30):
+        pq.write_table(tbl.slice(i, 30), os.path.join(src, f"p{i}.parquet"),
+                       row_group_size=15)
+
+    def derive(t):
+        return t.append_column("__seq__", pc.cast(
+            pc.utf8_slice_codeunits(t["image_id"], 4, 12), pa.int64()))
+
+    def run(out, crash=None):
+        eng = StreamingMapEngine(src, out, transform=ImageDecoder(),
+                                 key="image_id", ts_col="__seq__",
+                                 derive=derive, num_partitions=2,
+                                 rowgroups_per_epoch=3)
+        return eng.run(crash_after_stage_of_epoch=crash)
+
+    clean_out = str(tmp_path / "clean")
+    assert run(clean_out)["committed_rows"] == 120
+
+    out = str(tmp_path / "crash")
+    try:
+        run(out, crash=1)
+        assert False
+    except RuntimeError:
+        pass
+    assert run(out)["committed_rows"] == 120
+    got = ExactlyOnceSink(out).read_output().to_pandas()
+    assert sorted(got["image_id"]) == sorted(tbl["image_id"].to_pylist())
+    assert got["image_id"].is_unique
+    r = run(out)  # rerun over committed sink is a no-op
+    assert r["epochs_processed"] == 0 and r["committed_rows"] == 120
