@@ -794,6 +794,43 @@ ORDER BY c_custkey
 """
 
 
+def q56_hash_sample(sf_dir: str):
+    """Entity-consistent deterministic 20% sample of documents by
+    doc_id hash (stages.sampling.hash_sample): pure per-row compute, no
+    shuffle, identical at any parallelism. Oracle: sequential mirror of
+    the same keep-decision (fixtures/)."""
+    import ray.data
+    from ..stages.sampling import hash_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    out = hash_sample(ds, "doc_id", 0.2, seed=7)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q57_stratified_sample(sf_dir: str):
+    """First-5-per-event-type deterministic stratified sample
+    (stages.sampling.stratified_sample over the grouped_top_k exchange),
+    ordered by (ts, event_id)."""
+    import ray.data
+    from ..stages.sampling import stratified_sample
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "event_id"])
+    out = stratified_sample(ev, ["event_type"], 5, ["ts", "event_id"])
+    return out.to_pandas().sort_values(
+        ["event_type", "ts", "event_id"]).reset_index(drop=True)
+
+
+Q57_SQL = """
+SELECT event_type, ts, event_id FROM (
+  SELECT event_type, ts, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+WHERE rn <= 5
+ORDER BY event_type, ts, event_id
+"""
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1555,6 +1592,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q53_semi_join": q53_semi_join,
     "q54_anti_join": q54_anti_join,
     "q55_streaming_image_etl": q55_streaming_image_etl,
+    "q56_hash_sample": q56_hash_sample,
+    "q57_stratified_sample": q57_stratified_sample,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1634,6 +1673,12 @@ FROM read_parquet('{_FIX}/q52_windowed_ndv.parquet')
 ORDER BY window_start
 """
 
+Q56_SQL = f"""
+SELECT doc_id, n_chars
+FROM read_parquet('{_FIX}/q56_hash_sample.parquet')
+ORDER BY doc_id
+"""
+
 
 ORACLES: Dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
@@ -1693,4 +1738,6 @@ ORACLES: Dict[str, str] = {
     # q55 re-uses q51's sequential-decode fixture: same rows must come
     # out of the streaming ETL as out of the batch stage
     "q55_streaming_image_etl": Q51_SQL,
+    "q56_hash_sample": Q56_SQL,
+    "q57_stratified_sample": Q57_SQL,
 }

@@ -1,0 +1,63 @@
+"""Deterministic distributed sampling.
+
+Engine-defined (SURVEY §2.4 lists sampling among the reference's
+absences). Two shapes a training-data pipeline needs:
+
+- ``hash_sample``: entity-consistent bernoulli — a row is kept iff the
+  avalanched 64-bit hash of its KEY falls under ``fraction`` of the
+  hash space. All rows of a key are kept or dropped TOGETHER (sample by
+  document/user, not by row — the property that keeps grouped data
+  coherent), the decision is pure per-row compute (no shuffle, no RNG
+  state, reproducible at any parallelism), and two samples with the
+  same seed are identical while disjoint seeds are independent.
+- ``stratified_sample``: exactly ``n`` rows per stratum, the FIRST n by
+  a deterministic order — a thin wrapper over
+  ``stages.setops.grouped_top_k`` (ascending), so it inherits the
+  per-block-partial + one-small-exchange scale shape.
+
+Both are stateless ``map_batches``/keyed-exchange plans — nothing
+driver-side.
+"""
+
+from __future__ import annotations
+
+from typing import List, Union
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.sketch import _hash_column, _mix64
+
+_TWO64 = float(2 ** 64)
+
+
+def hash_sample(ds: ray.data.Dataset, key_col: str, fraction: float,
+                seed: int = 0) -> ray.data.Dataset:
+    """Keep rows whose key hashes below ``fraction`` of the 64-bit hash
+    space (expected ``fraction`` of KEYS, hence of rows when keys are
+    unique). Deterministic, seed-salted, entity-consistent."""
+    assert 0.0 <= fraction <= 1.0
+    threshold = np.uint64(int(fraction * _TWO64)) if fraction < 1.0 \
+        else np.uint64(2 ** 64 - 1)
+    salt = np.uint64(seed * 0x9E3779B97F4A7C15 & (2 ** 64 - 1))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        h = _mix64(_hash_column(batch[key_col]) ^ salt)
+        if fraction >= 1.0:
+            return batch
+        return batch.filter(pa.array(h < threshold))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def stratified_sample(ds: ray.data.Dataset, strata_cols: List[str],
+                      n_per_stratum: int,
+                      order_cols: List[str]) -> ray.data.Dataset:
+    """The first ``n_per_stratum`` rows of each stratum by
+    ``order_cols`` ascending (SQL ``row_number() OVER (PARTITION BY
+    strata ORDER BY order) <= n``). ``order_cols`` must totally order
+    rows within a stratum for a deterministic sample."""
+    from .setops import grouped_top_k
+    return grouped_top_k(ds, list(strata_cols), list(order_cols),
+                         n_per_stratum, descending=False)

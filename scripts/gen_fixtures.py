@@ -291,6 +291,20 @@ def gen_q52(sf_dir: str) -> pa.Table:
                      "approx_ndv": pa.array(ndv, type=pa.int64())})
 
 
+def gen_q56(sf_dir: str) -> pa.Table:
+    """Sequential mirror of q56 hash sampling: the same avalanche +
+    threshold decision over every doc_id, single-process."""
+    from dataflows_ray.functions.sketch import _hash_column, _mix64
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "n_chars"])
+    salt = np.uint64(7 * 0x9E3779B97F4A7C15 & (2 ** 64 - 1))
+    threshold = np.uint64(int(0.2 * float(2 ** 64)))
+    h = _mix64(_hash_column(tbl["doc_id"]) ^ salt)
+    out = tbl.filter(pa.array(h < threshold))
+    return out.take(pa.compute.sort_indices(
+        out, sort_keys=[("doc_id", "ascending")]))
+
+
 def main():
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     for sf_dir in sf_dirs:
@@ -323,6 +337,8 @@ def main():
         print(f"{name}: q51 written")
         pq.write_table(gen_q52(sf_dir), f"{fdir}/q52_windowed_ndv.parquet")
         print(f"{name}: q52 written")
+        pq.write_table(gen_q56(sf_dir), f"{fdir}/q56_hash_sample.parquet")
+        print(f"{name}: q56 written")
 
 
 if __name__ == "__main__":

@@ -459,3 +459,41 @@ def test_keyed_window_dense_rank_with_ties():
         FROM df""").df()
     for k, o, dr in zip(exp["k"], exp["o"], exp["dr"]):
         assert got[(k, o)] == dr
+
+
+def test_hash_sample_deterministic_and_entity_consistent():
+    import numpy as np
+    import ray.data
+    from dataflows_ray.stages.sampling import hash_sample
+
+    rows = [{"user": f"u{i % 400}", "rec": i} for i in range(2000)]
+    ds = ray.data.from_items(rows).repartition(7)
+    s1 = hash_sample(ds, "user", 0.3, seed=1).to_pandas()
+    s2 = hash_sample(ds.repartition(3), "user", 0.3, seed=1).to_pandas()
+    # identical sample at any parallelism
+    assert sorted(s1["rec"]) == sorted(s2["rec"])
+    # entity-consistent: each user fully in or fully out (5 recs each)
+    counts = s1.groupby("user").size()
+    assert (counts == 5).all()
+    # roughly the requested fraction of the 400 users
+    assert 0.2 < len(counts) / 400 < 0.4
+    # different seed -> different sample
+    s3 = hash_sample(ds, "user", 0.3, seed=2).to_pandas()
+    assert sorted(s3["rec"]) != sorted(s1["rec"])
+    # fraction bounds
+    assert hash_sample(ds, "user", 1.0).count() == 2000
+    assert hash_sample(ds, "user", 0.0).count() == 0
+
+
+def test_stratified_sample_first_n_per_stratum():
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.sampling import stratified_sample
+
+    rows = [{"g": f"g{i % 4}", "id": i} for i in range(100)]
+    ds = ray.data.from_items(rows).repartition(6)
+    out = stratified_sample(ds, ["g"], 3, ["id"]).to_pandas() \
+        .sort_values(["g", "id"]).reset_index(drop=True)
+    exp = pd.DataFrame(rows).sort_values(["g", "id"]) \
+        .groupby("g").head(3).reset_index(drop=True)
+    assert out[["g", "id"]].equals(exp[["g", "id"]])
