@@ -172,3 +172,85 @@ def term_doc_frequency(ds: ray.data.Dataset, text_col: str = "text",
         return totals
     from ..stages.setops import top_k
     return top_k(totals, ["df", "term"], top, descending=[True, False])
+
+
+def tfidf_top_terms(ds: ray.data.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 3,
+                    round_to: int = 6) -> ray.data.Dataset:
+    """Top-k terms per document by tf-idf (tf x ln(n_docs / df)).
+
+    Scale shape — three keyed passes, nothing driver-sized beyond a
+    scalar:
+    1. explode to (doc, term, tf) rows per block (vectorized tokenize +
+       groupby — output granularity is the result's own);
+    2. document frequency per term = one combining aggregate over those
+       rows (each (doc, term) appears once);
+    3. score via a keyed exchange ON TERM (tf rows + df rows co-locate;
+       no driver-side vocab broadcast — web-scale vocab never fits one),
+       then grouped_top_k per document.
+    Scores are rounded BEFORE ranking so cross-engine libm 1-ulp
+    differences cannot flip the rank order."""
+    import math
+    import pyarrow.compute as pc
+    from ..stages.agg import grouped_aggregate, keyed_merge
+    from ..stages.setops import grouped_top_k
+
+    n_docs = ds.count()
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        words = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(texts, "")), pattern=r"\W+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        flat = words.flatten()
+        offs = np.asarray(words.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({id_col: np.repeat(ids, np.diff(offs)),
+                           "term": flat.to_numpy(zero_copy_only=False)})
+        df = df[df["term"] != ""]
+        out = df.groupby([id_col, "term"], sort=False) \
+            .size().rename("tf").reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    toks = ds.select_columns([id_col, text_col]).map_batches(
+        explode_tf, batch_format="pyarrow", batch_size=None)
+    dfreq = grouped_aggregate(toks, ["term"], [
+        {"target": "df", "aggregate": "count"}])
+
+    def tag_tf(t: pa.Table) -> pa.Table:
+        return t.append_column("df", pa.nulls(len(t), type=pa.int64()))
+
+    def tag_df(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pa.nulls(len(t), type=pa.int64()),
+            "term": t["term"],
+            "tf": pa.nulls(len(t), type=pa.int64()),
+            "df": pc.cast(t["df"], pa.int64()),
+        })
+
+    union = toks.map_batches(tag_tf, batch_format="pyarrow",
+                             batch_size=None).union(
+        dfreq.map_batches(tag_df, batch_format="pyarrow", batch_size=None))
+
+    def score(df_: pd.DataFrame, n_docs=n_docs) -> pa.Table:
+        is_df = df_["df"].notna()
+        dmap = df_[is_df].set_index("term")["df"]
+        rows = df_[~is_df]
+        dfs = dmap.reindex(rows["term"]).to_numpy(dtype=np.float64)
+        tf = rows["tf"].to_numpy(dtype=np.float64)
+        tfidf = np.round(tf * np.log(float(n_docs) / dfs), round_to)
+        out = pd.DataFrame({id_col: rows[id_col].to_numpy(dtype=np.int64),
+                            "term": rows["term"].to_numpy(),
+                            "tf": rows["tf"].to_numpy(dtype=np.int64),
+                            "tfidf": tfidf})
+        return pa.Table.from_pandas(out, preserve_index=False) \
+                       .replace_schema_metadata(None)
+
+    scored = keyed_merge(union, ["term"], score)
+    return grouped_top_k(scored, [id_col], ["tfidf", "term"], k,
+                         descending=[True, False])

@@ -831,6 +831,45 @@ ORDER BY event_type, ts, event_id
 """
 
 
+def q58_tfidf_top_terms(sf_dir: str):
+    """Top-3 tf-idf terms per document (functions.text.tfidf_top_terms):
+    explode to (doc, term, tf) per block, df via the combining
+    aggregate, score via a keyed exchange ON TERM (no driver vocab
+    broadcast), head via grouped_top_k — the full text-scoring pipeline
+    as three keyed passes."""
+    import ray.data
+    from ..functions.text import tfidf_top_terms
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = tfidf_top_terms(ds, k=3)
+    return out.to_pandas().sort_values(
+        ["doc_id", "term"]).reset_index(drop=True)
+
+
+Q58_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\\W+')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM toks WHERE term <> '' GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+       GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT t.doc_id, t.term, t.tf,
+                  round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6)
+                      AS tfidf
+           FROM tf t JOIN df d USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, tfidf FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rn
+  FROM scored)
+WHERE rn <= 3
+ORDER BY doc_id, term
+"""
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1594,6 +1633,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q55_streaming_image_etl": q55_streaming_image_etl,
     "q56_hash_sample": q56_hash_sample,
     "q57_stratified_sample": q57_stratified_sample,
+    "q58_tfidf_top_terms": q58_tfidf_top_terms,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1740,4 +1780,5 @@ ORACLES: Dict[str, str] = {
     "q55_streaming_image_etl": Q51_SQL,
     "q56_hash_sample": Q56_SQL,
     "q57_stratified_sample": Q57_SQL,
+    "q58_tfidf_top_terms": Q58_SQL,
 }

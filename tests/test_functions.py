@@ -406,3 +406,26 @@ def test_video_rawvideo_frame_sampling():
         # brightness ramps over time -> sampled means non-decreasing
         fm = out.loc[i, "frame_means"]
         assert all(b >= a - 1e-3 for a, b in zip(fm, fm[1:]))
+
+
+def test_tfidf_top_terms_small_corpus():
+    import math
+    from dataflows_ray.functions.text import tfidf_top_terms
+    rows = [
+        {"doc_id": 0, "text": "apple apple banana common"},
+        {"doc_id": 1, "text": "banana cherry common"},
+        {"doc_id": 2, "text": "common cherry cherry"},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    out = tfidf_top_terms(ds, k=2).to_pandas()
+    by_doc = {d: dict(zip(g["term"], g["tfidf"]))
+              for d, g in out.groupby("doc_id")}
+    # 'common' appears in all docs -> idf ln(1) = 0, never a top term
+    assert all("common" not in terms for terms in by_doc.values())
+    # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert abs(by_doc[0]["apple"] - round(2 * math.log(3), 6)) < 1e-9
+    assert abs(by_doc[0]["banana"] - round(math.log(1.5), 6)) < 1e-9
+    # determinism across layouts
+    out2 = tfidf_top_terms(ds.repartition(3), k=2).to_pandas()
+    assert sorted(map(tuple, out[["doc_id", "term"]].values.tolist())) == \
+        sorted(map(tuple, out2[["doc_id", "term"]].values.tolist()))
