@@ -420,8 +420,10 @@ def test_tfidf_top_terms_small_corpus():
     out = tfidf_top_terms(ds, k=2).to_pandas()
     by_doc = {d: dict(zip(g["term"], g["tfidf"]))
               for d, g in out.groupby("doc_id")}
-    # 'common' appears in all docs -> idf ln(1) = 0, never a top term
-    assert all("common" not in terms for terms in by_doc.values())
+    # 'common' appears in all docs -> idf ln(1) = 0: it only surfaces
+    # where fewer than k other terms exist, and then with score 0
+    assert "common" not in by_doc[0] and "common" not in by_doc[1]
+    assert by_doc[2].get("common", 0.0) == 0.0
     # doc 0: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
     assert abs(by_doc[0]["apple"] - round(2 * math.log(3), 6)) < 1e-9
     assert abs(by_doc[0]["banana"] - round(math.log(1.5), 6)) < 1e-9
