@@ -38,12 +38,17 @@ def keyed_window(ds: ray.data.Dataset, keys: List[str],
                  row_number: Optional[str] = "rn",
                  dense_rank: Optional[str] = None,
                  ntile: Optional[int] = None,
-                 ntile_col: str = "ntile") -> ray.data.Dataset:
+                 ntile_col: str = "ntile",
+                 lead: Optional[str] = None,
+                 first_value: Optional[str] = None,
+                 last_value: Optional[str] = None) -> ray.data.Dataset:
     """Append per-key ordered analytics of ``value_col``: cumulative sum
     (``running_sum``), previous row's value (``lag``, NULL on each key's
     first row), 1-based position (``row_number``), SQL ``dense_rank``
     over ``order_cols`` (ties share a rank, no gaps), and SQL
-    ``ntile(N)`` buckets. Pass None to skip an output."""
+    ``ntile(N)`` buckets, next row's value (``lead``), and the
+    whole-partition-frame ``first_value`` / ``last_value``. Pass None
+    to skip an output."""
 
     def merge(df: pd.DataFrame) -> pa.Table:
         out_cols = {}
@@ -70,6 +75,15 @@ def keyed_window(ds: ray.data.Dataset, keys: List[str],
                 bump = changed & ~within
                 out_cols[dense_rank] = bump.groupby(
                     [df[k] for k in keys], sort=False).cumsum() + 1
+            if lead is not None:
+                shifted = g[value_col].shift(-1)
+                if pd.api.types.is_integer_dtype(df[value_col]):
+                    shifted = shifted.astype("Int64")
+                out_cols[lead] = shifted
+            if first_value is not None:
+                out_cols[first_value] = g[value_col].transform("first")
+            if last_value is not None:
+                out_cols[last_value] = g[value_col].transform("last")
             if ntile is not None:
                 pos = g.cumcount()
                 size = g[value_col].transform("size")
@@ -85,6 +99,7 @@ def keyed_window(ds: ray.data.Dataset, keys: List[str],
                 out_cols[ntile_col] = tile.astype(np.int64) + 1
         else:
             for name in (running_sum, lag, row_number, dense_rank,
+                         lead, first_value, last_value,
                          ntile_col if ntile is not None else None):
                 if name is not None:
                     out_cols[name] = pd.Series([], dtype="Int64")

@@ -497,3 +497,38 @@ def test_stratified_sample_first_n_per_stratum():
     exp = pd.DataFrame(rows).sort_values(["g", "id"]) \
         .groupby("g").head(3).reset_index(drop=True)
     assert out[["g", "id"]].equals(exp[["g", "id"]])
+
+
+def test_keyed_window_lead_first_last_match_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.analytic import keyed_window
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    rows = [{"k": f"k{i % 4}", "id": i, "v": int(rng.integers(0, 50))}
+            for i in range(160)]
+    ds = ray.data.from_items(rows).repartition(5)
+    out = keyed_window(ds, ["k"], ["id"], "v",
+                       running_sum=None, lag=None, row_number=None,
+                       lead="nxt", first_value="fv", last_value="lv") \
+        .to_pandas().sort_values(["k", "id"]).reset_index(drop=True)
+
+    df = pd.DataFrame(rows)
+    exp = duckdb.connect().execute("""
+        SELECT k, id, v,
+               lead(v) OVER w AS nxt,
+               first_value(v) OVER (PARTITION BY k ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS fv,
+               last_value(v) OVER (PARTITION BY k ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS lv
+        FROM df WINDOW w AS (PARTITION BY k ORDER BY id)
+        ORDER BY k, id""").df()
+    assert out["fv"].tolist() == exp["fv"].tolist()
+    assert out["lv"].tolist() == exp["lv"].tolist()
+    got_nxt = out["nxt"].astype("float64")
+    for a, b in zip(got_nxt, exp["nxt"]):
+        assert (pd.isna(a) and pd.isna(b)) or a == b
