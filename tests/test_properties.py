@@ -100,3 +100,51 @@ def test_dedup_keeps_first_by_order(data):
         .reset_index(drop=True)
     assert list(out["k"]) == list(exp["k"])
     assert list(out["rid"]) == list(exp["rid"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.data())
+def test_grouped_top_k_property(data):
+    from dataflows_ray.stages.setops import grouped_top_k
+    n = data.draw(st.integers(min_value=1, max_value=150))
+    keys, vals = _rows(data.draw, n)
+    k = data.draw(st.integers(min_value=1, max_value=5))
+    df = pd.DataFrame({"k": keys,
+                       "v": [0 if v is None else v for v in vals],
+                       "id": range(n)})
+    ds = ray.data.from_pandas(df).repartition(
+        data.draw(st.integers(min_value=1, max_value=6)))
+    out = grouped_top_k(ds, ["k"], ["v", "id"], k,
+                        descending=[True, False], rank_col="r") \
+        .to_pandas().sort_values(["k", "r"]).reset_index(drop=True)
+
+    exp = df.sort_values(["k", "v", "id"],
+                         ascending=[True, False, True], kind="mergesort")
+    exp["r"] = exp.groupby("k").cumcount() + 1
+    exp = exp[exp["r"] <= k].reset_index(drop=True)
+    assert out[["k", "v", "id", "r"]].astype("int64", errors="ignore") \
+        .equals(exp[["k", "v", "id", "r"]].astype("int64", errors="ignore")) \
+        or (list(out["k"]) == list(exp["k"])
+            and list(out["v"]) == list(exp["v"])
+            and list(out["id"]) == list(exp["id"])
+            and list(out["r"]) == list(exp["r"]))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.data())
+def test_exact_quantiles_property(data):
+    from dataflows_ray.functions.quantiles import exact_quantiles
+    n = data.draw(st.integers(min_value=1, max_value=300))
+    vals = data.draw(st.lists(
+        st.floats(min_value=-1e6, max_value=1e6,
+                  allow_nan=False, allow_infinity=False),
+        min_size=n, max_size=n))
+    qs = sorted(data.draw(st.lists(
+        st.floats(min_value=0.0, max_value=1.0), min_size=1, max_size=3)))
+    ds = ray.data.from_items([{"v": float(x)} for x in vals]).repartition(
+        data.draw(st.integers(min_value=1, max_value=5)))
+    got = exact_quantiles(ds, "v", qs, bins=32,
+                          collect_limit=16)["value"].to_pylist()
+    s = np.sort(np.asarray(vals, dtype=np.float64))
+    exp = [float(s[min(n - 1, max(0, math.ceil(q * n) - 1))]) for q in qs]
+    assert got == exp
