@@ -870,6 +870,31 @@ ORDER BY doc_id, term
 """
 
 
+def q59_unnest_embeddings(sf_dir: str):
+    """List-column explode with ordinality (stages.reshape.unnest_list —
+    SQL ``unnest WITH ORDINALITY``): embedding vectors of the first 20
+    ids to (vec_id, pos, val) rows; one flatten + np.repeat per block,
+    no shuffle."""
+    import ray.data
+    from ..stages.reshape import unnest_list
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]).filter(
+        expr="vec_id < 20")
+    out = unnest_list(ds, "embedding")
+    df = out.to_pandas()
+    df["val"] = df["val"].astype("float64").round(6)
+    return df.sort_values(["vec_id", "pos"]).reset_index(drop=True)
+
+
+Q59_SQL = """
+SELECT vec_id, pos, round(CAST(val AS DOUBLE), 6) AS val FROM (
+  SELECT vec_id, unnest(embedding) AS val,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings WHERE vec_id < 20)
+ORDER BY vec_id, pos
+"""
+
+
 def q27_set_type_clear(sf_dir: str):
     """Error-policy conformance: cast a doc-id-derived STRING column with
     deliberately invalid values under on_error='clear' (failures become
@@ -1634,6 +1659,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q56_hash_sample": q56_hash_sample,
     "q57_stratified_sample": q57_stratified_sample,
     "q58_tfidf_top_terms": q58_tfidf_top_terms,
+    "q59_unnest_embeddings": q59_unnest_embeddings,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1781,4 +1807,5 @@ ORACLES: Dict[str, str] = {
     "q56_hash_sample": Q56_SQL,
     "q57_stratified_sample": Q57_SQL,
     "q58_tfidf_top_terms": Q58_SQL,
+    "q59_unnest_embeddings": Q59_SQL,
 }

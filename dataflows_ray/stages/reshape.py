@@ -264,3 +264,40 @@ class printer(Step):
             for r in rows:
                 print("  ", r)
         return stream
+
+
+def unnest_list(ds: "ray.data.Dataset", list_col: str,
+                pos_col: str = "pos", value_col: str = "val",
+                drop_list: bool = True) -> "ray.data.Dataset":
+    """Explode a list column to one row per element with its 1-based
+    ordinality (SQL ``unnest ... WITH ORDINALITY``). Null/empty lists
+    yield no rows (SQL semantics). Fully vectorized inside the batch:
+    one flatten + offset diff + ``np.repeat`` of the scalar columns —
+    the explode is per-block, so output blocks stay bounded by input
+    block size x max list length."""
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batch: pa.Table, list_col=list_col) -> pa.Table:
+        col = batch[list_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        offs = offs - offs[0]
+        counts = np.diff(offs)
+        # null lists report their validity, not their length
+        valid = np.asarray(pa.compute.is_valid(col))
+        counts = np.where(valid, counts, 0)
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        pos = (np.arange(int(counts.sum()), dtype=np.int64)
+               - np.repeat(np.concatenate([[0], np.cumsum(counts)])[:-1],
+                           counts) + 1)
+        out = batch.drop_columns([list_col]) if drop_list else batch
+        out = out.take(pa.array(idx))
+        out = out.append_column(pos_col, pa.array(pos))
+        return out.append_column(value_col, flat.take(pa.array(
+            np.repeat(offs[:-1], counts)
+            + (pos - 1))))
+    import ray.data  # noqa: F401  (type hint only)
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -532,3 +532,16 @@ def test_keyed_window_lead_first_last_match_duckdb():
     got_nxt = out["nxt"].astype("float64")
     for a, b in zip(got_nxt, exp["nxt"]):
         assert (pd.isna(a) and pd.isna(b)) or a == b
+
+
+def test_unnest_list_ordinality_nulls_empties():
+    import pyarrow as pa
+    import ray.data
+    from dataflows_ray.stages.reshape import unnest_list
+    tbl = pa.table({"id": [1, 2, 3, 4],
+                    "xs": [[10, 11], None, [], [20, 21, 22]]})
+    out = unnest_list(ray.data.from_arrow(tbl).repartition(2), "xs") \
+        .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+    assert out.to_dict("list") == {
+        "id": [1, 1, 4, 4, 4], "pos": [1, 2, 1, 2, 3],
+        "val": [10, 11, 20, 21, 22]}
