@@ -39,8 +39,16 @@ from .stages.dedup import deduplicate
 from .stages.join import join, join_with_self
 from .stages.asof import asof_join
 from .stages.rangejoin import range_join
-from .stages.setops import top_k, set_intersect, set_except
-from .stages.agg import grouped_aggregate
+from .stages.setops import (
+    top_k, grouped_top_k, set_intersect, set_except, pivot_table,
+    detect_sequence)
+from .stages.agg import grouped_aggregate, rollup_aggregate
+from .stages.analytic import keyed_window
+from .stages.sampling import hash_sample, stratified_sample
+from .stages.semijoin import semi_join_ids
+from .stages.reshape import unnest_list
+from .functions.quantiles import exact_quantiles, grouped_exact_quantile
+from .functions.components import connected_components, dedup_by_components
 from .sinks.dump import dump_to_path, dump_to_zip
 from .sinks.checkpoint import checkpoint
 from .sinks.stream_file import stream, unstream, parallelize
@@ -58,7 +66,11 @@ __all__ = [
     "unpivot", "concatenate", "duplicate", "delete_resource", "sources",
     "conditional", "update_stats", "finalizer", "printer",
     "sort_rows", "deduplicate", "join", "join_with_self", "asof_join",
-    "range_join", "top_k", "set_intersect", "set_except",
+    "range_join", "top_k", "grouped_top_k", "set_intersect",
+    "set_except", "pivot_table", "detect_sequence", "keyed_window",
+    "hash_sample", "stratified_sample", "semi_join_ids", "unnest_list",
+    "exact_quantiles", "grouped_exact_quantile", "connected_components",
+    "dedup_by_components", "rollup_aggregate",
     "grouped_aggregate", "dump_to_path", "dump_to_zip", "checkpoint",
     "stream", "unstream", "parallelize", "dump_to_sql",
 ]
