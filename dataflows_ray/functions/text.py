@@ -254,3 +254,27 @@ def tfidf_top_terms(ds: ray.data.Dataset, text_col: str = "text",
     scored = keyed_merge(union, ["term"], score)
     return grouped_top_k(scored, [id_col], ["tfidf", "term"], k,
                          descending=[True, False])
+
+
+def compression_ratio(ds: ray.data.Dataset, text_col: str = "text",
+                      target: str = "zlib_ratio",
+                      level: int = 6) -> ray.data.Dataset:
+    """Append ``len(zlib.compress(text)) / len(text)`` — the standard
+    cheap redundancy/quality signal for LLM corpus filtering (boilerplate
+    and generated spam compress far better than natural prose; empty
+    text gets ratio 1.0). The per-row work is C-side zlib; the loop just
+    feeds it bytes."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        ratios = np.ones(len(texts), dtype=np.float64)
+        for i, t in enumerate(texts.to_pylist()):
+            if t:
+                raw = t.encode("utf-8", "replace")
+                ratios[i] = len(zlib.compress(raw, level)) / len(raw)
+        return batch.append_column(target, pa.array(ratios))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -431,3 +431,19 @@ def test_tfidf_top_terms_small_corpus():
     out2 = tfidf_top_terms(ds.repartition(3), k=2).to_pandas()
     assert sorted(map(tuple, out[["doc_id", "term"]].values.tolist())) == \
         sorted(map(tuple, out2[["doc_id", "term"]].values.tolist()))
+
+
+def test_compression_ratio_orders_redundancy():
+    from dataflows_ray.functions.text import compression_ratio
+    import numpy as np
+    rng = np.random.Generator(np.random.PCG64(21))
+    rows = [
+        {"doc_id": 0, "text": "spam " * 400},                   # redundant
+        {"doc_id": 1, "text": "".join(chr(33 + int(rng.integers(0, 90)))
+                                      for _ in range(2000))},   # random
+        {"doc_id": 2, "text": ""},
+    ]
+    out = compression_ratio(ray.data.from_items(rows)).to_pandas() \
+        .set_index("doc_id")["zlib_ratio"]
+    assert out[0] < 0.1 < out[1]
+    assert out[2] == 1.0
