@@ -187,7 +187,10 @@ class StreamingJoinEngine:
         # last commit and the flush) must still flush buffered unmatched
         # rows, or they are permanently lost.
         if max_epochs is None:
-            flush_epoch = len(epochs)
+            # own id range: a grown input's new data epochs must never
+            # collide with an earlier run's committed flush (see
+            # window_engine.MicroBatchEngine.FLUSH_BASE)
+            flush_epoch = (1 << 40) + len(epochs)
             if flush_epoch not in committed:
                 stats = ray.get([
                     actors[p].process_and_stage.remote(

@@ -113,6 +113,10 @@ class MicroBatchEngine:
     ``restore(snap)``.
     """
 
+    # flush epochs commit in their own id range so data epochs of a
+    # grown input can never collide with an earlier run's flush
+    FLUSH_BASE = 1 << 40
+
     def __init__(self, input_path: str, out_dir: str, num_partitions: int = 4,
                  rowgroups_per_epoch: int = 2,
                  allowed_lateness_ms: int = 60_000,
@@ -200,8 +204,16 @@ class MicroBatchEngine:
             total_rows += sum(s["rows"] for s in stats)
             n_done += 1
 
-        # final flush: +inf watermark drains all remaining state
-        flush_epoch = len(epochs)
+        # final flush: +inf watermark drains all remaining state. The
+        # flush id lives in its own range (FLUSH_BASE + #epochs) so a
+        # GROWN input's new data epochs can never collide with a
+        # previously committed flush — appended files become new epochs
+        # on the next run and only they are processed (incremental
+        # backfill; exact for engines whose state survives the flush —
+        # map/dedup. A windowed engine re-run after its final flush
+        # treats post-flush data as a fresh stream for still-open
+        # windows).
+        flush_epoch = self.FLUSH_BASE + len(epochs)
         if flush_epoch not in committed:
             stats = ray.get([actors[p].ingest_and_stage.remote(
                 flush_epoch, [], 2 ** 62, self.out_dir) for p in range(P)])

@@ -775,3 +775,46 @@ def test_streaming_map_engine_exactly_once_crash_resume(tmp_path):
     assert got["image_id"].is_unique
     r = run(out)  # rerun over committed sink is a no-op
     assert r["epochs_processed"] == 0 and r["committed_rows"] == 120
+
+
+def test_streaming_map_engine_incremental_append(tmp_path):
+    """Growing input: files appended after a committed run become NEW
+    epochs; a rerun processes only them (incremental backfill), totals
+    and uniqueness hold."""
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    from dataflows_ray.functions.multimodal import (
+        ImageDecoder, synth_image_table)
+    from dataflows_ray.streaming.map_engine import StreamingMapEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    src = str(tmp_path / "grow")
+    os.makedirs(src)
+    tbl = synth_image_table(90)
+    for i in range(0, 60, 30):
+        pq.write_table(tbl.slice(i, 30), os.path.join(src, f"p{i:03d}.parquet"),
+                       row_group_size=15)
+
+    def derive(t):
+        return t.append_column("__seq__", pc.cast(
+            pc.utf8_slice_codeunits(t["image_id"], 4, 12), pa.int64()))
+
+    def make(out):
+        return StreamingMapEngine(src, out, transform=ImageDecoder(),
+                                  key="image_id", ts_col="__seq__",
+                                  derive=derive, num_partitions=2,
+                                  rowgroups_per_epoch=2)
+
+    out = str(tmp_path / "sink")
+    r1 = make(out).run()
+    assert r1["committed_rows"] == 60
+
+    # stream grows: a new file lands (later in sort order -> new epochs)
+    pq.write_table(tbl.slice(60, 30), os.path.join(src, "p060.parquet"),
+                   row_group_size=15)
+    r2 = make(out).run()
+    assert r2["epochs_processed"] >= 1           # only the new epochs ran
+    got = ExactlyOnceSink(out).read_output().to_pandas()
+    assert len(got) == 90
+    assert got["image_id"].is_unique
+    assert sorted(got["image_id"]) == sorted(tbl["image_id"].to_pylist())
