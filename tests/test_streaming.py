@@ -818,3 +818,49 @@ def test_streaming_map_engine_incremental_append(tmp_path):
     assert len(got) == 90
     assert got["image_id"].is_unique
     assert sorted(got["image_id"]) == sorted(tbl["image_id"].to_pylist())
+
+
+def test_streaming_dedup_engine_incremental_growth(tmp_path):
+    """Input grows after a committed run: new epochs dedupe against the
+    RESTORED seen-state — a late copy of old content is dropped, fresh
+    content is emitted, nothing re-emits."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from dataflows_ray.streaming.dedup_engine import StreamingDedupEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    src = str(tmp_path / "docs")
+    os.makedirs(src)
+    first = pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"text_{i % 30}" for i in range(40)],  # 10 in-batch dups
+    })
+    pq.write_table(pa.Table.from_pandas(first, preserve_index=False),
+                   os.path.join(src, "p000.parquet"), row_group_size=10)
+
+    out = str(tmp_path / "sink")
+
+    def make():
+        return StreamingDedupEngine(src, out, num_partitions=2,
+                                    rowgroups_per_epoch=2)
+
+    r1 = make().run()
+    assert ExactlyOnceSink(out).committed_row_count() == 30
+
+    # growth: 10 copies of OLD content + 10 genuinely new docs
+    second = pd.DataFrame({
+        "doc_id": range(40, 60),
+        "text": [f"text_{i % 30}" for i in range(20, 30)]
+                + [f"new_{i}" for i in range(10)],
+    })
+    pq.write_table(pa.Table.from_pandas(second, preserve_index=False),
+                   os.path.join(src, "p001.parquet"), row_group_size=10)
+    r2 = make().run()
+    assert r2["epochs_processed"] >= 1
+    got = ExactlyOnceSink(out).read_output().to_pandas()
+    assert len(got) == 40                      # 30 old + 10 new keepers
+    assert got["text"].is_unique
+    assert set(t for t in got["text"] if t.startswith("new_")) == \
+        {f"new_{i}" for i in range(10)}
+    # old content re-sent in the growth batch was deduped, not re-emitted
+    assert got[got["text"] == "text_25"]["doc_id"].iloc[0] < 40
