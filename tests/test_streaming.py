@@ -864,3 +864,38 @@ def test_streaming_dedup_engine_incremental_growth(tmp_path):
         {f"new_{i}" for i in range(10)}
     # old content re-sent in the growth batch was deduped, not re-emitted
     assert got[got["text"] == "text_25"]["doc_id"].iloc[0] < 40
+
+
+def test_streaming_map_engine_broadcast_enrichment(tmp_path):
+    """Stream-table enrichment: the transform closes over a ray.put
+    broadcast of a small dimension table (zero-copy ray.get in every
+    split task) — the streaming counterpart of the batch broadcast
+    join, exactly-once."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    from dataflows_ray.streaming.map_engine import StreamingMapEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    ev = pd.DataFrame({"event_id": range(80),
+                       "code": [f"c{i % 4}" for i in range(80)]})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   os.path.join(src, "p0.parquet"), row_group_size=20)
+
+    dim = {f"c{i}": f"name_{i}" for i in range(4)}
+    dim_ref = ray.put(dim)
+
+    def enrich(t: pa.Table, dim_ref=dim_ref) -> pa.Table:
+        lookup = ray.get(dim_ref)  # zero-copy from the object store
+        names = [lookup.get(c, "?") for c in t["code"].to_pylist()]
+        return t.append_column("code_name", pa.array(names))
+
+    eng = StreamingMapEngine(src, str(tmp_path / "sink"), transform=enrich,
+                             key="code", ts_col="event_id",
+                             num_partitions=2, rowgroups_per_epoch=2)
+    eng.run()
+    got = ExactlyOnceSink(str(tmp_path / "sink")).read_output().to_pandas()
+    assert len(got) == 80 and got["event_id"].is_unique
+    assert (got["code_name"] == got["code"].map(dim)).all()
