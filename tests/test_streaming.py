@@ -899,3 +899,49 @@ def test_streaming_map_engine_broadcast_enrichment(tmp_path):
     got = ExactlyOnceSink(str(tmp_path / "sink")).read_output().to_pandas()
     assert len(got) == 80 and got["event_id"].is_unique
     assert (got["code_name"] == got["code"].map(dim)).all()
+
+
+@pytest.mark.parametrize("engine_name", ["topk", "ndv", "window"])
+def test_crash_sweep_every_epoch_new_engines(engine_name, audio_dir,
+                                             tmp_path):
+    """Crash at EVERY epoch for each windowed engine; every resumed run
+    must emit exactly the clean run's rows (not just counts)."""
+    from dataflows_ray.streaming.ndv_engine import StreamingNdvEngine
+    from dataflows_ray.streaming.topk_engine import StreamingTopKEngine
+    from dataflows_ray.streaming.window_engine import StreamingWindowEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    def make(out):
+        if engine_name == "topk":
+            return StreamingTopKEngine(audio_dir, out, num_partitions=2,
+                                       rowgroups_per_epoch=2,
+                                       window_ms=300_000, k=3)
+        if engine_name == "ndv":
+            return StreamingNdvEngine(audio_dir, out, num_partitions=2,
+                                      rowgroups_per_epoch=2,
+                                      window_ms=300_000)
+        return StreamingWindowEngine(audio_dir, out, num_partitions=2,
+                                     rowgroups_per_epoch=2,
+                                     window_ms=300_000)
+
+    clean_out = str(tmp_path / "clean")
+    clean = make(clean_out)
+    clean.run()
+    sort_cols = [c for c in ("window_start", "speaker")
+                 if c in ExactlyOnceSink(clean_out).read_output().columns()]
+    clean_df = ExactlyOnceSink(clean_out).read_output().to_pandas() \
+        .sort_values(sort_cols).reset_index(drop=True)
+
+    n_epochs = len(clean.plan_epochs())
+    assert n_epochs >= 2
+    for crash_at in range(n_epochs):
+        out = str(tmp_path / f"crash_{crash_at}")
+        try:
+            make(out).run(crash_after_stage_of_epoch=crash_at)
+            assert False, "expected injected crash"
+        except RuntimeError:
+            pass
+        make(out).run()
+        got = ExactlyOnceSink(out).read_output().to_pandas() \
+            .sort_values(sort_cols).reset_index(drop=True)
+        assert got.equals(clean_df), (engine_name, crash_at)
