@@ -60,14 +60,33 @@ def _dir_stats(path: str, fmt: str, add_filehash: bool) -> Dict:
 class dump_to_path(Step):
     def __init__(self, out_path: str = ".", format: str = "parquet",
                  resources=None, add_filehash: bool = False,
-                 min_rows_per_file: Optional[int] = None, readback: bool = True):
+                 min_rows_per_file: Optional[int] = None, readback: bool = True,
+                 temporal_format_property: Optional[str] = None,
+                 use_titles: bool = False):
         self.out_path = out_path
         self.format = format
         self.resources = resources
         self.add_filehash = add_filehash
         self.min_rows_per_file = min_rows_per_file
         self.readback = readback
+        # reference dumpers/file_dumper.py:34-35 + formats/base.py:43-46:
+        # serialize temporal fields with the strftime format stored under
+        # this field-descriptor property, and record it as the dumped
+        # schema 'format'; use_titles writes CSV headers from field titles
+        self.temporal_format_property = temporal_format_property
+        self.use_titles = use_titles
         self.name = f"dump_to_path({out_path})"
+
+    def _temporal_map(self, fields) -> Dict[str, tuple]:
+        out = {}
+        if not self.temporal_format_property:
+            return out
+        for f in fields:
+            fmt = f.get(self.temporal_format_property)
+            if fmt and f.get("type") in ("datetime", "date", "time"):
+                out[f["name"]] = (f["type"], fmt)
+                f["format"] = fmt  # recorded in the dumped schema
+        return out
 
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         os.makedirs(self.out_path, exist_ok=True)
@@ -75,6 +94,28 @@ class dump_to_path(Step):
                           "resources": []}
         for rname in select_resources(stream, self.resources):
             ds = stream.get(rname)
+            desc = stream.descriptor(rname)
+            known = {f.get("name"): dict(f) for f in (desc.fields or [])}
+            fields = [known.get(c, {"name": c}) for c in ds.columns()]
+            tmap = self._temporal_map(fields)
+            if tmap and self.format in ("csv", "json"):
+                import pandas as pd
+
+                def fmt_temporals(df: "pd.DataFrame", tmap=tmap):
+                    for col, (_t, fmt) in tmap.items():
+                        if col in df.columns:
+                            df[col] = df[col].map(
+                                lambda v: "" if v is None or v != v
+                                else v.strftime(fmt))
+                    return df
+
+                ds = ds.map_batches(fmt_temporals, batch_format="pandas",
+                                    batch_size=None)
+            if self.use_titles and self.format == "csv":
+                titles = {f["name"]: f["title"] for f in fields
+                          if f.get("title")}
+                if titles:
+                    ds = ds.rename_columns(titles)
             res_dir = os.path.join(self.out_path, rname)
             staged = res_dir + ".staged"
             if os.path.exists(staged):
@@ -152,7 +193,9 @@ class dump_to_path(Step):
             os.replace(staged, res_dir)
             stats = _dir_stats(res_dir, self.format, self.add_filehash)
             manifest["resources"].append({
-                "name": rname, "path": rname, "format": self.format, **stats})
+                "name": rname, "path": rname, "format": self.format,
+                "schema": {"fields": fields, "missingValues": [""]},
+                **stats})
             stream.stats.append(
                 {f"{k}__{rname}": v for k, v in stats.items() if k != "hashes"})
             if self.format == "parquet" and self.readback:

@@ -304,6 +304,33 @@ class load(Step):
             fmt = res.get("format", "parquet")
             sub = load(rpath, name=self.resource_name, format=fmt)
             ds = sub._read()
+            # apply the dumped schema to text formats (csv loses types):
+            # re-cast typed fields with their recorded strptime format —
+            # the reference round-trips temporal formats this way
+            # (test_lib.py test_force_temporal_format)
+            schema_fields = (res.get("schema") or {}).get("fields", [])
+            casts = [{"name": f["name"], "type": f.get("type"),
+                      "format": f.get("format")}
+                     for f in schema_fields
+                     if fmt in ("csv", "tsv", "json", "ndjson")
+                     and f.get("type") not in (None, "string")]
+            if casts:
+                from ..stages.schema_ops import _CastKernel
+                missing = (res.get("schema") or {}).get("missingValues", [])
+                kernel = _CastKernel(casts, "raise", None)
+                cast_cols = [c["name"] for c in casts]
+
+                def apply_schema(df, kernel=kernel, missing=missing,
+                                 cast_cols=cast_cols):
+                    if missing:
+                        for c in cast_cols:
+                            if c in df.columns:
+                                df[c] = df[c].where(
+                                    ~df[c].isin(missing), None)
+                    return kernel(df)
+
+                ds = ds.map_batches(apply_schema, batch_format="pandas",
+                                    batch_size=None)
         elif self.format == "xlsx":
             try:
                 import openpyxl  # noqa: F401

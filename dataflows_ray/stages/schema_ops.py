@@ -264,10 +264,14 @@ class set_type(Step):
                 matched = [c for c in cols if c == self.pattern]
             if not matched:
                 raise ValueError(f"set_type: no field matches {self.pattern}")
-            casts = [{"name": c, "type": ftype, "format": fmt} for c in matched]
-            kernel = _CastKernel(casts, self.on_error, self.transform)
-            stream.set(rname, ds.map_batches(
-                kernel, batch_format="pandas", batch_size=DEFAULT_BATCH_SIZE))
+            if ftype is not None or self.transform is not None:
+                casts = [{"name": c, "type": ftype, "format": fmt}
+                         for c in matched]
+                kernel = _CastKernel(casts, self.on_error, self.transform)
+                stream.set(rname, ds.map_batches(
+                    kernel, batch_format="pandas",
+                    batch_size=DEFAULT_BATCH_SIZE))
+            # descriptor-only updates (e.g. title=) skip the cast kernel
             desc = stream.descriptor(rname)
             for c in matched:
                 fd = desc.field_descriptor(c)

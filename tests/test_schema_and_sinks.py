@@ -186,3 +186,69 @@ def test_parallelize_shim():
         parallelize(slow_double, num_processors=2),
     ).results()
     assert [r["y"] for r in results[0]] == [2 * i for i in range(50)]
+
+
+def test_force_temporal_format_roundtrip(tmp_path):
+    """Port of reference test_lib.py test_force_temporal_format: dump
+    temporal fields with a custom strftime format taken from a field
+    property, record it in the dumped schema, and round-trip through a
+    datapackage load back to typed values."""
+    out = str(tmp_path / "force_temporal_format")
+    data = [
+        {"event": "start",
+         "when": datetime.datetime(2015, 1, 2, 15, 30, 45),
+         "day": datetime.date(2015, 1, 2),
+         "tod": datetime.time(15, 30, 45)},
+        {"event": "end",
+         "when": datetime.datetime(2016, 6, 25, 8, 10, 4),
+         "day": datetime.date(2016, 6, 25),
+         "tod": datetime.time(8, 10, 4)},
+    ]
+    Flow(
+        iterable_loader(data, name="temporal"),
+        set_type("when", type="datetime",
+                 outputFormat="%y|%m|%d %H|%M|%S"),
+        set_type("day", type="date", outputFormat="%y|%m|%d"),
+        set_type("tod", type="time", outputFormat="%H|%M|%S"),
+        dump_to_path(out, format="csv",
+                     temporal_format_property="outputFormat"),
+    ).process()
+
+    # the CSV really contains the custom format
+    csv_dir = os.path.join(out, "temporal")
+    csv_text = "".join(open(os.path.join(csv_dir, f)).read()
+                       for f in sorted(os.listdir(csv_dir)))
+    assert "15|01|02 15|30|45" in csv_text
+    assert "16|06|25" in csv_text
+    # the dumped schema records the format
+    manifest = json.load(open(os.path.join(out, "datapackage.json")))
+    fields = {f["name"]: f for f in manifest["resources"][0]["schema"]["fields"]}
+    assert fields["when"]["format"] == "%y|%m|%d %H|%M|%S"
+    assert fields["day"]["format"] == "%y|%m|%d"
+
+    # reload through the datapackage: typed values come back
+    results, _, _ = Flow(
+        load(os.path.join(out, "datapackage.json"))).results()
+    rows = sorted(results[0], key=lambda r: r["event"])
+    assert rows[1]["when"] == datetime.datetime(2015, 1, 2, 15, 30, 45)
+    assert rows[1]["day"] == datetime.date(2015, 1, 2)
+    assert rows[1]["tod"] == datetime.time(15, 30, 45)
+    assert rows[0]["when"] == datetime.datetime(2016, 6, 25, 8, 10, 4)
+
+
+def test_dump_to_path_use_titles(tmp_path):
+    """Port of reference test_lib.py test_dump_to_path_use_titles: CSV
+    headers come from field titles."""
+    out = str(tmp_path / "dump_with_titles")
+    Flow(
+        iterable_loader([{"hello": "world", "hola": "mundo"}], name="res_1"),
+        set_type("hello", title="shalom"),
+        set_type("hola", title="aloha"),
+        dump_to_path(out, format="csv", use_titles=True),
+    ).process()
+    csv_dir = os.path.join(out, "res_1")
+    text = "".join(open(os.path.join(csv_dir, f)).read()
+                   for f in sorted(os.listdir(csv_dir)))
+    header = text.strip().splitlines()[0]
+    assert "shalom" in header and "aloha" in header
+    assert "world" in text and "mundo" in text
