@@ -140,6 +140,13 @@ class join(Step):
     # -- aggregation of the source side ----------------------------------
     def _aggregate_source(self, source: ray.data.Dataset, columnar: bool):
         fields = _expand_star(_fix_fields(dict(self.fields)), source.columns())
+        # reference join.py (test_join_preserve_source_fields_order):
+        # joined fields attach in SOURCE SCHEMA order, not spec order;
+        # targets not mapped to a source column keep their order at the end
+        src_order = {c: i for i, c in enumerate(source.columns())}
+        fields = dict(sorted(
+            fields.items(),
+            key=lambda kv: src_order.get(kv[1]["name"], len(src_order))))
         specs = [{"target": tgt, "source": spec["name"], "aggregate": spec["aggregate"]}
                  for tgt, spec in fields.items()]
         if columnar:

@@ -85,3 +85,23 @@ def test_dump_to_zip(tmp_path):
         names = zf.namelist()
     assert any("datapackage.json" in n for n in names)
     assert any(n.startswith("t/") for n in names)
+
+
+def test_join_preserves_source_field_order():
+    """Port of reference test_join_preserve_source_fields_order: joined
+    fields attach in SOURCE SCHEMA order (key2 before key1 when the
+    source lists them that way), regardless of the fields-dict order."""
+    from dataflows_ray import Flow, iterable_loader, join
+    meta = [{"id": 1, "key2": "v2", "key1": "v1"},
+            {"id": 2, "key2": "v2", "key1": "v1"}]
+    cities = [{"id": 1, "city": "london"}, {"id": 2, "city": "paris"}]
+    results, _pkg, _ = Flow(
+        iterable_loader(meta, name="cities_metadata"),
+        iterable_loader(cities, name="cities"),
+        join("cities_metadata", "{id}", "cities", "{id}",
+             fields={"key1": {"name": "key1"}, "key2": {"name": "key2"}}),
+    ).results()
+    assert [list(r.keys()) for r in results[0]][0] == \
+        ["id", "city", "key2", "key1"]
+    assert sorted(results[0], key=lambda r: r["id"])[0] == {
+        "id": 1, "city": "london", "key2": "v2", "key1": "v1"}
