@@ -85,6 +85,17 @@ class load(Step):
     ``columns`` prunes at the read (parquet). ``limit_rows`` limits lazily.
     """
 
+    # reference load.py:42-48 strategy constants
+    INFER_STRINGS = "strings"
+    INFER_PYTHON_TYPES = "pytypes"
+    INFER_FULL = "full"
+    CAST_TO_STRINGS = "strings"
+    CAST_DO_NOTHING = "nothing"
+    CAST_WITH_SCHEMA = "schema"
+    ERRORS_IGNORE = "ignore"
+    ERRORS_DROP = "drop"
+    ERRORS_RAISE = "raise"
+
     def __init__(
         self,
         source: str,
@@ -102,6 +113,9 @@ class load(Step):
         table: Optional[str] = None,
         sheet: Optional[str] = None,
         strip: bool = True,
+        infer_strategy: Optional[str] = None,
+        cast_strategy: Optional[str] = None,
+        on_error: Optional[str] = None,
     ):
         self.source = source
         self.format = format or self._guess_format(source)
@@ -132,6 +146,23 @@ class load(Step):
         self.deduplicate_headers = deduplicate_headers
         self.dedup_case_sensitive = deduplicate_headers_case_sensitive
         self.dedup_format = deduplicate_headers_format
+        # reference load.py:42-48 strategy matrix: how text sources infer
+        # (full / pytypes / strings) x how values cast (schema / strings /
+        # nothing). Defaults reproduce INFER_FULL + CAST_WITH_SCHEMA.
+        self.infer_strategy = infer_strategy
+        self.cast_strategy = cast_strategy
+        self.on_error = on_error
+
+    def _read_header(self, delimiter: str) -> List[str]:
+        """Header row of the (first) csv/tsv file, read driver-side."""
+        path = self.source
+        if os.path.isdir(path):
+            cands = sorted(os.path.join(path, f) for f in os.listdir(path)
+                           if f.endswith((".csv", ".tsv")))
+            path = cands[0]
+        import csv as _csv
+        with open(path, newline="") as f:
+            return next(_csv.reader(f, delimiter=delimiter))
 
     @staticmethod
     def rename_duplicate_headers(headers_in: List[str], case_sensitive: bool = True,
@@ -188,6 +219,11 @@ class load(Step):
             import pyarrow.csv as pacsv
             parse_options = pacsv.ParseOptions(
                 delimiter="\t" if self.format == "tsv" else ",")
+            # strategy matrix (reference load.py:88-110): a text source
+            # produces TYPED columns only under INFER_FULL+CAST_WITH_SCHEMA
+            # (the default); every other combination yields raw strings
+            typed = (self.infer_strategy in (None, self.INFER_FULL)
+                     and self.cast_strategy in (None, self.CAST_WITH_SCHEMA))
             read_options = None
             if self.deduplicate_headers:
                 # read the header line driver-side (first file of a glob),
@@ -206,9 +242,17 @@ class load(Step):
                     raw, self.dedup_case_sensitive, self.dedup_format)
                 read_options = pacsv.ReadOptions(column_names=renamed,
                                                  skip_rows=1)
+            convert_options = None
+            if not typed:
+                names = (renamed if read_options is not None
+                         else self._read_header(parse_options.delimiter))
+                convert_options = pacsv.ConvertOptions(
+                    column_types={h: pa.string() for h in names})
             ds = ray.data.read_csv(self.source, parse_options=parse_options,
                                    **({"read_options": read_options}
-                                      if read_options else {}), **kwargs)
+                                      if read_options else {}),
+                                   **({"convert_options": convert_options}
+                                      if convert_options else {}), **kwargs)
         elif self.format == "ndjson":
             ds = ray.data.read_json(self.source, **kwargs)
         elif self.format == "json":
@@ -216,6 +260,12 @@ class load(Step):
             import json
             with open(self.source) as f:
                 rows = json.load(f)
+            # native-typed source: values become strings when the infer
+            # or cast strategy says strings (reference strategy matrix)
+            if (self.infer_strategy == self.INFER_STRINGS
+                    or self.cast_strategy == self.CAST_TO_STRINGS):
+                rows = [{k: (None if v is None else str(v))
+                         for k, v in r.items()} for r in rows]
             ds = ray.data.from_items(rows)
         elif self.format == "geojson":
             # reference parsers/geojson_parser.py:15-29: one row per

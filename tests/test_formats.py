@@ -132,3 +132,54 @@ def test_load_datapackage_zip(tmp_path):
          dump_to_zip(zpath, format="parquet")).process()
     results, _, _ = Flow(load(zpath, name="t")).results()
     assert sorted(r["a"] for r in results[0]) == [1, 2]
+
+
+def test_load_strategies_matrix(tmp_path):
+    """Port of reference test_lib.py test_load_strategies: the
+    infer/cast strategy matrix over a native-typed source (json) and a
+    text source (csv). Typed csv output requires INFER_FULL +
+    CAST_WITH_SCHEMA; strings-anything forces strings."""
+    import json as _json
+    from dataflows_ray import Flow, load
+
+    rows_t = [{"age": 18, "name": "john"}, {"age": 16, "name": "paul"}]
+    rows_s = [{"age": "18", "name": "john"}, {"age": "16", "name": "paul"}]
+    jpath = str(tmp_path / "beatles.json")
+    cpath = str(tmp_path / "beatles.csv")
+    with open(jpath, "w") as f:
+        _json.dump(rows_t, f)
+    with open(cpath, "w") as f:
+        f.write("age,name\n18,john\n16,paul\n")
+
+    def run(path, i_s, c_s):
+        results, _, _ = Flow(
+            load(path, infer_strategy=i_s, cast_strategy=c_s,
+                 on_error=load.ERRORS_DROP)).results()
+        return sorted(results[0], key=lambda r: r["name"])
+
+    exp = {
+        ("full", "nothing"): (rows_t, rows_s),
+        ("full", "schema"): (rows_t, rows_t),
+        ("full", "strings"): (rows_s, rows_s),
+        ("pytypes", "nothing"): (rows_t, rows_s),
+        ("pytypes", "schema"): (rows_t, rows_s),
+        ("pytypes", "strings"): (rows_s, rows_s),
+        ("strings", "nothing"): (rows_s, rows_s),
+        ("strings", "schema"): (rows_s, rows_s),
+        ("strings", "strings"): (rows_s, rows_s),
+    }
+    for (i_s, c_s), (want_json, want_csv) in exp.items():
+        assert run(jpath, i_s, c_s) == want_json, ("json", i_s, c_s)
+        assert run(cpath, i_s, c_s) == want_csv, ("csv", i_s, c_s)
+
+
+def test_load_strategy_infer_strings_from_native_types(tmp_path):
+    """Port of reference test: INFER_STRINGS over a native-typed json
+    source stringifies the values."""
+    import json as _json
+    from dataflows_ray import Flow, load
+    p = str(tmp_path / "b.json")
+    with open(p, "w") as f:
+        _json.dump([{"age": 18, "name": "john"}], f)
+    results, _, _ = Flow(load(p, infer_strategy="strings")).results()
+    assert results[0] == [{"age": "18", "name": "john"}]
