@@ -151,8 +151,16 @@ class dump_to_path(Step):
                             for k, v in row.items():
                                 ftype = geo_fields.get(k)
                                 if ftype == "geopoint":
+                                    # reference format_geojson.py: a
+                                    # geopoint is "lat, lon" string OR a
+                                    # [lat, lon] pair — coordinates are
+                                    # numeric either way
+                                    coords = ([float(x) for x in
+                                               v.split(",")]
+                                              if isinstance(v, str)
+                                              else [float(x) for x in v])
                                     geometry = {"type": "Point",
-                                                "coordinates": list(v)}
+                                                "coordinates": coords}
                                 elif ftype == "geojson":
                                     geometry = (json.loads(v)
                                                 if isinstance(v, str) else v)

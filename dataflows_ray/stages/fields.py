@@ -122,6 +122,17 @@ class add_computed_field(Step):
         for rname in select_resources(stream, self.resources):
             stream.set(rname, stream.get(rname).map_batches(
                 fn, batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE))
+            # record dict targets (name/type/...) in the schema, as the
+            # reference's process_datapackage does
+            desc = stream.descriptor(rname)
+            for f in self.fields:
+                target = f["target"]
+                if isinstance(target, dict):
+                    fd = desc.field_descriptor(target["name"])
+                    if fd is None:
+                        desc.fields.append(dict(target))
+                    else:
+                        fd.update(target)
         return stream
 
 

@@ -252,3 +252,48 @@ def test_dump_to_path_use_titles(tmp_path):
     header = text.strip().splitlines()[0]
     assert "shalom" in header and "aloha" in header
     assert "world" in text and "mundo" in text
+
+
+def _geojson_of(out, rname):
+    return json.load(open(os.path.join(out, rname, rname + ".geojson")))
+
+
+def test_dump_to_geopoint_format_string(tmp_path):
+    """Port of reference test_dump_to_geopoint: a geopoint built by the
+    format computed-field op ("lat, long" string) dumps as numeric Point
+    coordinates."""
+    from dataflows_ray import add_computed_field, delete_fields
+    out = str(tmp_path / "geo")
+    data = [{"id": 1, "city": "london", "lat": 51.509865, "long": -0.118092},
+            {"id": 2, "city": "paris", "lat": 48.8566, "long": 2.3522}]
+    Flow(
+        iterable_loader(data, name="cities_location"),
+        add_computed_field(target={"name": "Location", "type": "geopoint"},
+                           operation="format", with_="{lat}, {long}"),
+        delete_fields(["lat", "long"]),
+        dump_to_path(out, format="geojson"),
+    ).process()
+    doc = _geojson_of(out, "cities_location")
+    assert doc["type"] == "FeatureCollection"
+    feats = sorted(doc["features"], key=lambda f: f["properties"]["id"])
+    assert feats[0]["geometry"] == {
+        "type": "Point", "coordinates": [51.509865, -0.118092]}
+    assert feats[0]["properties"] == {"id": 1, "city": "london"}
+
+
+def test_dump_to_geopoint_array(tmp_path):
+    """Port of reference test_dump_to_geopoint_array: a [lat, long] list
+    geopoint dumps identically."""
+    from dataflows_ray import add_field, delete_fields
+    out = str(tmp_path / "geo2")
+    data = [{"id": 1, "city": "rome", "lat": 41.9028, "long": 2.4964}]
+    Flow(
+        iterable_loader(data, name="cities_location"),
+        add_field("Location", "geopoint",
+                  default=lambda row: [row["lat"], row["long"]]),
+        delete_fields(["lat", "long"]),
+        dump_to_path(out, format="geojson"),
+    ).process()
+    doc = _geojson_of(out, "cities_location")
+    assert doc["features"][0]["geometry"] == {
+        "type": "Point", "coordinates": [41.9028, 2.4964]}
