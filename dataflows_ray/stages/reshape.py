@@ -163,13 +163,27 @@ class duplicate(Step):
     """Plan aliasing: Datasets are immutable lazy plans — no buffering
     needed (unlike reference ``duplicate.py:24-47`` KVFile buffer)."""
 
-    def __init__(self, source: str, target_name: str, position: str = "after"):
+    def __init__(self, source: str, target_name: str, position: str = "after",
+                 duplicate_to_end: bool = False):
         self.source = source
         self.target_name = target_name
+        # reference duplicate.py:27: copy emits right after the source
+        # resource unless duplicate_to_end
+        self.to_end = duplicate_to_end or position == "end"
         self.name = f"duplicate({source})"
 
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         stream.set(self.target_name, stream.get(self.source))
+        if not self.to_end:
+            # reorder: place the copy immediately after its source, in
+            # both the descriptor map and the dataset map (results order)
+            order = [n for n in stream.datasets if n != self.target_name]
+            idx = order.index(self.source) + 1
+            order = order[:idx] + [self.target_name] + order[idx:]
+            stream.package.resources = {
+                n: stream.package.resources[n] for n in order
+                if n in stream.package.resources}
+            stream.datasets = {n: stream.datasets[n] for n in order}
         return stream
 
 

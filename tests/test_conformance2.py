@@ -118,3 +118,25 @@ def test_salted_dedup_hot_key():
     assert len(rows) == 11
     assert rows[0]["i"] == 0  # hot key keeps its first occurrence
     assert [r["i"] for r in rows[1:]] == [4000 + j for j in range(1, 11)]
+
+
+def test_duplicate_position_and_to_end():
+    """Port of reference test_duplicate / test_duplicate_to_end: the
+    copy emits right after its source unless duplicate_to_end."""
+    from dataflows_ray import Flow, iterable_loader, duplicate
+    a = [{"x": 1}]
+    b = [{"y": 2}]
+    res, pkg, _ = Flow(
+        iterable_loader(a, name="a"),
+        iterable_loader(b, name="b"),
+        duplicate("a", "a_copy"),
+    ).results()
+    assert pkg.resource_names() == ["a", "a_copy", "b"]
+    assert res == [[{"x": 1}], [{"x": 1}], [{"y": 2}]]
+    res, pkg, _ = Flow(
+        iterable_loader(a, name="a"),
+        iterable_loader(b, name="b"),
+        duplicate("a", "a_copy", duplicate_to_end=True),
+    ).results()
+    assert pkg.resource_names() == ["a", "b", "a_copy"]
+    assert res == [[{"x": 1}], [{"y": 2}], [{"x": 1}]]
