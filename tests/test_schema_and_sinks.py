@@ -297,3 +297,23 @@ def test_dump_to_geopoint_array(tmp_path):
     doc = _geojson_of(out, "cities_location")
     assert doc["features"][0]["geometry"] == {
         "type": "Point", "coordinates": [41.9028, 2.4964]}
+
+
+def test_dump_to_json_objects(tmp_path):
+    """Port of reference test_dump_to_json_objects: object-typed fields
+    survive a json dump."""
+    import glob
+    from dataflows_ray import add_field
+    out = str(tmp_path / "json_objects")
+    data = [dict(a=i / 100, b=i / 10) for i in range(20)]
+    Flow(
+        iterable_loader(data, name="res_1"),
+        add_field("c", "object", default=lambda r: dict(a=r["a"], b=r["b"])),
+        dump_to_path(out, format="json"),
+    ).process()
+    rows = []
+    for f in sorted(glob.glob(os.path.join(out, "res_1", "*"))):
+        rows += [json.loads(line) for line in open(f) if line.strip()]
+    rows.sort(key=lambda r: r["a"])
+    assert rows[5]["c"] == {"a": rows[5]["a"], "b": rows[5]["b"]}
+    assert len(rows) == 20
