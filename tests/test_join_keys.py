@@ -105,3 +105,27 @@ def test_join_preserves_source_field_order():
         ["id", "city", "key2", "key1"]
     assert sorted(results[0], key=lambda r: r["id"])[0] == {
         "id": 1, "city": "london", "key2": "v2", "key1": "v1"}
+
+
+def test_fullouter_join_different_key_names():
+    """Port of reference test_edge_cases.py
+    test_fullouter_join_dump_different_keys: full-outer with differently
+    named keys on each side and a mixed-type column (engine number
+    policy: float64 instead of Decimal, documented)."""
+    from dataflows_ray import Flow, iterable_loader, join
+    data1 = [{"col1": 1.531, "col2": "hello"},
+             {"col1": 1.132, "col2": "goodbye"}]
+    data2 = [{"colA": 1.531, "colB": "123"},
+             {"colA": 1.132, "colB": "1.132"}]
+    results, _, _ = Flow(
+        iterable_loader(data1, name="res_1"),
+        iterable_loader(data2, name="res_2"),
+        join("res_1", ["col1"], "res_2", ["colA"],
+             {"col2": {"name": "col2", "aggregate": "first"}},
+             mode="full-outer"),
+    ).results()
+    rows = sorted(results[0], key=lambda r: r["colA"])
+    assert rows == [
+        {"colA": 1.132, "colB": "1.132", "col2": "goodbye"},
+        {"colA": 1.531, "colB": "123", "col2": "hello"},
+    ]
