@@ -61,6 +61,12 @@ class _FnStep(Step):
         from .package import select_resources
 
         if self.kind == "package":
+            import inspect
+            if inspect.isgeneratorfunction(self.fn):
+                # reference datapackage_processor.py protocol: the fn gets
+                # a package wrapper, yields the (modified) package first,
+                # then one row-iterable per resource KEPT in the package
+                return _apply_package_generator(self.fn, stream)
             result = self.fn(stream)
             return result if isinstance(result, PackageStream) else stream
         names = select_resources(stream, self.resources)
@@ -80,6 +86,64 @@ class _FnStep(Step):
                     stream.set(name, ds.map_batches(
                         batch_fn, batch_format="pyarrow", batch_size=DEFAULT_BATCH_SIZE))
         return stream
+
+
+class PackageWrapper:
+    """What a generator-style package UDF receives (reference
+    ``helpers/datapackage_processor.py``): ``.pkg`` is the package
+    descriptor (mutable — ``remove_resource`` etc.), and iterating
+    yields one row-iterator per resource in ORIGINAL stream order
+    (including resources the fn removes from the package — it may
+    consume them). Row iteration streams batches to the driver; this is
+    the row-level escape hatch, not the batch fast path."""
+
+    def __init__(self, stream: PackageStream):
+        self.pkg = stream.package
+        self._pairs = [(n, stream.get(n)) for n in stream.resource_names()]
+        self._idx = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._idx >= len(self._pairs):
+            raise StopIteration
+        _name, ds = self._pairs[self._idx]
+        self._idx += 1
+
+        def rows(ds=ds):
+            for batch in ds.iter_batches(batch_format="pyarrow",
+                                         batch_size=4096):
+                yield from batch.to_pylist()
+
+        return rows()
+
+
+def _apply_package_generator(fn: Callable, stream: PackageStream
+                             ) -> PackageStream:
+    """Drive the reference package-UDF generator protocol: first yield =
+    the (possibly modified) package; each further yield = the rows of
+    the next resource still present in the package."""
+    from .udf import rows_to_table
+
+    wrapper = PackageWrapper(stream)
+    gen = fn(wrapper)
+    pkg = next(gen)
+    if pkg is None:
+        pkg = wrapper.pkg
+    kept = list(pkg.resources.keys())
+    new_datasets: Dict[str, ray.data.Dataset] = {}
+    for name, rows_iter in zip(kept, gen):
+        rows = list(rows_iter)
+        new_datasets[name] = (
+            ray.data.from_arrow(rows_to_table(rows, None)) if rows
+            else stream.get(name).limit(0))
+    missing = [n for n in kept if n not in new_datasets]
+    for n in missing:  # fn yielded fewer iterables than kept resources
+        new_datasets[n] = stream.get(n)
+    stream.package = pkg
+    stream.datasets = new_datasets
+    return stream
 
 
 class Flow:

@@ -58,6 +58,11 @@ class EnginePackage:
     def add(self, desc: ResourceDescriptor) -> None:
         self.resources[desc.name] = desc
 
+    def remove_resource(self, name: str) -> None:
+        """Reference frictionless ``Package.remove_resource`` shim: a
+        package UDF drops a resource it has consumed."""
+        self.resources.pop(name, None)
+
     def copy(self) -> "EnginePackage":
         pkg = EnginePackage()
         pkg.metadata = copy.deepcopy(self.metadata)

@@ -142,3 +142,64 @@ def test_load_parquet_sf0001():
     ).results()
     assert len(results[0]) == 5
     assert set(results[0][0].keys()) == {"r_name"}
+
+
+def test_package_generator_udf_cross_resource():
+    """Port of reference test_examples.py test_example_8: a
+    generator-style package UDF consumes one resource to build a lookup,
+    removes it from the package, and filters another resource with it."""
+    from dataflows_ray import Flow, iterable_loader
+
+    emmy = [{"nominee": "a", "winner": True}, {"nominee": "b", "winner": False},
+            {"nominee": "c", "winner": True}]
+    oscars = [{"Name": "a", "Winner": True}, {"Name": "b", "Winner": True},
+              {"Name": "c", "Winner": False}, {"Name": "d", "Winner": True}]
+
+    def find_double_winners(package):
+        package.pkg.remove_resource("emmies")
+        yield package.pkg
+        resources = iter(package)
+        emmy_rows = next(resources)
+        emmy_winners = {r["nominee"] for r in emmy_rows if r["winner"]}
+        academy = next(resources)
+        yield filter(lambda row: row["Winner"] and row["Name"] in emmy_winners,
+                     academy)
+
+    results, pkg, _ = Flow(
+        iterable_loader(emmy, name="emmies"),
+        iterable_loader(oscars, name="oscars"),
+        find_double_winners,
+    ).results()
+    assert pkg.resource_names() == ["oscars"]
+    assert results == [[{"Name": "a", "Winner": True}]]
+
+
+def test_package_generator_udf_add_column():
+    """Port of reference test_examples.py test_example_75: a package UDF
+    extends the schema, then per-row code fills the new column."""
+    from dataflows_ray import Flow, iterable_loader
+
+    beatles = [{"name": "john", "instrument": "guitar"},
+               {"name": "ringo", "instrument": "drums"}]
+
+    def add_is_guitarist_column_to_schema(package):
+        package.pkg.resources["beatles"].fields.append(
+            {"name": "is_guitarist", "type": "boolean"})
+        yield package.pkg
+        yield from package
+
+    def add_is_guitarist_column(row):
+        row["is_guitarist"] = row["instrument"] == "guitar"
+        return row
+
+    results, pkg, _ = Flow(
+        iterable_loader(beatles, name="beatles"),
+        add_is_guitarist_column_to_schema,
+        add_is_guitarist_column,
+    ).results()
+    assert results == [[
+        {"name": "john", "instrument": "guitar", "is_guitarist": True},
+        {"name": "ringo", "instrument": "drums", "is_guitarist": False},
+    ]]
+    fd = pkg.package.resources["beatles"].field_descriptor("is_guitarist")
+    assert fd == {"name": "is_guitarist", "type": "boolean"}
