@@ -201,8 +201,10 @@ class delete_resource(Step):
 class sources(Step):
     """Run N sub-flows and append their resources (``sources.py:6-32``)."""
 
-    def __init__(self, *flows: Flow):
-        self.flows = flows
+    def __init__(self, *flows):
+        # reference sources.py accepts flows OR raw iterables/steps;
+        # anything that isn't a Flow becomes a one-step Flow
+        self.flows = [f if isinstance(f, Flow) else Flow(f) for f in flows]
         self.name = "sources"
 
     def __flow_step__(self, stream: PackageStream) -> PackageStream:

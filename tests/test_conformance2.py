@@ -140,3 +140,14 @@ def test_duplicate_position_and_to_end():
     ).results()
     assert pkg.resource_names() == ["a", "b", "a_copy"]
     assert res == [[{"x": 1}], [{"y": 2}], [{"x": 1}]]
+
+
+def test_sources_iterables_previous():
+    """Port of reference test_sources_iterables_previous: sources()
+    appends its iterables AFTER resources already in the stream."""
+    from dataflows_ray import Flow, sources
+    previous = [[dict(x=a, y=i) for i in range(3)] for a in ["d", "e", "f"]]
+    iterables = [[dict(x=a, y=i) for i in range(3)] for a in ["a", "b", "c"]]
+    res, pkg, _ = Flow(*previous, sources(*iterables)).results()
+    assert len(pkg.resource_names()) == 6
+    assert res == previous + iterables
