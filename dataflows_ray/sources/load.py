@@ -116,10 +116,18 @@ class load(Step):
         infer_strategy: Optional[str] = None,
         cast_strategy: Optional[str] = None,
         on_error: Optional[str] = None,
+        resources=None,
     ):
         self.source = source
-        self.format = format or self._guess_format(source)
-        self.resource_name = name or self._default_name(source)
+        self.resources_sel = resources
+        if isinstance(source, tuple):
+            # reference load.py inline source: (datapackage_dict,
+            # iterator-of-row-iterators) — possibly multiple resources
+            self.format = "inline_package"
+            self.resource_name = name or "inline"
+        else:
+            self.format = format or self._guess_format(source)
+            self.resource_name = name or self._default_name(source)
         self.name = f"load({self.resource_name})"
         self.limit_rows = limit_rows
         self.columns = columns
@@ -460,6 +468,27 @@ class load(Step):
                               batch_size=None)
 
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        if self.format == "inline_package":
+            # (datapackage dict, iterator of per-resource row iterators):
+            # add every SELECTED resource (reference load.py inline form)
+            from ..core.udf import rows_to_table
+            dp, res_iters = self.source
+            sel = self.resources_sel
+            for rdesc, rows_iter in zip(dp.get("resources", []), res_iters):
+                rname = rdesc.get("name", "res")
+                if sel is not None and rname not in sel:
+                    continue
+                rows = list(rows_iter)
+                ds = (ray.data.from_arrow(rows_to_table(rows, None))
+                      if rows else ray.data.from_items([]))
+                stream.set(rname, ds)
+                desc = ResourceDescriptor(
+                    name=rname,
+                    metadata={"path": rdesc.get("path", rname)},
+                    fields=[dict(f) for f in
+                            rdesc.get("schema", {}).get("fields", [])])
+                stream.package.add(desc)
+            return stream
         ds = self._read()
         if self.strip and self.format in ("csv", "tsv", "xml"):
             ds = self._apply_strip(ds)

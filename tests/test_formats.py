@@ -183,3 +183,24 @@ def test_load_strategy_infer_strings_from_native_types(tmp_path):
         _json.dump([{"age": 18, "name": "john"}], f)
     results, _, _ = Flow(load(p, infer_strategy="strings")).results()
     assert results[0] == [{"age": "18", "name": "john"}]
+
+
+def test_load_from_package_resources_inline():
+    """Port of reference test_load_from_package_resources: the inline
+    (datapackage dict, row-iterators) source form with a resource
+    selector."""
+    from dataflows_ray import Flow, load
+
+    datapackage = {"resources": [
+        {"name": f"my-resource-{i}", "path": f"my-resource-{i}.csv",
+         "schema": {"fields": [{"name": "foo", "type": "string"}]}}
+        for i in range(2)]}
+    resources = ((row for row in [{"foo": f"bar{i}"}, {"foo": f"baz{i}"}])
+                 for i in range(2))
+    data, pkg, _ = Flow(
+        load((datapackage, resources), resources=["my-resource-1"]),
+    ).results()
+    assert pkg.resource_names() == ["my-resource-1"]
+    assert pkg.package.resources["my-resource-1"].metadata["path"] == \
+        "my-resource-1.csv"
+    assert data[0][1] == {"foo": "baz1"}
