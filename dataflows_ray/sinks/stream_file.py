@@ -108,40 +108,55 @@ def _decode_row(row: Dict) -> Dict:
 
 
 class stream(Step):
-    def __init__(self, file: str):
+    """``file``: a path (written via ``.active`` + atomic rename) or an
+    already-open text file object (reference signature —
+    ``stream(open(path, 'w'))``; no rename possible, written directly)."""
+
+    def __init__(self, file):
         self.file = file
         self.name = f"stream({file})"
 
+    def _write(self, f, s: PackageStream) -> None:
+        descriptor = {
+            "resources": [{"name": n,
+                           "primaryKey": s.descriptor(n).primary_key}
+                          for n in s.resource_names()]}
+        f.write(json.dumps(descriptor, sort_keys=True) + "\n")
+        for rname in s.resource_names():
+            for batch in s.get(rname).iter_batches(
+                    batch_size=DEFAULT_BATCH_SIZE, batch_format="pyarrow"):
+                for row in batch.to_pylist():
+                    f.write(json.dumps(row, sort_keys=True,
+                                       ensure_ascii=True,
+                                       default=_encode) + "\n")
+            f.write("\n")
+
     def __flow_step__(self, s: PackageStream) -> PackageStream:
+        if not isinstance(self.file, str):
+            self._write(self.file, s)
+            self.file.flush()
+            self.file.close()
+            return s
         filename = self.file + ACTIVE_SUFFIX
         basedir = os.path.dirname(filename)
         if basedir:
             os.makedirs(basedir, exist_ok=True)
         with open(filename, "w") as f:
-            descriptor = {
-                "resources": [{"name": n,
-                               "primaryKey": s.descriptor(n).primary_key}
-                              for n in s.resource_names()]}
-            f.write(json.dumps(descriptor, sort_keys=True) + "\n")
-            for rname in s.resource_names():
-                for batch in s.get(rname).iter_batches(
-                        batch_size=DEFAULT_BATCH_SIZE, batch_format="pyarrow"):
-                    for row in batch.to_pylist():
-                        f.write(json.dumps(row, sort_keys=True,
-                                           ensure_ascii=True,
-                                           default=_encode) + "\n")
-                f.write("\n")
+            self._write(f, s)
         os.rename(filename, self.file)  # atomic commit (stream.py:33-36)
         return s
 
 
 class unstream(Step):
-    def __init__(self, file: str):
+    def __init__(self, file):
         self.file = file
         self.name = f"unstream({file})"
 
     def __flow_step__(self, s: PackageStream) -> PackageStream:
-        with open(self.file) as f:
+        import contextlib
+        ctx = (open(self.file) if isinstance(self.file, str)
+               else contextlib.nullcontext(self.file))
+        with ctx as f:
             descriptor = json.loads(f.readline())
             for res in descriptor["resources"]:
                 rows = []

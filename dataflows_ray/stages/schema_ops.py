@@ -118,6 +118,39 @@ def _cast_series(s: pd.Series, ftype: str, fmt: Optional[str]):
     if ftype in ("date", "datetime"):
         out = pd.to_datetime(s, format=fmt, errors="coerce")
         fail = notnull & out.isna()
+        if fail.any():
+            # pandas Timestamp bounds (1677-2262) are narrower than the
+            # date/datetime types (year 1-9999): retry failures with
+            # Python strptime and return an object series when any
+            # out-of-bounds value is real (reference test_stream_bad_dates)
+            import datetime as _dt
+            retried = {}
+            for idx in s.index[fail]:
+                v = s.loc[idx]
+                try:
+                    dt = (_dt.datetime.strptime(str(v), fmt) if fmt
+                          else _dt.datetime.fromisoformat(str(v)))
+                    retried[idx] = dt
+                except (ValueError, TypeError):
+                    pass
+            if retried:
+                final, still_fail = [], []
+                for idx in s.index:
+                    if idx in retried:
+                        dt = retried[idx]
+                        final.append(dt if ftype == "datetime"
+                                     else dt.date())
+                        still_fail.append(False)
+                    elif pd.isna(out.loc[idx]):
+                        final.append(None)
+                        still_fail.append(bool(notnull.loc[idx]))
+                    else:
+                        t = out.loc[idx]
+                        final.append(t.to_pydatetime()
+                                     if ftype == "datetime" else t.date())
+                        still_fail.append(False)
+                return (pd.Series(final, index=s.index, dtype="object"),
+                        pd.Series(still_fail, index=s.index))
         if ftype == "date":
             out = out.dt.date.where(out.notna(), None)
         return out, fail

@@ -317,3 +317,18 @@ def test_dump_to_json_objects(tmp_path):
     rows.sort(key=lambda r: r["a"])
     assert rows[5]["c"] == {"a": rows[5]["a"], "b": rows[5]["b"]}
     assert len(rows) == 20
+
+
+def test_stream_bad_dates_file_object(tmp_path):
+    """Port of reference test_stream_bad_dates: a year-1 date (outside
+    pandas Timestamp bounds) survives cast + stream/unstream round trip,
+    with stream/unstream taking OPEN FILE objects like the reference."""
+    from dataflows_ray import set_type as _set_type
+    p = str(tmp_path / "bad_dates.stream")
+    Flow(
+        iterable_loader([{"a": "0001/1/1"}], name="t"),
+        _set_type("a", type="date", format="%Y/%m/%d"),
+        stream(open(p, "w")),
+    ).process()
+    results, _, _ = Flow(unstream(open(p))).results()
+    assert results[0][0]["a"] == datetime.date(1, 1, 1)
