@@ -161,6 +161,40 @@ class load(Step):
         self.cast_strategy = cast_strategy
         self.on_error = on_error
 
+    @staticmethod
+    def _read_package_resource(base: str, res: Dict) -> ray.data.Dataset:
+        """Read one dumped-datapackage resource and re-apply its recorded
+        schema to text formats (csv loses types; the reference
+        round-trips temporal formats this way —
+        test_lib.py test_force_temporal_format)."""
+        rpath = os.path.join(base, res.get("path", res.get("name")))
+        fmt = res.get("format", "parquet")
+        sub = load(rpath, name=res.get("name"), format=fmt)
+        ds = sub._read()
+        schema_fields = (res.get("schema") or {}).get("fields", [])
+        casts = [{"name": f["name"], "type": f.get("type"),
+                  "format": f.get("format")}
+                 for f in schema_fields
+                 if fmt in ("csv", "tsv", "json", "ndjson")
+                 and f.get("type") not in (None, "string")]
+        if casts:
+            from ..stages.schema_ops import _CastKernel
+            missing = (res.get("schema") or {}).get("missingValues", [])
+            kernel = _CastKernel(casts, "raise", None)
+            cast_cols = [c["name"] for c in casts]
+
+            def apply_schema(df, kernel=kernel, missing=missing,
+                             cast_cols=cast_cols):
+                if missing:
+                    for c in cast_cols:
+                        if c in df.columns:
+                            df[c] = df[c].where(~df[c].isin(missing), None)
+                return kernel(df)
+
+            ds = ds.map_batches(apply_schema, batch_format="pandas",
+                                batch_size=None)
+        return ds
+
     def _read_header(self, delimiter: str) -> List[str]:
         """Header row of the (first) csv/tsv file, read driver-side."""
         path = self.source
@@ -358,37 +392,7 @@ class load(Step):
             match = [r for r in resources if r.get("name") == want]
             res = match[0] if match else resources[0]
             self.resource_name = res.get("name", self.resource_name)
-            rpath = os.path.join(base, res.get("path", res.get("name")))
-            fmt = res.get("format", "parquet")
-            sub = load(rpath, name=self.resource_name, format=fmt)
-            ds = sub._read()
-            # apply the dumped schema to text formats (csv loses types):
-            # re-cast typed fields with their recorded strptime format —
-            # the reference round-trips temporal formats this way
-            # (test_lib.py test_force_temporal_format)
-            schema_fields = (res.get("schema") or {}).get("fields", [])
-            casts = [{"name": f["name"], "type": f.get("type"),
-                      "format": f.get("format")}
-                     for f in schema_fields
-                     if fmt in ("csv", "tsv", "json", "ndjson")
-                     and f.get("type") not in (None, "string")]
-            if casts:
-                from ..stages.schema_ops import _CastKernel
-                missing = (res.get("schema") or {}).get("missingValues", [])
-                kernel = _CastKernel(casts, "raise", None)
-                cast_cols = [c["name"] for c in casts]
-
-                def apply_schema(df, kernel=kernel, missing=missing,
-                                 cast_cols=cast_cols):
-                    if missing:
-                        for c in cast_cols:
-                            if c in df.columns:
-                                df[c] = df[c].where(
-                                    ~df[c].isin(missing), None)
-                    return kernel(df)
-
-                ds = ds.map_batches(apply_schema, batch_format="pandas",
-                                    batch_size=None)
+            ds = self._read_package_resource(base, res)
         elif self.format == "xlsx":
             try:
                 import openpyxl  # noqa: F401
@@ -468,6 +472,27 @@ class load(Step):
                               batch_size=None)
 
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        if self.format == "datapackage" and self.resources_sel is not None:
+            # reference load(resources=[...]): add EVERY selected
+            # resource of the package (test_load_from_package_resource_
+            # matching / test_load_from_package_resources)
+            import json
+            base = os.path.dirname(os.path.abspath(self.source))
+            with open(self.source) as f:
+                manifest = json.load(f)
+            for res in manifest.get("resources", []):
+                rname = res.get("name")
+                if rname not in self.resources_sel:
+                    continue
+                ds = self._read_package_resource(base, res)
+                stream.set(rname, ds)
+                desc = ResourceDescriptor(
+                    name=rname,
+                    metadata={"path": res.get("path", rname)},
+                    fields=[dict(f) for f in
+                            (res.get("schema") or {}).get("fields", [])])
+                stream.package.add(desc)
+            return stream
         if self.format == "inline_package":
             # (datapackage dict, iterator of per-resource row iterators):
             # add every SELECTED resource (reference load.py inline form)

@@ -204,3 +204,21 @@ def test_load_from_package_resources_inline():
     assert pkg.package.resources["my-resource-1"].metadata["path"] == \
         "my-resource-1.csv"
     assert data[0][1] == {"foo": "baz1"}
+
+
+def test_load_from_package_resource_matching(tmp_path):
+    """Port of reference test_load_from_package_resource_matching: a
+    resources=[...] selector on a dumped datapackage loads only the
+    matched resource(s)."""
+    from dataflows_ray import Flow, load
+    out = str(tmp_path / "pkg")
+    Flow(
+        iterable_loader([{"foo": "bar"}], name="res_1"),
+        iterable_loader([{"foo": "baz"}], name="res_2"),
+        dump_to_path(out, format="parquet"),
+    ).process()
+    results, pkg, _ = Flow(
+        load(os.path.join(out, "datapackage.json"), resources=["res_2"]),
+    ).results()
+    assert pkg.resource_names() == ["res_2"]
+    assert results == [[{"foo": "baz"}]]
