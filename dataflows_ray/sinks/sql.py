@@ -72,6 +72,15 @@ class dump_to_sql(Step):
                                 f'"{c}"' for c in pk) + ")"
                         con.execute(f'CREATE TABLE IF NOT EXISTS '
                                     f'"{table_name}" ({col_defs})')
+                        # reference dump_to_sql indexes_fields: one index
+                        # per listed field tuple
+                        for i, idx_cols in enumerate(
+                                spec.get("indexes_fields") or []):
+                            cols_sql = ", ".join(f'"{c}"' for c in idx_cols)
+                            con.execute(
+                                f'CREATE INDEX IF NOT EXISTS '
+                                f'"{table_name}_idx_{i}" ON '
+                                f'"{table_name}" ({cols_sql})')
                         placeholders = ", ".join("?" for _ in cols)
                         verb = ("INSERT OR REPLACE" if mode == "update"
                                 else "INSERT")

@@ -332,3 +332,21 @@ def test_stream_bad_dates_file_object(tmp_path):
     ).process()
     results, _, _ = Flow(unstream(open(p))).results()
     assert results[0][0]["a"] == datetime.date(1, 1, 1)
+
+
+def test_dump_to_sql_with_indexes(tmp_path):
+    """Port of reference test_dump_to_sql_with_indexes."""
+    db = str(tmp_path / "idx.db")
+    Flow(
+        iterable_loader([{"id": 1, "name": "Paul"}, {"id": 2, "name": "John"}],
+                        name="res_1"),
+        dump_to_sql({"output_table": {"resource-name": "res_1",
+                                      "indexes_fields": [["id"]]}},
+                    engine=f"sqlite:///{db}"),
+    ).process()
+    con = sqlite3.connect(db)
+    idx = con.execute(
+        "SELECT name FROM sqlite_master WHERE type='index' "
+        "AND tbl_name='output_table'").fetchall()
+    assert idx
+    assert con.execute("SELECT count(*) FROM output_table").fetchone()[0] == 2
