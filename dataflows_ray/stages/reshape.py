@@ -163,8 +163,10 @@ class duplicate(Step):
     """Plan aliasing: Datasets are immutable lazy plans — no buffering
     needed (unlike reference ``duplicate.py:24-47`` KVFile buffer)."""
 
-    def __init__(self, source: str, target_name: str, position: str = "after",
-                 duplicate_to_end: bool = False):
+    def __init__(self, source: str = None, target_name: str = None,
+                 position: str = "after", duplicate_to_end: bool = False):
+        # reference duplicate.py:30-34 defaults: source = first resource,
+        # target = '<source>_copy' (resolved at plan time when None)
         self.source = source
         self.target_name = target_name
         # reference duplicate.py:27: copy emits right after the source
@@ -173,6 +175,10 @@ class duplicate(Step):
         self.name = f"duplicate({source})"
 
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
+        if self.source is None:
+            self.source = stream.resource_names()[0]
+        if self.target_name is None:
+            self.target_name = f"{self.source}_copy"
         stream.set(self.target_name, stream.get(self.source))
         if not self.to_end:
             # reorder: place the copy immediately after its source, in

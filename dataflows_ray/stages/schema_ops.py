@@ -118,6 +118,19 @@ def _cast_series(s: pd.Series, ftype: str, fmt: Optional[str]):
     if ftype in ("date", "datetime"):
         out = pd.to_datetime(s, format=fmt, errors="coerce")
         fail = notnull & out.isna()
+        bad_sep = None
+        if ftype == "datetime" and fmt is None:
+            # reference default datetime format is STRICT ISO-8601 with a
+            # 'T' separator (tableschema '%Y-%m-%dT%H:%M:%S'); str(dt)
+            # uses a space and must fail (test_lib.py test_load_dates)
+            import re as _re
+            iso_t = _re.compile(
+                r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}"
+                r"(\.\d+)?([+-]\d{2}:?\d{2}|Z)?$")
+            bad_sep = s.map(lambda v: isinstance(v, str)
+                            and not iso_t.match(v))
+            out = out.where(~bad_sep, pd.NaT)
+            fail = fail | (notnull & bad_sep)
         if fail.any():
             # pandas Timestamp bounds (1677-2262) are narrower than the
             # date/datetime types (year 1-9999): retry failures with
@@ -126,6 +139,8 @@ def _cast_series(s: pd.Series, ftype: str, fmt: Optional[str]):
             import datetime as _dt
             retried = {}
             for idx in s.index[fail]:
+                if bad_sep is not None and bad_sep.loc[idx]:
+                    continue  # strict-ISO rejection is final
                 v = s.loc[idx]
                 try:
                     dt = (_dt.datetime.strptime(str(v), fmt) if fmt
@@ -235,6 +250,23 @@ class _CastKernel:
                  transform: Optional[Callable] = None):
         self.casts = casts
         self.on_error = on_error
+        # reference set_type.py:22-35 wrap_transformer: only pass the
+        # kwargs (field_name / row) the user's callable actually accepts
+        if transform is not None:
+            from inspect import signature
+            params = signature(transform).parameters
+            accepted = {k for k in ("field_name", "row") if k in params}
+            if accepted != {"field_name", "row"}:
+                inner = transform
+
+                def transform(v, field_name=None, row=None,
+                              _inner=inner, _accepted=accepted):
+                    kw = {}
+                    if "field_name" in _accepted:
+                        kw["field_name"] = field_name
+                    if "row" in _accepted:
+                        kw["row"] = row
+                    return _inner(v, **kw)
         self.transform = transform
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:

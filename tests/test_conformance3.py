@@ -1,0 +1,181 @@
+"""Conformance ports, round 3 — remaining reference behaviors from
+``/root/reference/tests/test_lib.py`` / ``test_examples.py`` not yet
+covered by the earlier port files:
+
+- duplicate() default args + many rows   (test_lib.py:740-760)
+- Flow used as a step                    (test_lib.py:785-796)
+- set_type same field across resources   (test_lib.py:1203-1221)
+- load(name=...) name/path descriptor    (test_lib.py:925-940)
+- update_resource(None, name=...)        (test_examples.py:281-291)
+- rename_fields double-rename collision  (test_lib.py:2476-2503)
+- empty/ragged CSV headers               (test_lib.py:1356-1380)
+- set_type datetime format + round trip  (test_lib.py:1240-1273)
+- 1M-row load+cast profile               (test_lib.py:2599-2625)
+"""
+
+import csv
+import datetime
+import os
+
+import numpy as np
+import pytest
+
+from dataflows_ray import (
+    Flow, load, set_type, concatenate, validate, duplicate, rename_fields,
+    update_resource, dump_to_path, StepError,
+)
+
+
+def test_duplicate_default_args_many_rows():
+    results, _, _ = Flow(
+        ({"a": i, "b": i} for i in range(10000)),
+        duplicate(),
+    ).results()
+    assert len(results[0]) == 10000
+    assert len(results[1]) == 10000
+    assert results[0] == results[1]
+
+
+def test_flow_as_step():
+    def upper(row):
+        for k in row:
+            row[k] = row[k].upper()
+
+    def lower_first_letter(row):
+        for k in row:
+            row[k] = row[k][0].lower() + row[k][1:]
+
+    text_processing_flow = Flow(upper, lower_first_letter)
+    results, _, _ = Flow([{"foo": "bar"}], text_processing_flow).results()
+    assert results == [[{"foo": "bAR"}]]
+
+
+def test_set_type_same_field_multi_resource():
+    data1 = [dict(a=[i, 2]) for i in range(5)]
+    data2 = [dict(a=[i, 2]) for i in range(5)]
+    res = Flow(
+        data1, data2,
+        set_type("a", type="integer", transform=lambda v: v[0],
+                 resources=None),
+        concatenate(dict(a=[])),
+        validate(),
+    ).results()[0][0]
+    assert res == [dict(a=i) for i in [0, 1, 2, 3, 4] * 2]
+
+
+def test_load_name_path(tmp_path):
+    import json
+    rows = [{"name": "john", "age": 37}, {"name": "paul", "age": 36}]
+    jpath = tmp_path / "beatles_age.json"
+    jpath.write_text(json.dumps(rows))
+    cpath = tmp_path / "beatles_age.csv"
+    with open(cpath, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["name", "age"])
+        w.writeheader()
+        w.writerows(rows)
+
+    _, stream, _ = Flow(
+        load(str(jpath), name="foo"),
+        load(str(cpath)),
+    ).results()
+    names = stream.resource_names()
+    assert names == ["foo", "beatles_age"]
+    assert stream.descriptor("foo").metadata["path"] == "foo.json"
+    assert stream.descriptor("beatles_age").metadata["path"] == \
+        "beatles_age.csv"
+
+
+def test_update_resource_rename():
+    _, stream, _ = Flow(
+        ({"a": x} for x in range(10)),
+        update_resource(None, name="renamed"),
+    ).results()
+    assert stream.resource_names() == ["renamed"]
+    assert stream.descriptor("renamed").name == "renamed"
+
+
+def test_rename_fields_double_rename_collision_raises():
+    data = [dict(a1=i, a2=i, c=i) for i in range(5)]
+    with pytest.raises((StepError, Exception)):
+        Flow(data, rename_fields({r"a(\d)": r"A"})).results()
+
+
+def test_rename_fields_double_rename_different_resources():
+    data1 = [dict(a1=i, b=i, c=i) for i in range(5)]
+    data2 = [dict(a2=i, b=i, c=i) for i in range(5)]
+    res = Flow(
+        data1, data2,
+        rename_fields({r"a(\d)": r"A"}),
+    ).results()[0]
+    assert res == [
+        [dict(A=i, b=i, c=i) for i in range(5)],
+        [dict(A=i, b=i, c=i) for i in range(5)],
+    ]
+
+
+def test_load_empty_headers(tmp_path):
+    # header has trailing empty cells; data rows are ragged
+    p = tmp_path / "empty_headers.csv"
+    p.write_text("a,b,,,\n1,2,,,,,\n2,3\n3,4,,\n5,6,,,")
+    results, stream, _ = Flow(load(str(p))).results()
+    assert results[0] == [
+        {"a": 1, "b": 2},
+        {"a": 2, "b": 3},
+        {"a": 3, "b": 4},
+        {"a": 5, "b": 6},
+    ]
+    schema = stream.get("empty_headers").schema()
+    assert schema.names == ["a", "b"]
+
+
+def test_load_dates_format_and_roundtrip(tmp_path):
+    _today = datetime.date(2021, 3, 4)
+    _now = datetime.datetime(2021, 3, 4, 5, 6, 7, 890123)
+
+    def run_flow(datetime_format=None):
+        return Flow(
+            [{"today": str(_today), "now": str(_now)}],
+            set_type("today", type="date"),
+            set_type("now", type="datetime", format=datetime_format),
+            dump_to_path(str(tmp_path / "dump_dates"), format="csv"),
+        ).process()
+
+    # str(datetime) is not isoformat — default parse must fail
+    with pytest.raises((StepError, Exception)):
+        run_flow()
+
+    run_flow(datetime_format="%Y-%m-%d %H:%M:%S.%f")
+    results, _, _ = Flow(
+        load(str(tmp_path / "dump_dates" / "datapackage.json")),
+    ).results()
+    row = results[0][0]
+    assert row["today"] == _today
+    got = row["now"]
+    assert (got.year, got.month, got.day, got.hour, got.minute,
+            got.second) == (2021, 3, 4, 5, 6, 7)
+
+
+def test_profile_1m_rows(tmp_path):
+    """Port of the reference's only perf-adjacent workload
+    (test_lib.py:2599-2625): 1M-row CSV, full load+cast, correctness
+    asserted. Vectorized verification (the reference loops rows)."""
+    NUM = 1_000_000
+    filename = tmp_path / "test.csv"
+    ids = np.arange(NUM)
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    tbl = pa.table({
+        "id": ids,
+        "name": pa.array([f"name is {i}" for i in range(NUM)]),
+        "age": ids % 100,
+        "percent": ids / 100,
+    })
+    pacsv.write_csv(tbl, str(filename))
+
+    stream = Flow(load(str(filename))).datasets()
+    df = stream.get("test").to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(df) == NUM
+    assert (df["id"].to_numpy() == ids).all()
+    assert (df["age"].to_numpy() == ids % 100).all()
+    assert np.allclose(df["percent"].to_numpy(), ids / 100)
+    assert df["name"].iloc[123456] == "name is 123456"
