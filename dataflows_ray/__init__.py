@@ -20,6 +20,12 @@ _ctx.shuffle_strategy = _ShuffleStrategy.HASH_SHUFFLE
 # hot paths size partitions themselves via stages.agg.shuffle_partitions).
 _ctx.default_hash_shuffle_parallelism = 32
 
+# Shim two Ray 2.49 empty-block schema-loss warts (see core/raycompat.py):
+# without it, zero-row blocks degrade to zero-COLUMN blocks and schema-
+# changing map stages emit mixed-schema streams (round-1 q06 root cause).
+from .core import raycompat as _raycompat
+_raycompat.apply()
+
 from .core.flow import Flow, Step, row_fn, rows_fn, package_fn
 from .core.package import EnginePackage, PackageStream, ResourceDescriptor
 from .core.exceptions import FlowError, StepError, ValidationError

@@ -136,4 +136,8 @@ class ExactlyOnceSink:
                              if f.endswith(".parquet"))
         if not files:
             return ray.data.from_items([])
-        return ray.data.read_parquet(files)
+        # partitioning=None: the hive-style `epoch=<e>` directory names are
+        # lineage bookkeeping, not data — without this, Ray's partition
+        # inference attaches an `epoch` column to SOME read tasks only,
+        # yielding a mixed-schema stream (RefBundle schema warnings).
+        return ray.data.read_parquet(files, partitioning=None)
