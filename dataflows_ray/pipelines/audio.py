@@ -69,20 +69,55 @@ class PcmDecoder:
         centroid = float((spec @ freqs).sum() / max(spec.sum(), 1e-9))
         return mel.mean(axis=0), centroid
 
+    def _decode_mixed(self, col, byte_offsets, codec_list):
+        """Per-codec decode for mixed batches: µ-law/A-law are single
+        table gathers over the row's byte range, WAV is a container parse,
+        PCM16 an int16 view — each row's decode is one vectorized numpy
+        op; the Python loop is per CLIP, not per sample."""
+        from ..streaming.audio import (decode_mulaw_bytes, decode_alaw_bytes,
+                                       parse_wav)
+        values_u8 = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        waves = []
+        for i, codec in enumerate(codec_list):
+            s, e = int(byte_offsets[i]), int(byte_offsets[i + 1])
+            seg = values_u8[s:e]
+            if codec == "pcm16":
+                if s % 2:  # odd start: copy to a 2-byte-viewable buffer
+                    seg = seg.copy()
+                w = seg.view("<i2").astype(np.float32) / np.float32(32767.0)
+            elif codec == "mulaw":
+                w = decode_mulaw_bytes(seg).astype(np.float32)
+            elif codec == "alaw":
+                w = decode_alaw_bytes(seg).astype(np.float32)
+            elif codec == "wav":
+                w = parse_wav(seg.tobytes())[0].astype(np.float32)
+            else:
+                raise NotImplementedError(f"codec {codec!r} not available")
+            waves.append(w)
+        lengths = np.array([len(w) for w in waves], dtype=np.int64)
+        wave_all = (np.concatenate(waves) if waves
+                    else np.zeros(0, dtype=np.float32))
+        sample_offsets = np.concatenate([[0], np.cumsum(lengths)])
+        return wave_all, sample_offsets
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         codecs = set(batch["codec"].to_pylist())
-        if codecs - {"pcm16"}:
-            raise NotImplementedError(f"codecs {codecs - {'pcm16'}} not available")
-        # ZERO-COPY batch decode: view the Arrow binary column's value
-        # buffer as int16 directly — no Python bytes objects, no join copy.
         col = batch["bytes"].combine_chunks()
         off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
         byte_offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
             col.offset:col.offset + len(col) + 1].astype(np.int64)
-        values = np.frombuffer(col.buffers()[2], dtype="<i2")
-        wave_all = (values[byte_offsets[0] // 2:byte_offsets[-1] // 2]
-                    .astype(np.float32) / 32767.0)
-        sample_offsets = (byte_offsets - byte_offsets[0]) // 2
+        if codecs <= {"pcm16"} and byte_offsets[0] % 2 == 0:
+            # ZERO-COPY batch decode: view the Arrow binary column's value
+            # buffer as int16 directly — no Python bytes, no join copy.
+            # (odd start offset — a slice out of a mixed-codec block —
+            # falls through to the copying per-row path below)
+            values = np.frombuffer(col.buffers()[2], dtype="<i2")
+            wave_all = (values[byte_offsets[0] // 2:byte_offsets[-1] // 2]
+                        .astype(np.float32) / 32767.0)
+            sample_offsets = (byte_offsets - byte_offsets[0]) // 2
+        else:
+            wave_all, sample_offsets = self._decode_mixed(
+                col, byte_offsets, batch["codec"].to_pylist())
         lengths = np.diff(sample_offsets)
         n_samples = lengths
         offsets = sample_offsets[:-1]
@@ -95,8 +130,9 @@ class PcmDecoder:
                 if len(wave_all) else np.zeros(n_clips))
         snrs = np.empty(n_clips) if self.validate_snr else None
         if self.validate_snr:
+            codec_list = batch["codec"].to_pylist()
             for i in range(n_clips):
-                wave = decode_pcm(col[i].as_py(), "pcm16")
+                wave = decode_pcm(col[i].as_py(), codec_list[i])
                 clip_idx = int(batch["clip_id"][i].as_py().rsplit("-", 1)[1])
                 ref = synth_clip_batch(clip_idx, 1, seed=self.seed)
                 ref_wave = decode_pcm(ref["bytes"][0].as_py(), "pcm16")

@@ -1559,6 +1559,47 @@ def _audio_path(sf_dir: str) -> str:
     return path
 
 
+def _multicodec_audio_path(sf_dir: str) -> str:
+    """Synthetic audio table with a deterministic per-clip codec mix
+    (PCM16, G.711 µ-law/A-law, WAV container) — same clip CONTENT as
+    `_audio_path` (the codec draw is last in the rng sequence), different
+    encodings. Cached in /tmp."""
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n = max(500, int(float(sf) * 200_000))
+    path = f"/tmp/dataflows_ray_audio_mc/sf{sf}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..streaming.audio import write_audio_dataset
+        write_audio_dataset(path, n, rows_per_file=max(250, n // 8),
+                            codec_mix=("pcm16", "mulaw", "alaw", "wav"))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+def q60_multicodec_decode(sf_dir: str):
+    """Mixed-codec decode conformance: PCM16 / G.711 µ-law / G.711 A-law /
+    WAV-container clips decoded in ONE actor-pool stage (PcmDecoder
+    dispatches per codec, vectorized per clip), each clip's waveform
+    validated against the analytically regenerated reference
+    (`validate_snr`), then aggregated per codec. All aggregates are
+    order-independent (count / int sum / min of per-row floats), so the
+    distributed result is bit-identical to the sequential fixture."""
+    import ray.data
+    from .audio import decode_stage
+    from ..stages.agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(_multicodec_audio_path(sf_dir))
+    dec = decode_stage(ds, concurrency=2, batch_size=64, validate_snr=True)
+    out = grouped_aggregate(dec, ["codec"], [
+        {"target": "n_clips", "aggregate": "count"},
+        {"target": "total_samples", "source": "n_samples",
+         "aggregate": "sum"},
+        {"target": "min_snr", "source": "snr_db", "aggregate": "min"},
+    ])
+    df = out.to_pandas()
+    df["min_snr"] = df["min_snr"].round(4)
+    return df.sort_values("codec").reset_index(drop=True)
+
+
 def q23_audio_windowed_agg(sf_dir: str):
     import ray.data
     from .audio import windowed_speaker_aggregate
@@ -1660,6 +1701,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q57_stratified_sample": q57_stratified_sample,
     "q58_tfidf_top_terms": q58_tfidf_top_terms,
     "q59_unnest_embeddings": q59_unnest_embeddings,
+    "q60_multicodec_decode": q60_multicodec_decode,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1808,4 +1850,9 @@ ORACLES: Dict[str, str] = {
     "q57_stratified_sample": Q57_SQL,
     "q58_tfidf_top_terms": Q58_SQL,
     "q59_unnest_embeddings": Q59_SQL,
+    "q60_multicodec_decode": f"""
+SELECT codec, n_clips, total_samples, min_snr
+FROM read_parquet('{_FIX}/q60_multicodec_decode.parquet')
+ORDER BY codec
+""",
 }

@@ -62,16 +62,156 @@ def encode_pcm16(wave: np.ndarray) -> bytes:
     return (wave * 32767.0).astype("<i2").tobytes()
 
 
+# --- G.711 µ-law / A-law (classic segment algorithm, fully vectorized) ---
+# Encode follows the canonical public-domain g711 segment search; decode is
+# the exact inverse formula, precomputed into 256-entry int16 lookup tables
+# so decoding a clip is ONE fancy-index over its byte array.
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+# segment upper edges for the (biased) µ-law magnitude and 13-bit A-law value
+_MULAW_SEG_EDGES = np.array([0xFF, 0x1FF, 0x3FF, 0x7FF,
+                             0xFFF, 0x1FFF, 0x3FFF, 0x7FFF], dtype=np.int32)
+_ALAW_SEG_EDGES = np.array([0x1F, 0x3F, 0x7F, 0xFF,
+                            0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int32)
+
+
+def encode_mulaw(wave: np.ndarray) -> bytes:
+    """float [-1,1] -> G.711 µ-law bytes (8 bits/sample)."""
+    pcm = np.clip((wave * 32767.0).round(), -32768, 32767).astype(np.int32)
+    sign = np.where(pcm < 0, 0x80, 0x00)
+    mag = np.minimum(np.abs(pcm), _MULAW_CLIP) + _MULAW_BIAS
+    exp = np.searchsorted(_MULAW_SEG_EDGES, mag, side="left").astype(np.int32)
+    mantissa = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mantissa) & 0xFF).astype(np.uint8).tobytes()
+
+
+def encode_alaw(wave: np.ndarray) -> bytes:
+    """float [-1,1] -> G.711 A-law bytes (8 bits/sample)."""
+    pcm = np.clip((wave * 32767.0).round(), -32768, 32767).astype(np.int32)
+    mask = np.where(pcm >= 0, 0xD5, 0x55)  # A-law sign: 0x80 set = positive
+    mag = np.minimum(np.abs(pcm) >> 3, 0x1FFF)  # 13-bit magnitude
+    seg = np.searchsorted(_ALAW_SEG_EDGES, mag, side="left").astype(np.int32)
+    low = (mag >> 1) & 0x0F                      # segment 0-1: linear
+    high = (mag >> np.maximum(seg, 1)) & 0x0F    # segment 2+: log
+    aval = np.where(seg >= 8, 0x7F,
+                    (np.minimum(seg, 7) << 4) | np.where(seg < 2, low, high))
+    return ((aval ^ mask) & 0xFF).astype(np.uint8).tobytes()
+
+
+def _build_mulaw_table() -> np.ndarray:
+    b = np.arange(256, dtype=np.int32)
+    u = ~b & 0xFF
+    exp = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    mag = (((mantissa << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(u & 0x80, -mag, mag).astype(np.int16)
+
+
+def _build_alaw_table() -> np.ndarray:
+    b = np.arange(256, dtype=np.int32)
+    a = b ^ 0x55
+    exp = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    mag = np.where(exp == 0, (mantissa << 4) + 8,
+                   ((mantissa << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(a & 0x80, mag, -mag).astype(np.int16)
+
+
+MULAW_DECODE_TABLE = _build_mulaw_table()
+ALAW_DECODE_TABLE = _build_alaw_table()
+
+
+def decode_mulaw_bytes(u8: np.ndarray) -> np.ndarray:
+    """uint8 sample array -> float waveform (one table gather)."""
+    return MULAW_DECODE_TABLE[u8].astype(np.float64) / 32767.0
+
+
+def decode_alaw_bytes(u8: np.ndarray) -> np.ndarray:
+    return ALAW_DECODE_TABLE[u8].astype(np.float64) / 32767.0
+
+
+# --- WAV / RIFF container (PCM16, µ-law and A-law payloads; mono) ---
+
+def encode_wav(wave: np.ndarray, sr_hz: int) -> bytes:
+    """Canonical 44-byte-header mono PCM16 RIFF/WAVE file."""
+    import struct
+    data = (np.clip(wave * 32767.0, -32768, 32767)).astype("<i2").tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16,
+        b"data", len(data))
+    return hdr + data
+
+
+def parse_wav(raw: bytes):
+    """RIFF chunk walk -> (float waveform, sr_hz). Accepts format codes
+    1 (PCM16), 6 (A-law), 7 (µ-law); skips unknown chunks (LIST etc.)."""
+    import struct
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, end = 12, len(raw)
+    fmt_code = sr_hz = bits = None
+    data = None
+    while pos + 8 <= end:
+        cid, size = raw[pos:pos + 4], struct.unpack(
+            "<I", raw[pos + 4:pos + 8])[0]
+        body = raw[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, _ch, sr_hz = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_code is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt_code == 1 and bits == 16:
+        wave = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
+    elif fmt_code == 7 and bits == 8:
+        wave = decode_mulaw_bytes(np.frombuffer(data, dtype=np.uint8))
+    elif fmt_code == 6 and bits == 8:
+        wave = decode_alaw_bytes(np.frombuffer(data, dtype=np.uint8))
+    else:
+        raise NotImplementedError(
+            f"WAV format code {fmt_code}/{bits}-bit not supported "
+            "(PCM16, G.711 u-law/A-law are)")
+    return wave, sr_hz
+
+
+CODECS = ("pcm16", "mulaw", "alaw", "wav")
+
+
+def encode_clip(wave: np.ndarray, codec: str, sr_hz: int = 16000) -> bytes:
+    if codec == "pcm16":
+        return encode_pcm16(wave)
+    if codec == "mulaw":
+        return encode_mulaw(wave)
+    if codec == "alaw":
+        return encode_alaw(wave)
+    if codec == "wav":
+        return encode_wav(wave, sr_hz)
+    raise NotImplementedError(f"codec {codec!r}: encoder not available")
+
+
 def decode_pcm(raw: bytes, codec: str = "pcm16") -> np.ndarray:
-    """Decode clip bytes to a float waveform in [-1, 1]. Only ``pcm16`` is
-    implemented for real; other codecs (opus/flac/mp3) are stubbed — the
-    decode libraries are not in this environment — but the Ray-side
-    plumbing (binary column in, float array out) is identical."""
+    """Decode clip bytes to a float waveform in [-1, 1]. Implemented for
+    real: ``pcm16`` (little-endian int16), ``mulaw``/``alaw`` (G.711,
+    table-driven) and ``wav`` (RIFF container with PCM16/G.711 payloads).
+    Perceptual codecs (opus/flac/mp3) are stubbed — the decode libraries
+    are not in this environment — but the Ray-side plumbing (binary
+    column in, float array out) is identical."""
     if codec == "pcm16":
         return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
+    if codec == "mulaw":
+        return decode_mulaw_bytes(np.frombuffer(raw, dtype=np.uint8))
+    if codec == "alaw":
+        return decode_alaw_bytes(np.frombuffer(raw, dtype=np.uint8))
+    if codec == "wav":
+        return parse_wav(raw)[0]
     raise NotImplementedError(
         f"codec {codec!r}: decoder not available in this environment; "
-        "pcm16 is the reference codec")
+        f"implemented codecs: {CODECS}")
 
 
 def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
@@ -83,7 +223,8 @@ def snr_db(reference: np.ndarray, decoded: np.ndarray) -> float:
 
 def synth_clip_batch(start: int, count: int, seed: int = 42,
                      n_speakers: int = 50, hot_fraction: float = 0.2,
-                     sr_hz: int = 16000) -> pa.Table:
+                     sr_hz: int = 16000,
+                     codec_mix: Optional[tuple] = None) -> pa.Table:
     """Generate clips [start, start+count) deterministically.
 
     Every field of clip ``i`` depends only on (seed, i): generation is
@@ -106,11 +247,17 @@ def synth_clip_batch(start: int, count: int, seed: int = 42,
         # event time: deterministic per-speaker virtual timeline
         event_ms = int(rng.integers(0, 3_600_000))
         lag_ms = int(rng.integers(0, 30_000))  # transcript lateness
+        # codec draw LAST: with codec_mix=None the rng sequence (hence the
+        # whole corpus) is byte-identical to the single-codec generator,
+        # and with a mix the clip CONTENT stays the same — only its
+        # encoding varies, so decode invariants compare like-for-like.
+        codec = "pcm16" if not codec_mix else \
+            codec_mix[int(rng.integers(0, len(codec_mix)))]
         rows["clip_id"].append(clip_id)
-        rows["bytes"].append(encode_pcm16(wave))
+        rows["bytes"].append(encode_clip(wave, codec, sr_hz))
         rows["sr_hz"].append(sr_hz)
         rows["dur_ms"].append(dur_ms)
-        rows["codec"].append("pcm16")
+        rows["codec"].append(codec)
         rows["transcript"].append(" ".join(words))
         rows["speaker"].append(speaker)
         rows["event_ms"].append(event_ms)

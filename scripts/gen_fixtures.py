@@ -79,6 +79,30 @@ def gen_q25(audio_path: str) -> pa.Table:
     return out.select(["clip_id", "n_samples", "rms", "snr_db"])
 
 
+def gen_q60(sf_dir: str) -> pa.Table:
+    """Sequential mirror of q60: decode the WHOLE mixed-codec table as one
+    batch (per-clip decode is independent, so batching cannot matter),
+    then aggregate per codec with order-independent reducers. The per-row
+    SNR against the analytically regenerated waveform is the
+    codec-INDEPENDENT correctness signal: a wrong G.711 table or WAV parse
+    collapses min_snr below the 30 dB invariant."""
+    import glob
+    from dataflows_ray.pipelines.audio import PcmDecoder
+    from dataflows_ray.pipelines.relational import _multicodec_audio_path
+    files = sorted(glob.glob(os.path.join(
+        _multicodec_audio_path(sf_dir), "*.parquet")))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    dec = PcmDecoder(validate_snr=True)(tbl).to_pandas()
+    assert (dec["snr_db"] >= 30).all(), "SNR invariant violated in fixture"
+    out = (dec.groupby("codec")
+           .agg(n_clips=("codec", "size"),
+                total_samples=("n_samples", "sum"),
+                min_snr=("snr_db", "min"))
+           .reset_index().sort_values("codec"))
+    out["min_snr"] = out["min_snr"].round(4)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
 def gen_q22(sf_dir: str) -> pa.Table:
     """Sequential mirror of functions.similarity.lsh_topk (bits=8, k=5,
     queries = vec_ids 0,1,2): bucket the corpus, multi-probe filter, exact
@@ -325,6 +349,8 @@ def main():
         print(f"{name}: q25 written")
         pq.write_table(gen_q22(sf_dir), f"{fdir}/q22_knn_lsh.parquet")
         print(f"{name}: q22 written")
+        pq.write_table(gen_q60(sf_dir), f"{fdir}/q60_multicodec_decode.parquet")
+        print(f"{name}: q60 written")
         pq.write_table(gen_q28(sf_dir), f"{fdir}/q28_approx_ndv.parquet")
         print(f"{name}: q28 written")
         pq.write_table(gen_q41(sf_dir), f"{fdir}/q41_knn_ivf.parquet")

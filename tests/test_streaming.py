@@ -945,3 +945,85 @@ def test_crash_sweep_every_epoch_new_engines(engine_name, audio_dir,
         got = ExactlyOnceSink(out).read_output().to_pandas() \
             .sort_values(sort_cols).reset_index(drop=True)
         assert got.equals(clean_df), (engine_name, crash_at)
+
+
+# --- multi-codec decode (G.711 µ-law / A-law, WAV container) --------------
+
+def test_g711_known_values():
+    """ITU G.711 table spot checks: µ-law 0xFF is zero, A-law 0x55/0xD5
+    are the smallest-magnitude codes (±8 at 16-bit scale)."""
+    from dataflows_ray.streaming.audio import (
+        MULAW_DECODE_TABLE, ALAW_DECODE_TABLE)
+    assert MULAW_DECODE_TABLE[0xFF] == 0
+    assert MULAW_DECODE_TABLE[0x7F] == 0   # negative zero maps to 0
+    assert ALAW_DECODE_TABLE[0xD5] == 8
+    assert ALAW_DECODE_TABLE[0x55] == -8
+    # decode tables are odd-symmetric around the sign bit
+    assert MULAW_DECODE_TABLE[0x80] == -MULAW_DECODE_TABLE[0x00]
+    assert ALAW_DECODE_TABLE[0x2A ^ 0x80] == -ALAW_DECODE_TABLE[0x2A]
+
+
+def test_codec_roundtrip_snr_and_fixpoint():
+    """Every implemented codec reconstructs the waveform above the 30 dB
+    invariant, and the lossy G.711 quantizers are fixpoints (decode ∘
+    encode is idempotent on already-quantized signals)."""
+    from dataflows_ray.streaming.audio import _clip_wave, encode_clip
+    rng = np.random.Generator(np.random.PCG64(3))
+    w = _clip_wave(rng, 16000, 700)
+    for codec in ("pcm16", "mulaw", "alaw", "wav"):
+        dec = decode_pcm(encode_clip(w, codec, 16000), codec)
+        assert len(dec) == len(w)
+        assert snr_db(w, dec) >= 30, codec
+    for codec in ("mulaw", "alaw"):
+        d1 = decode_pcm(encode_clip(w, codec), codec)
+        d2 = decode_pcm(encode_clip(d1, codec), codec)
+        assert np.allclose(d1, d2), codec
+
+
+def test_wav_container_parse():
+    from dataflows_ray.streaming.audio import encode_wav, parse_wav
+    w = np.sin(np.linspace(0, 20, 1600)) * 0.5
+    raw = encode_wav(w, 8000)
+    dec, sr = parse_wav(raw)
+    assert sr == 8000 and snr_db(w, dec) >= 60
+    # chunk walker skips unknown chunks (e.g. LIST metadata)
+    import struct
+    extra = raw[:12] + b"LIST" + struct.pack("<I", 4) + b"INFO" + raw[12:]
+    hdr = bytearray(extra)
+    struct.pack_into("<I", hdr, 4, len(extra) - 8)
+    dec2, sr2 = parse_wav(bytes(hdr))
+    assert sr2 == 8000 and np.array_equal(dec, dec2)
+    with pytest.raises(ValueError):
+        parse_wav(b"nonsense-not-riff")
+
+
+def test_mixed_codec_decoder_matches_per_row_decode():
+    """PcmDecoder's batched per-codec dispatch must equal the scalar
+    decode_pcm path row for row, including clips sliced at odd byte
+    offsets (µ-law rows have odd byte lengths)."""
+    from dataflows_ray.pipelines.audio import PcmDecoder
+    t = synth_clip_batch(0, 40, codec_mix=("pcm16", "mulaw", "alaw", "wav"))
+    out = PcmDecoder()(t).to_pandas()
+    for i, row in enumerate(t.to_pylist()):
+        w = decode_pcm(row["bytes"], row["codec"]).astype(np.float32)
+        assert out["n_samples"][i] == len(w)
+        assert abs(out["rms"][i] - np.sqrt(np.mean(w ** 2))) < 1e-4
+    # the zero-copy pcm16 fast path agrees with the per-row reference too
+    t16 = synth_clip_batch(0, 40)
+    fast = PcmDecoder()(t16).to_pandas()
+    for i, row in enumerate(t16.to_pylist()):
+        w = decode_pcm(row["bytes"], "pcm16").astype(np.float32)
+        assert abs(fast["rms"][i] - np.sqrt(np.mean(w ** 2))) < 1e-4
+
+
+def test_mixed_codec_snr_invariant_distributed():
+    """End-to-end over Ray: mixed-codec corpus decoded in the actor-pool
+    stage with per-row validation against the regenerated reference —
+    every clip's SNR must clear the 30 dB bar regardless of codec."""
+    t = synth_clip_batch(0, 60, codec_mix=("pcm16", "mulaw", "alaw", "wav"))
+    ds = ray.data.from_arrow(t)
+    out = decode_stage(ds, batch_size=16, validate_snr=True).to_pandas()
+    assert len(out) == 60
+    assert (out["snr_db"] >= 30).all()
+    by_codec = out.groupby("codec")["snr_db"].min()
+    assert set(by_codec.index) == {"pcm16", "mulaw", "alaw", "wav"}
