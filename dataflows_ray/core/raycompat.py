@@ -137,9 +137,12 @@ def _patch_map_batches_empty_skip() -> None:
 
 
 def apply() -> None:
-    """Apply both shims (idempotent, exception-guarded)."""
+    """Apply both shims (idempotent, exception-guarded).
+
+    ``DFR_NO_RAYCOMPAT=1`` skips them (debug/bisection escape hatch)."""
     global _APPLIED
-    if _APPLIED:
+    import os
+    if _APPLIED or os.environ.get("DFR_NO_RAYCOMPAT"):
         return
     for patch in (_patch_blocks_to_batches, _patch_map_batches_empty_skip):
         try:

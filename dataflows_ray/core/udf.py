@@ -68,6 +68,17 @@ def rows_to_table(rows: List[Dict[str, Any]], schema_hint: Optional[pa.Schema]) 
         # through a pandas Series converts correctly
         if any(isinstance(v, _dt.datetime) and v.tzinfo is not None
                for v in values):
+            if any(isinstance(v, _dt.datetime) and v.tzinfo is None
+                   for v in values):
+                # MIXED naive + aware datetimes in one column: a single
+                # Arrow timestamp type cannot represent both (reference
+                # rows are plain Python and keep each as-is —
+                # test_lib.py:1276); store as a pickled-object extension
+                # column, which round-trips parquet exactly
+                from ray.data.extensions.object_extension import (
+                    ArrowPythonObjectArray)
+                cols[name] = ArrowPythonObjectArray.from_objects(values)
+                continue
             try:
                 cols[name] = pa.array(_pd.Series(values))
                 continue

@@ -118,6 +118,15 @@ class load(Step):
         on_error: Optional[str] = None,
         resources=None,
     ):
+        if isinstance(source, str) and source.startswith("env://"):
+            # reference load.py env:// source: the actual path (usually a
+            # datapackage.json) is carried by an environment variable
+            var = source[6:]
+            source = os.environ.get(var)
+            if source is None:
+                raise ValueError(
+                    f"load: environment variable {var!r} (env:// source) "
+                    "is not set")
         self.source = source
         self.resources_sel = resources
         if isinstance(source, tuple):
@@ -473,28 +482,50 @@ class load(Step):
         emv = self.extract_missing_values
         fields = schema.get("fields", [])
 
-        if emv or missing:
+        if emv:
             import pandas as pd
 
             def extract(df: "pd.DataFrame", emv=emv, missing=missing):
-                if emv:
-                    src_cols = emv["source"]
-                    values = set(emv["values"])
-                    cols = [c for c in df.columns
-                            if (not src_cols or c in src_cols)]
-                    maps = []
-                    for _i, row in df[cols].iterrows():
-                        maps.append({c: v for c, v in row.items()
-                                     if v in values})
-                    df[emv["target"]] = maps
+                src_cols = emv["source"]
+                values = set(emv["values"])
+                cols = [c for c in df.columns
+                        if (not src_cols or c in src_cols)]
+                maps = []
+                for _i, row in df[cols].iterrows():
+                    maps.append({c: v for c, v in row.items()
+                                 if v in values})
+                df[emv["target"]] = maps
                 if missing:
                     value_cols = [c for c in df.columns
-                                  if not (emv and c == emv["target"])]
+                                  if c != emv["target"]]
                     for c in value_cols:
                         df[c] = df[c].where(~df[c].isin(missing), None)
                 return df
 
             ds = ds.map_batches(extract, batch_format="pandas",
+                                batch_size=DEFAULT_BATCH_SIZE)
+        elif missing:
+            import pyarrow.compute as pc
+
+            def null_missing(batch: pa.Table, missing=missing) -> pa.Table:
+                # vectorized, Arrow-native (a pandas round-trip would
+                # degrade int64-with-null columns to float64/NaN): compare
+                # each column's STRING form against the missing set
+                vs = pa.array(missing, type=pa.string())
+                for i, c in enumerate(batch.column_names):
+                    col = batch[i]
+                    try:
+                        as_str = pc.cast(col, pa.string())
+                    except pa.ArrowInvalid:
+                        continue
+                    mask = pc.is_in(as_str, value_set=vs)
+                    if pc.any(mask).as_py():
+                        batch = batch.set_column(
+                            i, c, pc.if_else(mask, pa.nulls(
+                                len(batch), type=col.type), col))
+                return batch
+
+            ds = ds.map_batches(null_missing, batch_format="pyarrow",
                                 batch_size=DEFAULT_BATCH_SIZE)
         if fields:
             from ..stages.schema_ops import _CastKernel

@@ -48,6 +48,31 @@ JOIN_KEY = "__join_key__"
 BROADCAST_LIMIT = 2_000_000  # rows of aggregated (distinct-key) source
 
 
+def _attach_row_ids(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Global 0-based ``__row_id__`` over an existing Dataset: execute to
+    block refs (they stay in the object store — only per-block row COUNTS
+    reach the driver), then stamp each block with its offset. Row
+    numbering is inherently sequential over the stream order; it is only
+    used for the reference's small-data ``{#}`` join keys."""
+    import numpy as np
+
+    @ray.remote
+    def nrows(block) -> int:
+        return block.num_rows
+
+    @ray.remote
+    def stamp(block, offset: int):
+        rid = pa.array(np.arange(offset, offset + block.num_rows,
+                                 dtype=np.int64))
+        return block.append_column(ROW_ID, rid)
+
+    refs = ds.to_arrow_refs()
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return ray.data.from_arrow_refs(
+        [stamp.remote(r, int(offsets[i])) for i, r in enumerate(refs)])
+
+
 class KeyCalc:
     """Reference ``join.py:13-26``: list-of-fields or format-string key."""
 
@@ -165,6 +190,17 @@ class join(Step):
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         source = stream.get(self.source_name)
         target = stream.get(self.target_name) if self.target_key is not None else None
+        # '{#}' (1-based row number) keys work transparently as in the
+        # reference (join.py:19-22): attach a global __row_id__ if the
+        # side doesn't carry one yet
+        if self.source_key.uses_row_number and ROW_ID not in source.columns():
+            source = _attach_row_ids(source)
+        target_rid_attached = False
+        if (target is not None and self.target_key is not None
+                and self.target_key.uses_row_number
+                and ROW_ID not in target.columns()):
+            target = _attach_row_ids(target)
+            target_rid_attached = True
         columnar = self._columnar()
         agg, fields = self._aggregate_source(source, columnar)
         field_names = list(fields.keys())
@@ -209,6 +245,9 @@ class join(Step):
             else:
                 result = _shuffle_join(keyed_target, agg, field_names, self.mode,
                                        self.target_key, self.num_partitions)
+        if target_rid_attached:
+            # the auto-attached row-id column is key plumbing, not data
+            result = result.drop_columns([ROW_ID])
         stream.set(self.target_name, result)
         if self.source_delete:
             stream.drop(self.source_name)

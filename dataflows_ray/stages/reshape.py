@@ -23,6 +23,7 @@ import re
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..core.flow import Flow, Step, DEFAULT_BATCH_SIZE
 from ..core.package import PackageStream, select_resources
@@ -72,6 +73,9 @@ class unpivot(Step):
                 # UDFs lazily, so a loop-variable closure would melt every
                 # resource with the LAST resource's settings)
                 n = len(batch)
+                vtype_any = self.extra_value.get("type") in (None, "any")
+                mixed_any = (vtype_any and len(
+                    {str(batch[m["name"]].type) for m in melt}) > 1)
                 pieces = []
                 for m in melt:
                     cols_out: Dict[str, Any] = {}
@@ -91,6 +95,15 @@ class unpivot(Step):
                         vcol = pa.compute.cast(vcol, target)
                     elif vtype == "string":
                         vcol = pa.compute.cast(vcol, pa.string())
+                    elif mixed_any:
+                        # type 'any' melting heterogeneous columns: keep
+                        # each value's original Python type (reference
+                        # test_lib.py:223 expects int 0 next to str "0")
+                        # via the pickled-object extension column
+                        from ray.data.extensions.object_extension import (
+                            ArrowPythonObjectArray)
+                        vcol = ArrowPythonObjectArray.from_objects(
+                            vcol.to_pylist())
                     cols_out[value_name] = vcol
                     cols_out["__melt_row__"] = pa.array(range(n), type=pa.int64())
                     pieces.append(pa.table(cols_out))
@@ -140,9 +153,23 @@ class concatenate(Step):
             def fn(batch: pa.Table, local_map=local_map) -> pa.Table:
                 out: Dict[str, Any] = {}
                 for tf in target_fields:
-                    src = next((s for s, t in local_map.items() if t == tf), None)
-                    if src is not None:
-                        out[tf] = batch[src]
+                    # ALL aliases present in this resource coalesce into
+                    # the target; reference concatenator (concatenate.py:
+                    # 9-19) dict-updates non-null values in row order, so
+                    # the LAST non-null column wins (test_lib.py:472)
+                    srcs = [s for s in batch.column_names
+                            if local_map.get(s) == tf]
+                    if srcs:
+                        col = batch[srcs[0]]
+                        for s in srcs[1:]:
+                            nxt = batch[s]
+                            if nxt.null_count == len(batch):
+                                continue
+                            if col.null_count == len(batch):
+                                col = nxt
+                                continue
+                            col = pc.if_else(pc.is_valid(nxt), nxt, col)
+                        out[tf] = col
                     else:
                         out[tf] = pa.nulls(len(batch), type=pa.string())
                 return pa.table(out)

@@ -179,3 +179,157 @@ def test_profile_1m_rows(tmp_path):
     assert (df["age"].to_numpy() == ids % 100).all()
     assert np.allclose(df["percent"].to_numpy(), ids / 100)
     assert df["name"].iloc[123456] == "name is 123456"
+
+
+def test_load_from_env_var(tmp_path, monkeypatch):
+    """Port of reference test_lib.py test_load_from_env_var: an env://VAR
+    source resolves the real path from the environment."""
+    Flow(
+        [{"foo": "bar"}],
+        dump_to_path(str(tmp_path / "pkg"), format="csv"),
+    ).process()
+    monkeypatch.setenv("MY_DATAPACKAGE",
+                       str(tmp_path / "pkg" / "datapackage.json"))
+    results, dp, _ = Flow(load("env://MY_DATAPACKAGE")).results()
+    assert len(results) == 1
+    assert results[0] == [{"foo": "bar"}]
+    with pytest.raises(ValueError):
+        load("env://NOT_SET_VARIABLE_XYZ")
+
+
+def test_load_dates_timezones(tmp_path):
+    """Port of reference test_lib.py:1276 test_load_dates_timezones: naive
+    and tz-aware datetimes (and their dates) survive a checkpoint
+    round-trip."""
+    from dataflows_ray import checkpoint
+    dates = [
+        datetime.datetime(2024, 5, 6, 7, 8, 9),
+        datetime.datetime(2024, 5, 6, 7, 8, 9,
+                          tzinfo=datetime.timezone.utc).astimezone(
+            datetime.timezone(datetime.timedelta(hours=3))),
+    ]
+    ckpt = str(tmp_path / "ckpt")
+    Flow(
+        [{"date": d.date(), "datetime": d} for d in dates],
+        checkpoint("tzdates", ckpt),
+    ).process()
+    results, _, _ = Flow(checkpoint("tzdates", ckpt)).results()
+    assert [r["date"] for r in results[0]] == [d.date() for d in dates]
+    assert [r["datetime"] for r in results[0]] == dates
+
+
+def test_concatenate_multifield():
+    """Port of reference test_lib.py:472: several aliases of the same
+    target within ONE resource coalesce per row (last non-null wins)."""
+    results, _, _ = Flow(
+        [
+            {"a": 1, "b": 2, "c": None},
+            {"a": 2, "b": None, "c": 3},
+            {"a": 3, "c": 4},
+            {"a": 3, "b": 6, "c": 4},
+        ],
+        concatenate({
+            "f1": ["a"],
+            "f2": ["b", "c"],
+        }),
+    ).results()
+    assert results[0] == [
+        {"f1": 1, "f2": 2},
+        {"f1": 2, "f2": 3},
+        {"f1": 3, "f2": 4},
+        {"f1": 3, "f2": 4},
+    ]
+
+
+def test_unpivot_no_regex():
+    """Port of reference test_lib.py:223: regex=False treats unpivot field
+    names literally, even when they are invalid regexes."""
+    from dataflows_ray import unpivot
+    data = [dict([("[.]", i), ("[,+", str(i))]) for i in range(3)]
+    results, _, _ = Flow(
+        data,
+        unpivot(
+            [dict(name="[.]", keys=dict(field="x")),
+             dict(name="[,+", keys=dict(field="y"))],
+            [dict(name="field", type="string")],
+            dict(name="the-value", type="any"),
+            regex=False,
+        ),
+    ).results()
+    assert results[0] == [
+        {"field": "x", "the-value": 0}, {"field": "y", "the-value": "0"},
+        {"field": "x", "the-value": 1}, {"field": "y", "the-value": "1"},
+        {"field": "x", "the-value": 2}, {"field": "y", "the-value": "2"},
+    ]
+
+
+def test_unpivot_any_resources():
+    """Port of reference test_lib.py:355: one unpivot step applied to ALL
+    resources, each with its own year columns."""
+    from dataflows_ray import unpivot
+    data1 = [dict([("name", f"ike{i}")]
+                  + [(str(y), y + i) for y in range(1990, 2020, 10)])
+             for i in range(5)]
+    data2 = [dict([("city", f"mike{i}")]
+                  + [(str(y), y + i) for y in range(2050, 2080, 10)])
+             for i in range(5)]
+    results, _, _ = Flow(
+        data1,
+        data2,
+        unpivot(
+            [dict(name="([0-9]+)", keys=dict(year="\\1"))],
+            [dict(name="year", type="integer")],
+            dict(name="amount", type="integer"),
+        ),
+    ).results()
+    assert len(results[0]) == 15 and len(results[1]) == 15
+    assert {"name": "ike0", "year": 1990, "amount": 1990} in results[0]
+    assert {"city": "mike4", "year": 2070, "amount": 2074} in results[1]
+
+
+def test_join_row_number_format_string(tmp_path):
+    """Port of reference test_lib.py:1899: a format-string source key that
+    embeds the 1-based row number ({#}) joined against a text column."""
+    from dataflows_ray import join
+    pop = tmp_path / "population.csv"
+    pop.write_text("id,population\n1,8\n2,2\n4,3\n")
+    cities = tmp_path / "cities_comment.csv"
+    cities.write_text("city,comment\nparis,city with population in row 2\n"
+                      "london,city with population in row 1\n"
+                      "rome,city with population in row 3\n")
+    results, _, _ = Flow(
+        load(str(pop)),
+        load(str(cities)),
+        join(
+            source_name="population",
+            source_key="city with population in row {#}",
+            target_name="cities_comment",
+            target_key="{comment}",
+            fields={"population": {"name": "population"}},
+        ),
+    ).results()
+    assert results[0] == [
+        {"city": "paris", "population": 2,
+         "comment": "city with population in row 2"},
+        {"city": "london", "population": 8,
+         "comment": "city with population in row 1"},
+        {"city": "rome", "population": 3,
+         "comment": "city with population in row 3"},
+    ]
+
+
+def test_load_override_schema_title_and_missing(tmp_path):
+    """Port of reference test_lib.py:1746: override_schema merges onto the
+    inferred schema — title recorded, missingValues applied to the data."""
+    p = tmp_path / "beatles_drumkits.csv"
+    p.write_text("name,# drum kits\nRingo,2\nPete,N/A\n")
+    results, stream, _ = Flow(
+        load(str(p), override_schema={
+            "title": "title",
+            "missingValues": ["N/A"],
+        }),
+    ).results()
+    assert results[0] == [
+        {"name": "Ringo", "# drum kits": 2},
+        {"name": "Pete", "# drum kits": None},
+    ]

@@ -35,16 +35,17 @@ def test_join_row_number_key():
     assert [(r["t"], r["v"]) for r in rows] == [(10, "a"), (20, "b"), (30, "c")]
 
 
-def test_join_row_number_requires_row_ids():
-    source = [{"v": "a"}]
-    target = [{"t": 10}]
-    with pytest.raises(Exception):
-        Flow(
-            iterable_loader(source, name="s"),  # no row_ids
-            iterable_loader(target, name="t"),
-            join("s", "{#}", "t", "{#}", {"v": {"aggregate": "any"}}),
-            # {#} without __row_id__ must fail loudly, not silently mis-key
-        ).results()
+def test_join_row_number_auto_row_ids():
+    # {#} keys attach a global __row_id__ transparently (reference
+    # join.py:19-22 semantics; no explicit row_ids=True needed)
+    source = [{"v": "a"}, {"v": "b"}]
+    target = [{"t": 10}, {"t": 20}]
+    results, _, _ = Flow(
+        iterable_loader(source, name="s"),  # no row_ids
+        iterable_loader(target, name="t"),
+        join("s", "{#}", "t", "{#}", {"v": {"aggregate": "any"}}),
+    ).results()
+    assert results[0] == [{"t": 10, "v": "a"}, {"t": 20, "v": "b"}]
 
 
 def test_sort_rows_callable_key():
