@@ -136,6 +136,11 @@ class load(Step):
             self.resource_name = name or "inline"
         else:
             self.format = format or self._guess_format(source)
+            if (self.format == "datapackage" and isinstance(source, str)
+                    and source.endswith(".zip")):
+                # reference load.py accepts format='datapackage' for a
+                # zipped package (tests/test_lib.py:815-823)
+                self.format = "datapackage_zip"
             self.resource_name = name or self._default_name(source)
         self.name = f"load({self.resource_name})"
         self.limit_rows = limit_rows

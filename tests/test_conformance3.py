@@ -333,3 +333,47 @@ def test_load_override_schema_title_and_missing(tmp_path):
         {"name": "Ringo", "# drum kits": 2},
         {"name": "Pete", "# drum kits": None},
     ]
+
+
+def test_load_limit_rows(tmp_path):
+    """Port of reference test_lib.py:1718: limit_rows truncates the
+    loaded resource to the first N rows."""
+    p = tmp_path / "beatles.csv"
+    p.write_text("name,instrument\njohn,guitar\npaul,bass\n"
+                 "george,guitar\nringo,drums\n")
+    results, _, _ = Flow(load(str(p), limit_rows=3)).results()
+    assert results[0] == [
+        {"name": "john", "instrument": "guitar"},
+        {"name": "paul", "instrument": "bass"},
+        {"name": "george", "instrument": "guitar"},
+    ]
+
+
+def test_load_from_package_zip(tmp_path):
+    """Port of reference test_lib.py:815: load a zipped datapackage with
+    an EXPLICIT format='datapackage' (extension says zip)."""
+    from dataflows_ray import dump_to_zip, iterable_loader
+
+    zpath = str(tmp_path / "pkg.zip")
+    Flow(
+        iterable_loader([{"foo": "bar", "moo": 12}], name="data"),
+        dump_to_zip(zpath, format="parquet"),
+    ).process()
+    results, _, _ = Flow(load(zpath, format="datapackage")).results()
+    assert results[0] == [{"foo": "bar", "moo": 12}]
+
+
+def test_load_from_checkpoint_alone(tmp_path):
+    """Port of reference test_lib.py:993: a Flow whose ONLY step is an
+    existing checkpoint loads the saved package."""
+    from dataflows_ray import checkpoint, iterable_loader
+
+    cp = str(tmp_path / "cps")
+    Flow(
+        iterable_loader([{"foo": "bar"}], name="t"),
+        checkpoint("only_step", checkpoint_path=cp),
+    ).process()
+    results, _, _ = Flow(
+        checkpoint("only_step", checkpoint_path=cp),
+    ).results()
+    assert results[0] == [{"foo": "bar"}]
