@@ -377,3 +377,50 @@ def test_load_from_checkpoint_alone(tmp_path):
         checkpoint("only_step", checkpoint_path=cp),
     ).results()
     assert results[0] == [{"foo": "bar"}]
+
+
+class _GenExc(Exception):
+    pass
+
+
+def test_exception_in_generator_source():
+    """Port of reference test_edge_cases.py:8-18: an exception raised
+    inside a generator source surfaces as StepError with .cause set to
+    the original exception."""
+    from dataflows_ray import printer
+
+    def gen():
+        for i in range(5):
+            raise _GenExc()
+            yield {"i": i}
+
+    with pytest.raises(StepError) as excinfo:
+        Flow(gen(), printer()).process()
+    assert isinstance(excinfo.value.cause, _GenExc)
+
+
+def test_exception_information_bad_load_path():
+    """Port of reference test_edge_cases.py:21-32: a failing load carries
+    the cause, the step name and the chain position (ours is 0-based;
+    the reference's processor_position is 1-based)."""
+    with pytest.raises(StepError) as excinfo:
+        Flow(load("/nonexistent/bad-path1.csv")).results()
+    e = excinfo.value
+    assert isinstance(e.cause, FileNotFoundError)
+    assert e.step_name.startswith("load")
+    assert e.position == 0
+
+
+def test_exception_information_second_load_errored():
+    """Port of reference test_edge_cases.py:50-61: when the SECOND load
+    fails, attribution points at it, not the first."""
+    import pyarrow.parquet as _pq
+
+    with pytest.raises(StepError) as excinfo:
+        Flow(
+            load("/root/testdata/sf0.001/region.parquet"),
+            load("/nonexistent/bad-path2.csv"),
+        ).results()
+    e = excinfo.value
+    assert isinstance(e.cause, FileNotFoundError)
+    assert "bad-path2" in e.step_name or e.position == 1
