@@ -350,18 +350,15 @@ def verify_jaccard(pairs_df: pd.DataFrame, texts: Dict[int, str],
     return jaccard_from_sets(pairs_df, sets, threshold)
 
 
-def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
-                  num_perm: int = 128, bands: int = 32, k: int = 5
-                  ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
-    """Full near-dup pipeline: LSH candidates -> Jaccard verify -> drop the
-    higher-id member of each verified pair. Returns (deduped_ds, pairs).
+def _verify_and_drop(ds: ray.data.Dataset, cand_df: pd.DataFrame,
+                     k: int, threshold: float
+                     ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
+    """Shared near-dup tail: exact-Jaccard verify the candidate pairs,
+    then drop the higher-id member of each verified pair.
 
     The verify step broadcasts the candidate docs' texts only (not the
     corpus). Driver holds only ids + verified pairs (small by design; at
-    extreme scale replace with a distributed anti-join / bloom filter).
-    """
-    cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands, k=k)
-    cand_df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    extreme scale replace with a distributed anti-join / bloom filter)."""
     if cand_df.empty:
         return ds, pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
     need_ids = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
@@ -385,6 +382,95 @@ def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
 
     return (ds.map_batches(drop, batch_format="pyarrow") if drop_ids else ds,
             verified)
+
+
+def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
+                  num_perm: int = 128, bands: int = 32, k: int = 5
+                  ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
+    """Full near-dup pipeline: LSH candidates -> Jaccard verify -> drop the
+    higher-id member of each verified pair. Returns (deduped_ds, pairs)."""
+    cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands, k=k)
+    cand_df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    return _verify_and_drop(ds, cand_df, k, threshold)
+
+
+def _bottomk_explode(batch: pa.Table, b: int, k: int) -> pa.Table:
+    """(block_hash, doc_id) rows: each doc's ``b`` SMALLEST distinct
+    shingle hashes become its block keys (Broder's bottom-k sketch).
+    Fully vectorized: one lexsort of (doc, hash) pairs, within-doc dedup
+    + rank via boundary masks — no per-doc Python."""
+    sh, offs = _shingle_hashes(batch["text"], k)
+    n = len(offs) - 1
+    counts = np.diff(offs)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((sh, doc_idx))
+    d_s, h_s = doc_idx[order], sh[order]
+    m = len(h_s)
+    first = np.ones(m, dtype=bool)
+    if m:
+        first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    d_u, h_u = d_s[first], h_s[first]
+    seg = np.ones(len(d_u), dtype=bool)
+    if len(d_u):
+        seg[1:] = d_u[1:] != d_u[:-1]
+    starts = np.nonzero(seg)[0]
+    seg_len = np.diff(np.concatenate([starts, [len(d_u)]]))
+    rank = np.arange(len(d_u), dtype=np.int64) - np.repeat(starts, seg_len)
+    keep = rank < b
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "block_hash": pa.array(h_u[keep].view(np.int64)),
+        "doc_id": pa.array(ids[d_u[keep]]),
+    })
+
+
+def bottomk_candidates(ds: ray.data.Dataset, b: int = 8, k: int = 5
+                       ) -> ray.data.Dataset:
+    """Candidate near-dup pairs via bottom-k sketch blocking: two docs
+    with Jaccard >= t share their global minimum shingle hash with
+    probability >= t; b block keys amplify recall to ~1-(1-t)^b.
+    Same bucketed-pairs shuffle shape as the LSH path: explode ->
+    hash-repartition on block_hash -> bounded per-bucket pair generation
+    (mega-buckets skipped) — nothing driver-side."""
+    from ..stages.agg import keyed_merge
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return _bottomk_explode(batch, b, k)
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              batch_size=None)
+
+    def pairs_block(df: pd.DataFrame) -> pa.Table:
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        for _key, idx in df.groupby("block_hash", sort=False).indices.items():
+            ids = np.unique(df["doc_id"].to_numpy()[idx])
+            m = len(ids)
+            if m < 2 or m > 200:  # skip degenerate mega-buckets
+                continue
+            iu, ju = np.triu_indices(m, 1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64())})
+        return pa.table({"doc_a": np.concatenate(out_a),
+                         "doc_b": np.concatenate(out_b)})
+
+    return keyed_merge(exploded, ["block_hash"], pairs_block)
+
+
+def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
+                        k: int = 5, b: int = 8
+                        ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
+    """n-gram Jaccard near-dedup: bottom-k sketch candidate blocking ->
+    EXACT shingle-Jaccard verify -> drop higher-id duplicates. The
+    direct-Jaccard sibling of ``minhash_dedup`` (no signature
+    approximation in the verify — candidates are checked against the
+    true n-gram sets)."""
+    cand = bottomk_candidates(ds, b=b, k=k)
+    cand_df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    return _verify_and_drop(ds, cand_df, k, threshold)
 
 
 class SimHasher:

@@ -479,6 +479,17 @@ def q20_minhash_dedup(sf_dir: str):
     return deduped.select_columns(["doc_id"])
 
 
+def q61_ngram_jaccard_dedup(sf_dir: str):
+    """n-gram Jaccard near-dedup (bottom-k sketch blocking + exact
+    shingle-Jaccard verify) — the direct-Jaccard sibling of q20."""
+    import ray.data
+    from ..functions.dedup import ngram_jaccard_dedup
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    deduped, _pairs = ngram_jaccard_dedup(ds, threshold=0.7)
+    return deduped.select_columns(["doc_id"])
+
+
 def q21_simhash(sf_dir: str):
     import ray.data
     from ..functions.dedup import simhash_signatures
@@ -1702,6 +1713,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q58_tfidf_top_terms": q58_tfidf_top_terms,
     "q59_unnest_embeddings": q59_unnest_embeddings,
     "q60_multicodec_decode": q60_multicodec_decode,
+    "q61_ngram_jaccard_dedup": q61_ngram_jaccard_dedup,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1854,5 +1866,8 @@ ORACLES: Dict[str, str] = {
 SELECT codec, n_clips, total_samples, min_snr
 FROM read_parquet('{_FIX}/q60_multicodec_decode.parquet')
 ORDER BY codec
+""",
+    "q61_ngram_jaccard_dedup": f"""
+SELECT doc_id FROM read_parquet('{_FIX}/q61_ngram_jaccard_dedup.parquet')
 """,
 }

@@ -66,6 +66,35 @@ def gen_q20(docs: pa.Table) -> pa.Table:
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def gen_q61(docs: pa.Table) -> pa.Table:
+    """Sequential mirror of functions.dedup.ngram_jaccard_dedup
+    (threshold 0.7, k=5, b=8): bottom-k sketch blocking -> per-bucket
+    pairs (2..200) -> exact-Jaccard verify -> drop the higher id of each
+    verified pair; survivors ascending."""
+    from dataflows_ray.functions.dedup import _bottomk_explode, verify_jaccard
+    exploded = _bottomk_explode(docs, b=8, k=5).to_pandas()
+    out_a, out_b = [], []
+    for _key, idx in exploded.groupby("block_hash", sort=False).indices.items():
+        ids = np.unique(exploded["doc_id"].to_numpy()[idx])
+        m = len(ids)
+        if m < 2 or m > 200:
+            continue
+        iu, ju = np.triu_indices(m, 1)
+        out_a.append(ids[iu])
+        out_b.append(ids[ju])
+    if out_a:
+        pairs = pd.DataFrame({"doc_a": np.concatenate(out_a),
+                              "doc_b": np.concatenate(out_b)}
+                             ).drop_duplicates(["doc_a", "doc_b"])
+    else:
+        pairs = pd.DataFrame({"doc_a": [], "doc_b": []})
+    texts = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    verified = verify_jaccard(pairs, texts, k=5, threshold=0.7)
+    drop = set(verified["doc_b"])
+    ids = sorted(set(texts.keys()) - drop)
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 def gen_q25(audio_path: str) -> pa.Table:
     """Clips with index < 200 decoded sequentially with the same decoder
     class (mirrors q25's deterministic clip-index filter)."""
@@ -343,6 +372,8 @@ def main():
         print(f"{name}: q20 written")
         pq.write_table(gen_q21(docs), f"{fdir}/q21_simhash.parquet")
         print(f"{name}: q21 written")
+        pq.write_table(gen_q61(docs), f"{fdir}/q61_ngram_jaccard_dedup.parquet")
+        print(f"{name}: q61 written")
         from dataflows_ray.pipelines.relational import _audio_path
         audio = _audio_path(sf_dir)
         pq.write_table(gen_q25(audio), f"{fdir}/q25_audio_decode.parquet")

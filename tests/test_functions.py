@@ -7,7 +7,8 @@ import pytest
 import ray.data
 
 from dataflows_ray.functions.dedup import (
-    exact_dedup, minhash_dedup, simhash_signatures, SimHasher, MinHasher)
+    exact_dedup, minhash_dedup, ngram_jaccard_dedup, simhash_signatures,
+    SimHasher, MinHasher)
 from dataflows_ray.functions.similarity import brute_force_topk, lsh_topk
 from dataflows_ray.functions.text import TextAnalyzer, analyze_text
 from dataflows_ray.functions.multimodal import (
@@ -81,6 +82,21 @@ def test_minhash_dedup_catches_near_dupe():
     assert 1 in kept
     pair_set = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (1, 102) in pair_set
+
+
+def test_ngram_jaccard_dedup_catches_near_dupe():
+    ds = ray.data.from_items(_docs())
+    deduped, pairs = ngram_jaccard_dedup(ds, threshold=0.5)
+    kept = set(deduped.to_pandas()["doc_id"])
+    assert 100 not in kept and 101 not in kept   # exact dupes
+    assert 102 not in kept                       # near-dupe of doc 1
+    assert 1 in kept
+    pair_set = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (1, 102) in pair_set
+    # verified similarities are TRUE Jaccard (monotone sanity: the exact
+    # duplicate pair scores 1.0)
+    exact = pairs[(pairs["doc_a"] == 100) | (pairs["doc_b"] == 100)]
+    assert (exact["jaccard"] == 1.0).any()
 
 
 def test_minhash_signature_similarity_tracks_jaccard():
