@@ -384,14 +384,145 @@ def _verify_and_drop(ds: ray.data.Dataset, cand_df: pd.DataFrame,
             verified)
 
 
+def _shingle_sets_table(batch: pa.Table, k: int) -> pa.Table:
+    """(doc_id, __shingles__ binary) per doc: sorted-unique shingle
+    hashes as raw little-endian uint64 bytes — one vectorized shingle
+    pass, per-doc unique slices packed into one Arrow binary column
+    (Acero hash joins carry binary payloads; list payloads they reject)."""
+    sh, offs = _shingle_hashes(batch["text"], k)
+    uniq_parts: List[np.ndarray] = []
+    counts = np.empty(len(offs) - 1, dtype=np.int64)
+    for j in range(len(offs) - 1):
+        u = np.unique(sh[offs[j]:offs[j + 1]])
+        uniq_parts.append(u)
+        counts[j] = len(u)
+    flat = (np.concatenate(uniq_parts) if uniq_parts
+            else np.empty(0, dtype=np.uint64))
+    byte_offs = np.concatenate([[0], np.cumsum(counts * 8)]).astype(np.int64)
+    col = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), len(counts),
+        [None, pa.py_buffer(byte_offs.tobytes()),
+         pa.py_buffer(flat.tobytes())])
+    return pa.table({"doc_id": batch["doc_id"], "__shingles__": col})
+
+
+def distributed_verify_pairs(ds: ray.data.Dataset, cand: ray.data.Dataset,
+                             k: int = 5, threshold: float = 0.7,
+                             num_partitions: Optional[int] = None
+                             ) -> ray.data.Dataset:
+    """Exact-Jaccard verification of a candidate-pair Dataset WITHOUT
+    driver materialization — the 100-TB path the broadcast verify in
+    ``_verify_and_drop`` documents as its scale swap.
+
+    Shape: semi-join the corpus down to candidate docs only -> shingle
+    those docs into an Arrow list column -> two hash-joins attach each
+    side's shingle set to the pair rows -> per-batch ``intersect1d``
+    verify. Every stage is a Dataset op; nothing larger than a batch
+    exists on any single node, and the driver never sees the pairs."""
+    from ..stages.semijoin import semi_join_ids
+
+    from ..stages.agg import grouped_aggregate
+
+    if num_partitions is None:
+        # Dataset.join spawns ~num_partitions aggregator actors PER join;
+        # two joins below — stay well under the session's CPUs or the
+        # actor pools deadlock (half the CPUs each, floor 2)
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    ids_a = cand.select_columns(["doc_a"]).rename_columns({"doc_a": "doc_id"})
+    ids_b = cand.select_columns(["doc_b"]).rename_columns({"doc_b": "doc_id"})
+    # distributed distinct (combining aggregate — never a driver list)
+    cand_ids = grouped_aggregate(
+        ids_a.union(ids_b), ["doc_id"],
+        [{"target": "__n__", "source": "doc_id", "aggregate": "count"}]
+    ).select_columns(["doc_id"])
+    need = semi_join_ids(ds.select_columns(["doc_id", "text"]), cand_ids,
+                         "doc_id")
+
+    def sets(batch: pa.Table) -> pa.Table:
+        return _shingle_sets_table(batch, k)
+
+    def sets_b(batch: pa.Table) -> pa.Table:
+        return _shingle_sets_table(batch, k).rename_columns(
+            ["doc_id_b", "__shingles_b__"])
+
+    # two independent stages (not one + rename) so every block a join
+    # consumes carries ONE schema — mixed-schema RefBundles were the
+    # round-1 q06 failure class
+    joined = cand.join(need.map_batches(sets, batch_format="pyarrow"),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("doc_a",), right_on=("doc_id",))
+    joined = joined.join(need.map_batches(sets_b, batch_format="pyarrow"),
+                         join_type="inner", num_partitions=num_partitions,
+                         on=("doc_b",), right_on=("doc_id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sa_col = batch["__shingles__"].combine_chunks()
+        sb_col = batch["__shingles_b__"].combine_chunks()
+        a_ids = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b_ids = batch["doc_b"].to_numpy(zero_copy_only=False)
+        keep_a, keep_b, sims = [], [], []
+        for i in range(len(batch)):
+            sa = np.frombuffer(sa_col[i].as_buffer(), dtype=np.uint64)
+            sb = np.frombuffer(sb_col[i].as_buffer(), dtype=np.uint64)
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            sim = inter / union if union else 0.0
+            if sim >= threshold:
+                keep_a.append(a_ids[i])
+                keep_b.append(b_ids[i])
+                sims.append(round(sim, 4))
+        return pa.table({"doc_a": pa.array(keep_a, type=pa.int64()),
+                         "doc_b": pa.array(keep_b, type=pa.int64()),
+                         "jaccard": pa.array(sims, type=pa.float64())})
+
+    return joined.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
-                  num_perm: int = 128, bands: int = 32, k: int = 5
+                  num_perm: int = 128, bands: int = 32, k: int = 5,
+                  distributed_verify: bool = False
                   ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
     """Full near-dup pipeline: LSH candidates -> Jaccard verify -> drop the
-    higher-id member of each verified pair. Returns (deduped_ds, pairs)."""
+    higher-id member of each verified pair. Returns (deduped_ds, pairs).
+
+    ``distributed_verify=True`` routes candidates through
+    ``distributed_verify_pairs`` + an adaptive anti-join — no candidate
+    or text materialization on the driver (the extreme-scale path);
+    the default broadcast verify is faster while candidates fit."""
     cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands, k=k)
+    if distributed_verify:
+        return _drop_distributed(ds, cand, k, threshold)
     cand_df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
     return _verify_and_drop(ds, cand_df, k, threshold)
+
+
+def _drop_distributed(ds: ray.data.Dataset, cand: ray.data.Dataset,
+                      k: int, threshold: float
+                      ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
+    """Distributed verify + anti-join drop; verified pairs (the SMALL
+    true-duplicate set) are returned as pandas for API parity."""
+    from ..stages.agg import grouped_aggregate
+    from ..stages.semijoin import semi_join_ids
+
+    # distinct candidate pairs, distributed (duplicate pairs from multiple
+    # shared buckets would double-verify otherwise)
+    cand = grouped_aggregate(
+        cand, ["doc_a", "doc_b"],
+        [{"target": "__n__", "source": "doc_a", "aggregate": "count"}]
+    ).select_columns(["doc_a", "doc_b"])
+    verified = distributed_verify_pairs(ds, cand, k=k, threshold=threshold)
+    drop_ids = grouped_aggregate(
+        verified, ["doc_b"],
+        [{"target": "__n__", "source": "doc_b", "aggregate": "count"}]
+    ).select_columns(["doc_b"])
+    deduped = semi_join_ids(ds, drop_ids, "doc_id", id_col="doc_b",
+                            anti=True)
+    pairs = (verified.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    return deduped, pairs
 
 
 def _bottomk_explode(batch: pa.Table, b: int, k: int) -> pa.Table:
@@ -461,14 +592,17 @@ def bottomk_candidates(ds: ray.data.Dataset, b: int = 8, k: int = 5
 
 
 def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
-                        k: int = 5, b: int = 8
+                        k: int = 5, b: int = 8,
+                        distributed_verify: bool = False
                         ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
     """n-gram Jaccard near-dedup: bottom-k sketch candidate blocking ->
     EXACT shingle-Jaccard verify -> drop higher-id duplicates. The
     direct-Jaccard sibling of ``minhash_dedup`` (no signature
     approximation in the verify — candidates are checked against the
-    true n-gram sets)."""
+    true n-gram sets). ``distributed_verify`` as in ``minhash_dedup``."""
     cand = bottomk_candidates(ds, b=b, k=k)
+    if distributed_verify:
+        return _drop_distributed(ds, cand, k, threshold)
     cand_df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
     return _verify_and_drop(ds, cand_df, k, threshold)
 

@@ -99,6 +99,20 @@ def test_ngram_jaccard_dedup_catches_near_dupe():
     assert (exact["jaccard"] == 1.0).any()
 
 
+def test_distributed_verify_matches_broadcast_path():
+    """The 100-TB verify path (semi-join -> shingle-set hash-joins ->
+    per-batch intersect -> anti-join drop; zero driver materialization)
+    must produce exactly the broadcast path's kept set and pairs."""
+    ds = ray.data.from_items(_docs())
+    d0, p0 = minhash_dedup(ds, threshold=0.5)
+    ds = ray.data.from_items(_docs())
+    d1, p1 = minhash_dedup(ds, threshold=0.5, distributed_verify=True)
+    assert sorted(d0.to_pandas()["doc_id"]) == sorted(d1.to_pandas()["doc_id"])
+    s0 = set(zip(p0["doc_a"], p0["doc_b"]))
+    s1 = set(zip(p1["doc_a"], p1["doc_b"]))
+    assert s0 == s1
+
+
 def test_minhash_signature_similarity_tracks_jaccard():
     mh = MinHasher(num_perm=128, bands=32)
     s1 = mh.signature(BASE)
