@@ -55,6 +55,8 @@ from .stages.semijoin import semi_join_ids
 from .stages.reshape import unnest_list
 from .functions.quantiles import exact_quantiles, grouped_exact_quantile
 from .functions.components import connected_components, dedup_by_components
+from .functions.dedup import (
+    exact_dedup, minhash_dedup, ngram_jaccard_dedup, simhash_signatures)
 from .sinks.dump import dump_to_path, dump_to_zip
 from .sinks.checkpoint import checkpoint
 from .sinks.stream_file import stream, unstream, parallelize
@@ -77,6 +79,8 @@ __all__ = [
     "hash_sample", "stratified_sample", "semi_join_ids", "unnest_list",
     "exact_quantiles", "grouped_exact_quantile", "connected_components",
     "dedup_by_components", "rollup_aggregate",
+    "exact_dedup", "minhash_dedup", "ngram_jaccard_dedup",
+    "simhash_signatures",
     "grouped_aggregate", "dump_to_path", "dump_to_zip", "checkpoint",
     "stream", "unstream", "parallelize", "dump_to_sql",
 ]
