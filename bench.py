@@ -40,7 +40,7 @@ def run_benchmarks() -> dict:
         q01_pricing_summary, q05_priority_counts, q12_tumbling_hour,
         q16_token_counts, q17_exact_dedup, q18_knn_cosine,
         q20_minhash_dedup, q45_exact_quantiles, q48_keyed_window_funcs,
-        q49_term_doc_frequency, _audio_path)
+        q49_term_doc_frequency, q61_ngram_jaccard_dedup, _audio_path)
     from dataflows_ray.pipelines.audio import decode_stage, windowed_speaker_aggregate
     from dataflows_ray.streaming.engine import StreamingJoinEngine
     from dataflows_ray.streaming.sink import ExactlyOnceSink
@@ -64,6 +64,8 @@ def run_benchmarks() -> dict:
     timed("q17_exact_dedup", lambda: q17_exact_dedup(SF_DIR).count())
     timed("q18_knn_cosine", lambda: q18_knn_cosine(SF_DIR).to_pandas())
     timed("q20_minhash_dedup", lambda: q20_minhash_dedup(SF_DIR).count())
+    timed("q61_ngram_jaccard_dedup",
+          lambda: q61_ngram_jaccard_dedup(SF_DIR).count())
     timed("q45_exact_quantiles", lambda: q45_exact_quantiles(SF_DIR))
     timed("q48_keyed_window_funcs", lambda: len(q48_keyed_window_funcs(SF_DIR)))
     timed("q49_term_doc_frequency", lambda: q49_term_doc_frequency(SF_DIR))
