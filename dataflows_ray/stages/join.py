@@ -66,7 +66,16 @@ def _attach_row_ids(ds: ray.data.Dataset) -> ray.data.Dataset:
                                  dtype=np.int64))
         return block.append_column(ROW_ID, rid)
 
-    refs = ds.to_arrow_refs()
+    # Force ordered collection: the streaming executor defaults to
+    # preserve_order=False, so on multi-block inputs to_arrow_refs() could
+    # return blocks in COMPLETION order and mis-number rows (same pattern
+    # as core/udf.py apply_stateful_rows).
+    prev = ds.context.execution_options.preserve_order
+    ds.context.execution_options.preserve_order = True
+    try:
+        refs = ds.to_arrow_refs()
+    finally:
+        ds.context.execution_options.preserve_order = prev
     counts = ray.get([nrows.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(counts)])
     return ray.data.from_arrow_refs(

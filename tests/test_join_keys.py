@@ -48,6 +48,43 @@ def test_join_row_number_auto_row_ids():
     assert results[0] == [{"t": 10, "v": "a"}, {"t": 20, "v": "b"}]
 
 
+def test_attach_row_ids_multiblock_order():
+    """Regression: _attach_row_ids must collect blocks in STREAM order even
+    when the streaming executor completes them out of order (it forces
+    preserve_order around to_arrow_refs). Early blocks sleep longer so a
+    completion-order collection would mis-number them."""
+    import time
+    import pyarrow as pa
+    import ray.data
+    from dataflows_ray.stages.join import _attach_row_ids
+    from dataflows_ray.sources.load import ROW_ID
+
+    def slow_early(batch: pa.Table) -> pa.Table:
+        v = batch.column("id")[0].as_py()
+        time.sleep(0.3 if v < 4 else 0.0)
+        return batch
+
+    ds = (ray.data.range(8).repartition(8)
+          .map_batches(slow_early, batch_format="pyarrow", batch_size=None))
+    out = _attach_row_ids(ds).to_pandas().sort_values("id")
+    assert list(out["id"]) == list(out[ROW_ID]) == list(range(8))
+
+
+def test_join_row_number_multiblock():
+    """{#} keys stay correct when each resource spans multiple blocks."""
+    n = 12
+    source = [{"v": f"v{i}"} for i in range(n)]
+    target = [{"t": i * 10} for i in range(n)]
+    results, _, _ = Flow(
+        iterable_loader(source, name="s"),
+        iterable_loader(target, name="t"),
+        join("s", "{#}", "t", "{#}", {"v": {"aggregate": "any"}}),
+    ).results()
+    rows = sorted(results[0], key=lambda r: r["t"])
+    assert [(r["t"], r["v"]) for r in rows] == \
+        [(i * 10, f"v{i}") for i in range(n)]
+
+
 def test_sort_rows_callable_key():
     data = [{"x": 5}, {"x": -3}, {"x": 1}]
     results, _, _ = Flow(
