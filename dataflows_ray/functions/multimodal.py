@@ -16,14 +16,21 @@ what ``streaming/audio.py`` does with PCM —
   frame sampling really slices every-nth frame and computes per-frame
   features.
 
-Compressed codecs (jpeg/png/h264) raise ``NotImplementedError`` exactly
-where a PIL/turbojpeg/ffmpeg call would slot in — those libraries are
-not in this container; the surrounding Ray plumbing (schema, batch
-size, actor signature, output layout) is identical either way.
+Round 3 adds a REAL ``png`` codec (W3C PNG spec; stdlib ``zlib`` +
+numpy): chunk parse with CRC verification, IDAT inflate, all five
+scanline filters (None/Sub/Up/Average/Paeth) on decode, 8-bit color
+types gray/RGB/palette/RGBA (alpha dropped, gray replicated to RGB).
+The one remaining compressed stub is jpeg/h264, which genuinely needs
+an external codec — ``NotImplementedError`` marks exactly where a
+turbojpeg/ffmpeg call would slot in; the surrounding Ray plumbing
+(schema, batch size, actor signature, output layout) is identical
+either way.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from typing import Optional, Tuple
 
 import numpy as np
@@ -75,6 +82,146 @@ def decode_ppm(raw: bytes) -> np.ndarray:
                          count=h * w * 3, offset=pos).reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------------------
+# PNG codec — W3C PNG spec (public), stdlib zlib + numpy only
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload)))
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3) uint8 -> PNG (8-bit truecolor, no interlace).
+
+    ``filter_type`` applies one scanline filter to every row (0=None is
+    the fast path; 1/2/3/4 exist mainly so tests exercise every decode
+    unfilter branch with self-produced data)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = img.reshape(h, w * 3).astype(np.int64)
+    prev = np.zeros(w * 3, dtype=np.int64)
+    out = bytearray()
+    for y in range(h):
+        cur = rows[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:    # Sub
+            left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+            filt = (cur - left) % 256
+        elif filter_type == 2:    # Up
+            filt = (cur - prev) % 256
+        elif filter_type == 3:    # Average
+            left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+            filt = (cur - (left + prev) // 2) % 256
+        elif filter_type == 4:    # Paeth
+            left = np.concatenate([np.zeros(3, np.int64), cur[:-3]])
+            ul = np.concatenate([np.zeros(3, np.int64), prev[:-3]])
+            filt = (cur - _paeth(left, prev, ul)) % 256
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        out.append(filter_type)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized (PNG spec §6.6)."""
+    p = a + b - c
+    pa_, pb, pc_ = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """PNG -> (h, w, 3) uint8. Supports 8-bit gray (0), RGB (2),
+    palette (3), RGBA (6, alpha dropped); all five scanline filters;
+    no interlace. CRC-checked chunk walk, stdlib zlib inflate."""
+    if raw[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    plte = None
+    ihdr = None
+    while pos < len(raw):
+        (length,) = struct.unpack(">I", raw[pos:pos + 4])
+        tag = raw[pos + 4:pos + 8]
+        payload = raw[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(">I", raw[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + payload) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt_m, interlace = ihdr
+    if depth != 8 or comp != 0 or filt_m != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    rb = w * channels                      # bytes per scanline (post-filter)
+    data = data.reshape(h, rb + 1)
+    ftypes = data[:, 0]
+    scan = data[:, 1:].astype(np.int64)
+    out = np.empty((h, rb), dtype=np.int64)
+    prev = np.zeros(rb, dtype=np.int64)
+    bpp = channels
+    for y in range(h):
+        cur = scan[y]
+        f = ftypes[y]
+        if f == 0:
+            row = cur
+        elif f == 1:      # Sub: within-row prefix sum at bpp stride
+            row = np.cumsum(cur.reshape(w, bpp), axis=0).reshape(rb) % 256
+        elif f == 2:      # Up
+            row = (cur + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            row = np.empty(rb, dtype=np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(w):
+                s = x * bpp
+                up = prev[s:s + bpp]
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = (prev[s - bpp:s] if x else
+                          np.zeros(bpp, dtype=np.int64))
+                    pred = _paeth(left, up, ul)
+                left = (cur[s:s + bpp] + pred) % 256
+                row[s:s + bpp] = left
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = row
+        prev = row
+    px = out.astype(np.uint8).reshape(h, w, channels)
+    if ctype == 2:
+        return px
+    if ctype == 6:
+        return np.ascontiguousarray(px[:, :, :3])   # drop alpha
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2)              # gray -> RGB
+    if plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    return plte[px[:, :, 0]]                         # ctype 3
+
+
 def synth_image_table(n: int, seed: int = 42, fmt: str = "ppm") -> pa.Table:
     """Deterministic synthetic images encoded as real binary PPM (or as
     headerless ``raw-rgb``): gradient + per-image sinusoid pattern, so
@@ -90,9 +237,17 @@ def synth_image_table(n: int, seed: int = 42, fmt: str = "ppm") -> pa.Table:
         noise = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
         img = np.stack([base, wave, noise], axis=2)
         rows["image_id"].append(f"img-{i:08d}")
-        rows["bytes"].append(encode_ppm(img) if fmt == "ppm"
-                             else img.tobytes())
-        rows["format"].append(fmt)
+        if fmt == "mixed":      # alternate real containers per image
+            row_fmt = "png" if i % 3 == 2 else "ppm"
+        else:
+            row_fmt = fmt
+        if row_fmt == "ppm":
+            rows["bytes"].append(encode_ppm(img))
+        elif row_fmt == "png":
+            rows["bytes"].append(encode_png(img, filter_type=i % 5))
+        else:
+            rows["bytes"].append(img.tobytes())
+        rows["format"].append(row_fmt)
         rows["width"].append(w)
         rows["height"].append(h)
     return pa.Table.from_pydict(rows, schema=IMAGE_SCHEMA)
@@ -110,6 +265,8 @@ class ImageDecoder:
     def _decode(self, raw: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         if fmt == "ppm":
             return decode_ppm(raw)
+        if fmt == "png":
+            return decode_png(raw)
         if fmt == "raw-rgb":
             return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
         raise NotImplementedError(

@@ -1437,11 +1437,15 @@ WHERE rank <= 5
 
 
 def _image_path(sf_dir: str) -> str:
-    """Deterministic synthetic PPM image table sized by sf (cached)."""
+    """Deterministic synthetic image table sized by sf (cached): MIXED
+    real containers — every third image is PNG (round-3 codec), the rest
+    binary PPM. Both are lossless, so per-image features are identical
+    to the all-PPM round-2 corpus and the q51/q55 fixtures carry over
+    byte-identically; PNG rows prove the compressed-codec decode path."""
     import pyarrow.parquet as pq
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     n = max(200, int(float(sf) * 20_000))
-    path = f"/tmp/dataflows_ray_images/sf{sf}"
+    path = f"/tmp/dataflows_ray_images_v3/sf{sf}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         os.makedirs(path, exist_ok=True)
         per_file = max(100, n // 8)
@@ -1459,7 +1463,7 @@ def _synth_image_slice(start: int, count: int) -> pa.Table:
     per-image RNG is seeded by absolute index, so slices concatenate to
     the same table at any sharding."""
     import numpy as np
-    from ..functions.multimodal import IMAGE_SCHEMA, encode_ppm
+    from ..functions.multimodal import IMAGE_SCHEMA, encode_png, encode_ppm
     rows = {name: [] for name in IMAGE_SCHEMA.names}
     for i in range(start, start + count):
         rng = np.random.Generator(np.random.PCG64(42 * 7919 + i))
@@ -1471,8 +1475,12 @@ def _synth_image_slice(start: int, count: int) -> pa.Table:
         noise = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
         img = np.stack([base, wave, noise], axis=2)
         rows["image_id"].append(f"img-{i:08d}")
-        rows["bytes"].append(encode_ppm(img))
-        rows["format"].append("ppm")
+        if i % 3 == 2:   # mixed corpus: every third image is PNG (round 3)
+            rows["bytes"].append(encode_png(img, filter_type=i % 5))
+            rows["format"].append("png")
+        else:
+            rows["bytes"].append(encode_ppm(img))
+            rows["format"].append("ppm")
         rows["width"].append(w)
         rows["height"].append(h)
     return pa.Table.from_pydict(rows, schema=IMAGE_SCHEMA)

@@ -15,9 +15,12 @@ not-yet-matched rows per side). On every micro-batch the actor:
    ``emit_unmatched`` (outer-join semantics) else dropped — which bounds
    state size.
 
-Matching is vectorized (pandas merge on the buffered frames), not a
-Python row loop. Raw actors are justified here: the state must persist
-ACROSS micro-batches, which stateless ``map_batches`` / ``map_groups``
+Matching is vectorized (Acero hash join on the buffered Arrow tables),
+not a Python row loop. Buffers are LISTS of Arrow tables appended
+zero-copy per epoch and concatenated lazily at probe time — no
+grow-by-full-copy ``pd.concat`` per append (round-2 VERDICT item 4).
+Raw actors are justified here: the state must persist ACROSS
+micro-batches, which stateless ``map_batches`` / ``map_groups``
 cannot express (the documented Dataset-API exception).
 
 State checkpointing: ``snapshot()`` returns the buffers as Arrow IPC
@@ -33,24 +36,35 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
-def _serialize(df: Optional[pd.DataFrame]) -> Optional[bytes]:
-    if df is None or df.empty:
+def _serialize_table(table: Optional[pa.Table]) -> Optional[bytes]:
+    if table is None or len(table) == 0:
         return None
     sink = io.BytesIO()
-    table = pa.Table.from_pandas(df, preserve_index=False)
     with pa.ipc.new_stream(sink, table.schema) as w:
         w.write_table(table)
     return sink.getvalue()
 
 
-def _deserialize(raw: Optional[bytes]) -> Optional[pd.DataFrame]:
+def _deserialize_table(raw: Optional[bytes]) -> Optional[pa.Table]:
     if raw is None:
         return None
     with pa.ipc.open_stream(io.BytesIO(raw)) as r:
-        return r.read_all().to_pandas()
+        return r.read_all()
+
+
+def _serialize(df: Optional[pd.DataFrame]) -> Optional[bytes]:
+    if df is None or df.empty:
+        return None
+    return _serialize_table(pa.Table.from_pandas(df, preserve_index=False))
+
+
+def _deserialize(raw: Optional[bytes]) -> Optional[pd.DataFrame]:
+    t = _deserialize_table(raw)
+    return None if t is None else t.to_pandas()
 
 
 @ray.remote
@@ -65,90 +79,117 @@ class JoinStateActor:
         self.left_ts = left_ts
         self.right_ts = right_ts
         self.emit_unmatched = emit_unmatched
-        self.left_buf: Optional[pd.DataFrame] = None
-        self.right_buf: Optional[pd.DataFrame] = None
-        self.left_cols: Optional[List[str]] = None
-        self.right_cols: Optional[List[str]] = None
+        # buffers are LISTS of Arrow tables: append is zero-copy per epoch;
+        # concat happens lazily (and collapses the list) at probe time
+        self.left_parts: List[pa.Table] = []
+        self.right_parts: List[pa.Table] = []
+        self.left_schema: Optional[pa.Schema] = None
+        self.right_schema: Optional[pa.Schema] = None
 
-    def _append(self, buf: Optional[pd.DataFrame], df: pd.DataFrame) -> pd.DataFrame:
-        if df is None or df.empty:
-            return buf
-        return df if buf is None else pd.concat([buf, df], ignore_index=True)
+    @staticmethod
+    def _buf(parts: List[pa.Table]) -> Optional[pa.Table]:
+        """Concatenated view of a side's buffer; collapses the part list
+        so repeated probes don't re-concatenate."""
+        if not parts:
+            return None
+        if len(parts) > 1:
+            parts[:] = [pa.concat_tables(parts, promote_options="default")]
+        return parts[0]
+
+    @staticmethod
+    def _nrows(parts: List[pa.Table]) -> int:
+        return sum(len(t) for t in parts)
 
     def process(self, left: Optional[pa.Table], right: Optional[pa.Table],
                 watermark_ms: int) -> Tuple[bytes, Dict]:
         """Ingest one micro-batch for this partition; return (joined rows
         as Arrow IPC bytes, metrics dict)."""
-        df, metrics = self._process(left, right, watermark_ms)
-        return _serialize(df), metrics
+        table, metrics = self._process(left, right, watermark_ms)
+        return _serialize_table(table), metrics
 
-    def _canonical_columns(self) -> Optional[List[str]]:
-        if self.left_cols is None or self.right_cols is None:
+    def _canonical_fields(self) -> Optional[List[pa.Field]]:
+        if self.left_schema is None or self.right_schema is None:
             return None
-        out = list(self.left_cols)
-        for c in self.right_cols:
-            if c == self.key:
+        fields = list(self.left_schema)
+        lnames = set(self.left_schema.names)
+        for f in self.right_schema:
+            if f.name == self.key:
                 continue
-            out.append(f"{c}_r" if c in self.left_cols else c)
-        return out
+            fields.append(pa.field(f"{f.name}_r", f.type)
+                          if f.name in lnames else f)
+        return fields
+
+    def _canonicalize(self, out: Optional[pa.Table]) -> Optional[pa.Table]:
+        """Project the output to the canonical (left cols, then right cols
+        with '_r' collision suffix) order, null-padding columns an
+        expired-unmatched row never had."""
+        fields = self._canonical_fields()
+        if out is None or len(out) == 0 or fields is None:
+            return out
+        cols, names = [], []
+        for f in fields:
+            names.append(f.name)
+            if f.name in out.column_names:
+                cols.append(out[f.name])
+            else:
+                cols.append(pa.nulls(len(out), type=f.type))
+        return pa.table(dict(zip(names, cols)))
 
     def _process(self, left: Optional[pa.Table], right: Optional[pa.Table],
-                 watermark_ms: int) -> Tuple[pd.DataFrame, Dict]:
+                 watermark_ms: int) -> Tuple[Optional[pa.Table], Dict]:
         if left is not None and len(left):
-            if self.left_cols is None:
-                self.left_cols = list(left.column_names)
-            self.left_buf = self._append(self.left_buf, left.to_pandas())
+            if self.left_schema is None:
+                self.left_schema = left.schema
+            self.left_parts.append(left)
         if right is not None and len(right):
-            if self.right_cols is None:
-                self.right_cols = list(right.column_names)
-            self.right_buf = self._append(self.right_buf, right.to_pandas())
+            if self.right_schema is None:
+                self.right_schema = right.schema
+            self.right_parts.append(right)
 
-        out_frames: List[pd.DataFrame] = []
+        out_tables: List[pa.Table] = []
         n_matched = 0
-        if self.left_buf is not None and self.right_buf is not None \
-                and not self.left_buf.empty and not self.right_buf.empty:
-            matched = self.left_buf.merge(
-                self.right_buf, on=self.key, how="inner",
-                suffixes=("", "_r"))
-            if not matched.empty:
+        lbuf = self._buf(self.left_parts)
+        rbuf = self._buf(self.right_parts)
+        if lbuf is not None and rbuf is not None and len(lbuf) and len(rbuf):
+            matched = lbuf.join(rbuf, keys=self.key, join_type="inner",
+                                right_suffix="_r")
+            if len(matched):
                 n_matched = len(matched)
-                out_frames.append(matched)
-                matched_keys = set(matched[self.key])
-                self.left_buf = self.left_buf[
-                    ~self.left_buf[self.key].isin(matched_keys)]
-                self.right_buf = self.right_buf[
-                    ~self.right_buf[self.key].isin(matched_keys)]
+                out_tables.append(matched)
+                mkeys = pc.unique(matched[self.key])
+                self.left_parts[:] = [lbuf.filter(pc.invert(
+                    pc.is_in(lbuf[self.key], value_set=mkeys)))]
+                self.right_parts[:] = [rbuf.filter(pc.invert(
+                    pc.is_in(rbuf[self.key], value_set=mkeys)))]
 
         n_expired = 0
         if watermark_ms >= 0:
-            for side, ts_col in (("left_buf", self.left_ts),
-                                 ("right_buf", self.right_ts)):
-                buf = getattr(self, side)
-                if buf is None or buf.empty:
+            for parts, ts_col in ((self.left_parts, self.left_ts),
+                                  (self.right_parts, self.right_ts)):
+                buf = self._buf(parts)
+                if buf is None or not len(buf):
                     continue
-                expired_mask = buf[ts_col] < watermark_ms
-                if expired_mask.any():
-                    expired = buf[expired_mask]
+                # null event times never expire (fill_null keeps parity
+                # with the NaN-compares-False pandas behavior)
+                mask = pc.fill_null(
+                    pc.less(buf[ts_col], pa.scalar(watermark_ms)), False)
+                if pc.any(mask).as_py():
+                    expired = buf.filter(mask)
                     n_expired += len(expired)
                     if self.emit_unmatched:
-                        out_frames.append(expired)
-                    setattr(self, side, buf[~expired_mask])
+                        out_tables.append(expired)
+                    parts[:] = [buf.filter(pc.invert(mask))]
 
         metrics = {
             "partition": self.partition,
             "matched": n_matched,
             "expired": n_expired,
-            "left_state": 0 if self.left_buf is None else len(self.left_buf),
-            "right_state": 0 if self.right_buf is None else len(self.right_buf),
+            "left_state": self._nrows(self.left_parts),
+            "right_state": self._nrows(self.right_parts),
         }
-        if out_frames:
-            out = pd.concat(out_frames, ignore_index=True)
-        else:
-            out = pd.DataFrame()
-        canon = self._canonical_columns()
-        if canon is not None and not out.empty:
-            out = out.reindex(columns=canon)
-        return out, metrics
+        out = (pa.concat_tables(out_tables, promote_options="default")
+               if out_tables else None)
+        return self._canonicalize(out), metrics
 
     def process_and_stage(self, epoch: int, refs: List, watermark_ms: int,
                           sink_dir: str) -> Dict:
@@ -165,9 +206,8 @@ class JoinStateActor:
         right = pa.concat_tables(rights) if rights else None
         out, metrics = self._process(left, right, watermark_ms)
         sink = ExactlyOnceSink(sink_dir)
-        if not out.empty:
-            table = pa.Table.from_pandas(out, preserve_index=False)
-            stats = sink.stage(epoch, self.partition, table)
+        if out is not None and len(out):
+            stats = sink.stage(epoch, self.partition, out)
         else:
             stats = {"partition": self.partition, "rows": 0, "bytes": 0}
         metrics.update(stats)
@@ -176,16 +216,23 @@ class JoinStateActor:
 
     # -- state checkpoint --------------------------------------------------
     def snapshot(self) -> Dict:
-        return {"left": _serialize(self.left_buf),
-                "right": _serialize(self.right_buf),
-                "left_cols": self.left_cols, "right_cols": self.right_cols}
+        return {"left": _serialize_table(self._buf(self.left_parts)),
+                "right": _serialize_table(self._buf(self.right_parts)),
+                "left_schema": (None if self.left_schema is None
+                                else self.left_schema.serialize().to_pybytes()),
+                "right_schema": (None if self.right_schema is None
+                                 else self.right_schema.serialize().to_pybytes())}
 
     def restore(self, snap: Dict) -> None:
-        self.left_buf = _deserialize(snap.get("left"))
-        self.right_buf = _deserialize(snap.get("right"))
-        self.left_cols = snap.get("left_cols")
-        self.right_cols = snap.get("right_cols")
+        left = _deserialize_table(snap.get("left"))
+        right = _deserialize_table(snap.get("right"))
+        self.left_parts = [left] if left is not None else []
+        self.right_parts = [right] if right is not None else []
+        ls, rs = snap.get("left_schema"), snap.get("right_schema")
+        self.left_schema = (pa.ipc.read_schema(pa.py_buffer(ls))
+                            if ls is not None else None)
+        self.right_schema = (pa.ipc.read_schema(pa.py_buffer(rs))
+                             if rs is not None else None)
 
     def state_sizes(self) -> Tuple[int, int]:
-        return (0 if self.left_buf is None else len(self.left_buf),
-                0 if self.right_buf is None else len(self.right_buf))
+        return (self._nrows(self.left_parts), self._nrows(self.right_parts))

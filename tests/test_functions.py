@@ -113,6 +113,70 @@ def test_distributed_verify_matches_broadcast_path():
     assert s0 == s1
 
 
+def test_auto_route_distributed_above_pair_limit(monkeypatch):
+    """With the candidate count above auto_pair_limit the verify must take
+    the distributed path — zero driver materialization of candidates or
+    texts. Asserted by poisoning the broadcast-path entry point."""
+    import dataflows_ray.functions.dedup as dd
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast verify path taken above the limit")
+
+    monkeypatch.setattr(dd, "_verify_and_drop", boom)
+    ds = ray.data.from_items(_docs())
+    deduped, pairs = minhash_dedup(ds, threshold=0.5, auto_pair_limit=0)
+    kept = set(deduped.to_pandas()["doc_id"])
+    assert 100 not in kept and 101 not in kept and 102 not in kept
+    assert (1, 102) in set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # and ngram path routes the same way
+    ds = ray.data.from_items(_docs())
+    deduped, pairs = ngram_jaccard_dedup(ds, threshold=0.5, auto_pair_limit=0)
+    assert 102 not in set(deduped.to_pandas()["doc_id"])
+
+
+def test_auto_route_broadcast_below_pair_limit(monkeypatch):
+    """Small candidate sets stay on the (faster) broadcast verify."""
+    import dataflows_ray.functions.dedup as dd
+
+    def boom(*a, **k):
+        raise AssertionError("distributed verify path taken below the limit")
+
+    monkeypatch.setattr(dd, "_drop_distributed", boom)
+    ds = ray.data.from_items(_docs())
+    deduped, _pairs = minhash_dedup(ds, threshold=0.5)  # default auto limit
+    assert 102 not in set(deduped.to_pandas()["doc_id"])
+
+
+def test_mega_bucket_salted_rebucket_recall():
+    """A planted near-duplicate living inside a mega-bucket (>200 docs
+    sharing a band) must still be caught — mega-buckets are salted-
+    rebucketed, not dropped (round-2 VERDICT item 7)."""
+    from dataflows_ray.functions.dedup import (
+        _emit_bucket_pairs, MEGA_BUCKET_LIMIT)
+    # unit level: a 1000-id mega bucket emits bounded pairs that include
+    # at least SOME pairs, none duplicated within a salt group's triu
+    ids = np.arange(1000, dtype=np.int64)
+    out_a, out_b = [], []
+    was_mega = _emit_bucket_pairs(ids, out_a, out_b)
+    assert was_mega
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    assert len(a) > 0
+    assert (a < b).all()
+    # linear-ish bound: far below the 499,500 all-pairs count
+    assert len(a) < 1000 * MEGA_BUCKET_LIMIT * 3
+    # end-to-end: ALL docs identical -> every one of the 32 band buckets
+    # holds all 210 docs (mega). Under the old skip-the-bucket behavior
+    # zero pairs would survive; with salted re-bucketing (independent
+    # splits per band via the bucket salt) every doc must still be
+    # identified as a duplicate of doc 0.
+    rows = [{"doc_id": i, "text": BASE} for i in range(210)]
+    ds = ray.data.from_items(rows)
+    deduped, pairs = minhash_dedup(ds, threshold=0.9)
+    assert set(deduped.to_pandas()["doc_id"]) == {0}
+    assert len(pairs) > 0 and (pairs["jaccard"] == 1.0).all()
+
+
 def test_minhash_signature_similarity_tracks_jaccard():
     mh = MinHasher(num_perm=128, bands=32)
     s1 = mh.signature(BASE)
@@ -194,6 +258,75 @@ def test_image_decoder_unknown_format_raises():
     dec = ImageDecoder()
     with pytest.raises(NotImplementedError):
         dec._decode(b"\xff\xd8", "jpeg", 1, 1)
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png/decode_png roundtrip exactly for every scanline filter
+    type (None/Sub/Up/Average/Paeth)."""
+    from dataflows_ray.functions.multimodal import encode_png, decode_png
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    for ft in range(5):
+        raw = encode_png(img, filter_type=ft)
+        assert raw[:8] == b"\x89PNG\r\n\x1a\n"
+        np.testing.assert_array_equal(decode_png(raw), img)
+
+
+def test_png_color_types():
+    """Gray (0), palette (3) and RGBA (6) decode to (h, w, 3) uint8."""
+    import struct
+    import zlib
+    from dataflows_ray.functions.multimodal import decode_png, _png_chunk
+
+    def make(ctype, channels, extra=b""):
+        h, w = 4, 5
+        rng = np.random.default_rng(ctype)
+        px = rng.integers(0, 256, size=(h, w, channels), dtype=np.uint8)
+        scan = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+        raw = (b"\x89PNG\r\n\x1a\n"
+               + _png_chunk(b"IHDR", struct.pack(
+                   ">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+               + extra
+               + _png_chunk(b"IDAT", zlib.compress(scan))
+               + _png_chunk(b"IEND", b""))
+        return raw, px
+
+    raw, px = make(0, 1)   # grayscale
+    out = decode_png(raw)
+    np.testing.assert_array_equal(out, np.repeat(px, 3, axis=2))
+
+    raw, px = make(6, 4)   # RGBA -> alpha dropped
+    np.testing.assert_array_equal(decode_png(raw), px[:, :, :3])
+
+    pal = np.random.default_rng(5).integers(
+        0, 256, size=(256, 3), dtype=np.uint8)
+    raw, px = make(3, 1, extra=_png_chunk(b"PLTE", pal.tobytes()))
+    np.testing.assert_array_equal(decode_png(raw), pal[px[:, :, 0]])
+
+
+def test_png_crc_mismatch_raises():
+    from dataflows_ray.functions.multimodal import encode_png, decode_png
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    raw = bytearray(encode_png(img))
+    raw[20] ^= 0xFF  # corrupt inside IHDR payload
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(raw))
+
+
+def test_image_stage_mixed_ppm_png_corpus():
+    """The decode stage handles a mixed PPM+PNG corpus; identical pixel
+    content yields identical features regardless of container."""
+    ppm = synth_image_table(12, fmt="ppm")
+    mixed = synth_image_table(12, fmt="mixed")
+    assert set(mixed["format"].to_pylist()) == {"ppm", "png"}
+    f_ppm = image_feature_stage(
+        ray.data.from_arrow(ppm), target_size=(8, 8),
+        concurrency=1).to_pandas().sort_values("image_id")
+    f_mix = image_feature_stage(
+        ray.data.from_arrow(mixed), target_size=(8, 8),
+        concurrency=1).to_pandas().sort_values("image_id")
+    for c in ("mean_pixel", "mean_r", "mean_g", "mean_b"):
+        np.testing.assert_allclose(f_ppm[c].to_numpy(), f_mix[c].to_numpy())
 
 
 def test_hll_accuracy_and_determinism():
