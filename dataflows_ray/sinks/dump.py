@@ -33,6 +33,20 @@ from ..core.flow import Step
 from ..core.package import PackageStream, select_resources
 
 
+def _xlsx_cell(v):
+    """Python value -> spreadsheet cell value: numbers/bools/strings pass
+    through, temporals and Decimals serialize to their canonical text."""
+    import datetime
+    import decimal
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
+        return v.isoformat()
+    return str(v)
+
+
 def _dir_stats(path: str, fmt: str, add_filehash: bool) -> Dict:
     n_rows = 0
     n_bytes = 0
@@ -176,23 +190,22 @@ class dump_to_path(Step):
                                     + json.dumps(feature, default=str))
                             first = False
                     f.write("]}")
-            elif self.format == "xlsx":
-                try:
-                    import openpyxl  # noqa: F401
-                except ImportError as e:
-                    raise NotImplementedError(
-                        "xlsx dump requires openpyxl, which is not "
-                        "available in this environment") from e
-                wb = openpyxl.Workbook(write_only=True)
-                ws = wb.create_sheet(rname)
+            elif self.format in ("xlsx", "ods", "xls"):
+                # from-scratch public-spec writers (sources/spreadsheet.py)
+                # — no openpyxl in this container. Streamed via
+                # iter_batches; the grid lives only long enough to zip.
+                from ..sources import spreadsheet as ss
                 cols = ds.columns()
-                ws.append(cols)
+                grid = [list(cols)]
                 for b in ds.iter_batches(batch_format="pyarrow",
                                          batch_size=4096):
                     for row in b.to_pylist():
-                        ws.append([row.get(c) for c in cols])
+                        grid.append([_xlsx_cell(row.get(c)) for c in cols])
                 os.makedirs(staged, exist_ok=True)
-                wb.save(os.path.join(staged, f"{rname}.xlsx"))
+                writer = {"xlsx": ss.write_xlsx, "ods": ss.write_ods,
+                          "xls": ss.write_xls}[self.format]
+                writer(os.path.join(staged, f"{rname}.{self.format}"),
+                       grid, sheet_name=rname)
             else:
                 raise ValueError(f"Unsupported dump format: {self.format}")
             # atomic commit per resource (reference stream.py:33-36 pattern)

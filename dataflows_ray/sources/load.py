@@ -248,11 +248,14 @@ class load(Step):
             return "datapackage"
         if source.endswith(".zip"):
             return "datapackage_zip"
+        if "docs.google.com/spreadsheets" in source:
+            return "gsheet"
         for ext, fmt in ((".parquet", "parquet"), (".csv", "csv"),
                          (".ndjson", "ndjson"), (".jsonl", "ndjson"),
                          (".geojson", "geojson"), (".json", "json"),
                          (".tsv", "tsv"), (".xml", "xml"),
-                         (".xlsx", "xlsx"), (".xls", "xlsx"),
+                         (".xlsx", "xlsx"), (".xls", "xls"),
+                         (".ods", "ods"),
                          (".db", "sql"), (".sqlite", "sql")):
             if source.endswith(ext):
                 return fmt
@@ -457,18 +460,36 @@ class load(Step):
             res = match[0] if match else resources[0]
             self.resource_name = res.get("name", self.resource_name)
             ds = self._read_package_resource(base, res)
-        elif self.format == "xlsx":
-            try:
-                import openpyxl  # noqa: F401
-            except ImportError as e:
-                raise NotImplementedError(
-                    "xlsx load requires openpyxl, which is not available "
-                    "in this environment") from e
-            wb = openpyxl.load_workbook(self.source, read_only=True)
-            ws = wb[self.sheet] if self.sheet else wb.active
-            it = ws.iter_rows(values_only=True)
-            header = [str(h) for h in next(it)]
-            rows = [dict(zip(header, r)) for r in it]
+        elif self.format in ("xlsx", "xls", "ods", "excel-xml", "gsheet"):
+            # spreadsheet family — from-scratch public-spec codecs
+            # (sources/spreadsheet.py); reference parity:
+            # /root/reference/dataflows/processors/load.py:96-140 registers
+            # these as tabulator formats / custom parsers
+            from . import spreadsheet as ss
+            if self.format == "xlsx":
+                grid = ss.read_xlsx(self.source, sheet=self.sheet)
+            elif self.format == "xls":
+                grid = ss.read_xls(self.source, sheet=self.sheet)
+            elif self.format == "ods":
+                grid = ss.read_ods(self.source, sheet=self.sheet)
+            elif self.format == "excel-xml":
+                grid = ss.read_excel_xml(self.source, sheet=self.sheet)
+            else:  # gsheet: fetch the CSV export, delegate to the csv path
+                import tempfile
+                csv_bytes = ss.fetch_gsheet_csv(self.source)
+                tmp = tempfile.NamedTemporaryFile(
+                    mode="wb", suffix=".csv", delete=False)
+                tmp.write(csv_bytes)
+                tmp.close()
+                sub = load(tmp.name, name=self.resource_name, format="csv",
+                           infer_strategy=self.infer_strategy,
+                           cast_strategy=self.cast_strategy)
+                return sub._read()
+            rows = []
+            if grid:
+                header = [str(h) for h in grid[0]]
+                rows = [dict(zip(header, r + [None] * (len(header) - len(r))))
+                        for r in grid[1:]]
             from ..core.udf import rows_to_table
             ds = (ray.data.from_arrow(rows_to_table(rows, None))
                   if rows else ray.data.from_items([]))

@@ -91,12 +91,101 @@ def test_load_sqlite(tmp_path):
     assert len(results2[0]) == 2
 
 
-def test_load_xlsx_gated(tmp_path):
-    p = str(tmp_path / "x.xlsx")
-    open(p, "w").close()
-    with pytest.raises(Exception) as exc_info:
-        Flow(load(p, name="t")).results()
-    assert "openpyxl" in str(exc_info.value)
+SS_ROWS = [{"name": "ann", "age": 30, "score": 1.5},
+           {"name": "bob", "age": 25, "score": 2.25}]
+
+
+def _ss_roundtrip(tmp_path, fmt):
+    """dump_to_path(format=fmt) then load() the produced file; returns
+    the loaded rows sorted by name."""
+    out = str(tmp_path / f"out_{fmt}")
+    Flow(iterable_loader(SS_ROWS, name="people"),
+         dump_to_path(out, format=fmt)).process()
+    path = os.path.join(out, "people", f"people.{fmt}")
+    assert os.path.exists(path)
+    results, _, _ = Flow(load(path, name="back")).results()
+    return sorted(results[0], key=lambda r: r["name"])
+
+
+@pytest.mark.parametrize("fmt", ["xlsx", "ods", "xls"])
+def test_spreadsheet_dump_load_roundtrip(tmp_path, fmt):
+    """Real from-scratch spreadsheet codecs (no openpyxl/xlrd in this
+    container): dump -> load preserves values and types."""
+    rows = _ss_roundtrip(tmp_path, fmt)
+    assert rows == [{"name": "ann", "age": 30, "score": 1.5},
+                    {"name": "bob", "age": 25, "score": 2.25}]
+
+
+def test_xlsx_shared_strings_and_sparse_cells(tmp_path):
+    """Reader handles sharedStrings parts and sparse cell references
+    (gap columns -> None), which our writer never emits."""
+    import zipfile
+    from dataflows_ray.sources.spreadsheet import read_xlsx, _NS_MAIN
+    p = str(tmp_path / "s.xlsx")
+    sheet = (f'<?xml version="1.0"?><worksheet xmlns="{_NS_MAIN}">'
+             '<sheetData>'
+             '<row r="1"><c r="A1" t="s"><v>0</v></c>'
+             '<c r="C1" t="s"><v>1</v></c></row>'
+             '<row r="2"><c r="A2"><v>7</v></c>'
+             '<c r="C2" t="b"><v>1</v></c></row>'
+             "</sheetData></worksheet>")
+    sst = (f'<?xml version="1.0"?><sst xmlns="{_NS_MAIN}" count="2" '
+           'uniqueCount="2"><si><t>alpha</t></si><si><t>gamma</t></si></sst>')
+    wb = (f'<?xml version="1.0"?><workbook xmlns="{_NS_MAIN}" xmlns:r='
+          '"http://schemas.openxmlformats.org/officeDocument/2006/relation'
+          'ships"><sheets><sheet name="S" sheetId="1" r:id="rId1"/></sheets>'
+          "</workbook>")
+    rels = ('<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+            'xmlformats.org/package/2006/relationships"><Relationship Id='
+            '"rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>')
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert read_xlsx(p) == [["alpha", None, "gamma"], [7, None, True]]
+
+
+def test_load_excel_xml(tmp_path):
+    """SpreadsheetML 2003 parser — parity with reference
+    parsers/excel_xml_parser.py:5-79 (first row = headers)."""
+    p = str(tmp_path / "book.xml")
+    ns = "urn:schemas-microsoft-com:office:spreadsheet"
+    with open(p, "w") as f:
+        f.write(f"""<?xml version="1.0"?>
+<Workbook xmlns="{ns}" xmlns:ss="{ns}">
+ <Worksheet ss:Name="Sheet1"><Table>
+  <Row><Cell><Data ss:Type="String">name</Data></Cell>
+       <Cell><Data ss:Type="String">n</Data></Cell></Row>
+  <Row><Cell><Data ss:Type="String">x</Data></Cell>
+       <Cell><Data ss:Type="Number">1</Data></Cell></Row>
+  <Row><Cell><Data ss:Type="String">y</Data></Cell>
+       <Cell><Data ss:Type="Number">2.5</Data></Cell></Row>
+ </Table></Worksheet>
+</Workbook>""")
+    results, _, _ = Flow(load(p, name="t", format="excel-xml")).results()
+    rows = sorted(results[0], key=lambda r: r["name"])
+    assert rows == [{"name": "x", "n": 1}, {"name": "y", "n": 2.5}]
+
+
+def test_gsheet_url_translation_and_file_fetch(tmp_path):
+    """gsheet loads translate share URLs to the public CSV export
+    endpoint; the fetch path is exercised offline via file://."""
+    from dataflows_ray.sources.spreadsheet import gsheet_export_url
+    url = ("https://docs.google.com/spreadsheets/d/KEY123/edit#gid=77")
+    assert gsheet_export_url(url) == \
+        ("https://docs.google.com/spreadsheets/d/KEY123/export"
+         "?format=csv&gid=77")
+    assert gsheet_export_url(
+        "https://docs.google.com/spreadsheets/d/KEY123/") == \
+        "https://docs.google.com/spreadsheets/d/KEY123/export?format=csv"
+    # offline fetch through the same code path
+    csv_path = tmp_path / "sheet.csv"
+    csv_path.write_text("name,n\nx,1\ny,2\n")
+    results, _, _ = Flow(
+        load(f"file://{csv_path}", name="t", format="gsheet")).results()
+    rows = sorted(results[0], key=lambda r: r["name"])
+    assert rows == [{"name": "x", "n": 1}, {"name": "y", "n": 2}]
 
 
 def test_load_datapackage_roundtrip(tmp_path):
