@@ -175,15 +175,33 @@ def lsh_topk(ds: ray.data.Dataset, queries: np.ndarray, query_ids: List,
 
 def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float = 0.9,
                          vec_col: str = "embedding", id_col: str = "vec_id",
-                         corpus_limit: int = 2_000_000) -> ray.data.Dataset:
-    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+                         corpus_limit: int = 2_000_000,
+                         bucketed: Optional[bool] = None,
+                         bands: int = 32, bits: int = 12,
+                         seed: int = 99) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b,
     cosine >= threshold).
 
-    Scale shape: the NORMALIZED corpus matrix is broadcast once
-    (``ray.put``; bounded by ``corpus_limit`` rows — beyond that use the
-    LSH-bucketed variant) and every batch does one matmul against it, so
-    the corpus streams through map_batches and only pairs move. The
-    ``id_a < id_b`` mask keeps each pair once."""
+    Routing (``bucketed=None``, the default): while the corpus fits
+    ``corpus_limit`` rows, the EXACT all-pairs path runs — the normalized
+    corpus matrix is broadcast once (``ray.put``) and every batch does one
+    matmul against it, so the corpus streams through map_batches and only
+    pairs move. Past the limit the call auto-routes to the LSH-bucketed
+    path (``cosine_lsh_candidates`` + ``cosine_verify_pairs``): band
+    signatures explode ids only, pairs are generated per bucket, and the
+    exact-cosine verify is two distributed hash joins — nothing is ever
+    broadcast or materialized on the driver. The bucketed path's verify
+    is exact; its RECALL is probabilistic (>=1 band must collide —
+    ~0.996 at cosine 0.9 with the default 32x12 bands). Pass
+    ``bucketed=True/False`` to force a path."""
+    if bucketed is None:
+        bucketed = ds.count() > corpus_limit
+    if bucketed:
+        cand = cosine_lsh_candidates(ds, bands=bands, bits=bits,
+                                     vec_col=vec_col, id_col=id_col,
+                                     seed=seed)
+        return cosine_verify_pairs(ds, cand, threshold=threshold,
+                                   vec_col=vec_col, id_col=id_col)
     rows = []
     ids = []
     for b in ds.select_columns([id_col, vec_col]).iter_batches(
@@ -194,7 +212,7 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float = 0.9,
     corpus_ids = np.concatenate(ids)
     if len(corpus_ids) > corpus_limit:
         raise NotImplementedError(
-            "corpus exceeds broadcast limit; use the LSH-bucketed variant")
+            "corpus exceeds broadcast limit; use bucketed=True")
     ref = ray.put({"m": corpus, "ids": corpus_ids})
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -213,6 +231,169 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float = 0.9,
         })
 
     return ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed cosine near-dup: the scale path past the broadcast limit.
+# Shape mirrors the MinHash-LSH near-dedup family in functions/dedup.py:
+# band-signature explode moves (band, bucket, id) rows ONLY; pairs are
+# generated inside each (band, bucket) group with the shared mega-bucket
+# salting; verify is exact cosine via two distributed hash joins over
+# packed unit vectors — zero driver materialization at any stage.
+# ---------------------------------------------------------------------------
+
+def cosine_lsh_candidates(ds: ray.data.Dataset, bands: int = 32,
+                          bits: int = 12, vec_col: str = "embedding",
+                          id_col: str = "vec_id", seed: int = 99
+                          ) -> ray.data.Dataset:
+    """Candidate near-dup id pairs (id_a < id_b) via random-hyperplane
+    LSH banding (Charikar 2002). Each row gets ``bands`` independent
+    ``bits``-bit sign signatures; two rows are candidates when >=1 band
+    bucket matches. P(collide per band) = (1 - theta/pi)^bits, so at
+    cosine 0.9 the 32x12 default gives ~0.996 recall while random pairs
+    (cos~0 -> 0.5^bits per band) stay apart. Only (band, bucket, id)
+    rows move — vectors never leave their blocks."""
+    from ..stages.agg import keyed_merge
+    from .dedup import MEGA_BUCKET_LIMIT, _emit_bucket_pairs, _log
+
+    total_bits = bands * bits
+
+    def explode(batch: pa.Table) -> pa.Table:
+        m = _normalize(_batch_matrix(batch, vec_col))
+        h = _cached_hasher(m.shape[1], total_bits, seed)  # once per process
+        signs = (m @ h.planes) > 0                        # (n, bands*bits)
+        codes = signs.reshape(len(m), bands, bits).astype(np.int64) \
+            @ (1 << np.arange(bits, dtype=np.int64))      # (n, bands)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), len(m))
+        return pa.table({
+            "band": pa.array(band_idx),
+            "bucket": pa.array(codes.reshape(-1)),
+            id_col: pa.array(np.repeat(ids, bands), type=pa.int64()),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              batch_size=None)
+
+    def pairs_block(df: pd.DataFrame) -> pa.Table:
+        out_a: List[np.ndarray] = []
+        out_b: List[np.ndarray] = []
+        mega = 0
+        for key, idx in df.groupby(["band", "bucket"],
+                                   sort=False).indices.items():
+            ids = np.unique(df[id_col].to_numpy()[idx])
+            mega += _emit_bucket_pairs(ids, out_a, out_b,
+                                       bucket_salt=int(key[1]) ^ int(key[0]))
+        if mega:
+            _log.warning(
+                "cosine LSH: %d mega-bucket(s) (>%d ids) in this block "
+                "were salted-rebucketed instead of all-paired", mega,
+                MEGA_BUCKET_LIMIT)
+        if not out_a:
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64())})
+        return pa.table({"id_a": np.concatenate(out_a),
+                         "id_b": np.concatenate(out_b)})
+
+    return keyed_merge(exploded, ["band", "bucket"], pairs_block)
+
+
+def _packed_unit_vectors(batch: pa.Table, vec_col: str, id_col: str,
+                         suffix: str = "") -> pa.Table:
+    """(id, __vec__ large_binary) — L2-normalized vectors packed as
+    fixed-width float64 byte payloads (Acero hash joins carry binary
+    payloads; list payloads they reject). Normalization is float32 then
+    float64 — the SAME ladder as the exact broadcast path, so verified
+    cosines match it bit-for-bit."""
+    m = _normalize(_batch_matrix(batch, vec_col)).astype(np.float64)
+    n, d = m.shape
+    byte_offs = np.arange(n + 1, dtype=np.int64) * (d * 8)
+    col = pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(), n,
+        [None, pa.py_buffer(byte_offs.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(m).tobytes())])
+    return pa.table({id_col + suffix: batch[id_col],
+                     "__vec%s__" % suffix: col})
+
+
+def _binary_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    """Zero-copy (n, d) float64 view of a fixed-width large_binary
+    column (every value the same length — guaranteed by the packer)."""
+    arr = col.combine_chunks()
+    n = len(arr)
+    otype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=otype, count=n + 1,
+                         offset=arr.offset * np.dtype(otype).itemsize)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    flat = data[offs[0]:offs[-1]].view(np.float64)
+    return flat.reshape(n, -1)
+
+
+def cosine_verify_pairs(ds: ray.data.Dataset, cand: ray.data.Dataset,
+                        threshold: float = 0.9,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        num_partitions: Optional[int] = None
+                        ) -> ray.data.Dataset:
+    """Exact-cosine verification of a candidate id-pair Dataset WITHOUT
+    driver materialization: distinct the pairs -> semi-join the corpus
+    down to candidate ids -> pack unit vectors as binary -> two hash
+    joins attach each side's vector -> one vectorized rowwise dot per
+    batch. Every stage is a Dataset op; the driver never sees a pair."""
+    from ..stages.agg import grouped_aggregate
+    from ..stages.semijoin import semi_join_ids
+
+    if num_partitions is None:
+        # same sizing rule as dedup.distributed_verify_pairs: two joins
+        # run concurrently alongside their upstream stages — a quarter of
+        # the CPUs each keeps the aggregator actor pools from deadlocking
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 4)
+
+    cand = grouped_aggregate(
+        cand, ["id_a", "id_b"],
+        [{"target": "__n__", "source": "id_a", "aggregate": "count"}]
+    ).select_columns(["id_a", "id_b"])
+    ids_a = cand.select_columns(["id_a"]).rename_columns({"id_a": id_col})
+    ids_b = cand.select_columns(["id_b"]).rename_columns({"id_b": id_col})
+    cand_ids = grouped_aggregate(
+        ids_a.union(ids_b), [id_col],
+        [{"target": "__n__", "source": id_col, "aggregate": "count"}]
+    ).select_columns([id_col])
+    need = semi_join_ids(ds.select_columns([id_col, vec_col]), cand_ids,
+                         id_col)
+
+    # two independent pack stages (not one + rename) so every block a
+    # join consumes carries ONE schema
+    def pack_a(batch: pa.Table) -> pa.Table:
+        return _packed_unit_vectors(batch, vec_col, id_col)
+
+    def pack_b(batch: pa.Table) -> pa.Table:
+        return _packed_unit_vectors(batch, vec_col, id_col, suffix="_b")
+
+    joined = cand.join(need.map_batches(pack_a, batch_format="pyarrow"),
+                       join_type="inner", num_partitions=num_partitions,
+                       on=("id_a",), right_on=(id_col,))
+    joined = joined.join(need.map_batches(pack_b, batch_format="pyarrow"),
+                         join_type="inner", num_partitions=num_partitions,
+                         on=("id_b",), right_on=(id_col + "_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if not len(batch):
+            return pa.table({"id_a": pa.array([], type=pa.int64()),
+                             "id_b": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        a = _binary_matrix(batch["__vec__"])
+        b = _binary_matrix(batch["__vec_b__"])
+        scores = np.einsum("ij,ij->i", a, b)
+        keep = scores >= threshold
+        return pa.table({
+            "id_a": batch["id_a"].combine_chunks().filter(pa.array(keep)),
+            "id_b": batch["id_b"].combine_chunks().filter(pa.array(keep)),
+            "cosine": pa.array(np.round(scores[keep], 4)),
+        })
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

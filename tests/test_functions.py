@@ -610,3 +610,52 @@ def test_compression_ratio_orders_redundancy():
         .set_index("doc_id")["zlib_ratio"]
     assert out[0] < 0.1 < out[1]
     assert out[2] == 1.0
+
+
+def _neardup_corpus(n=400, dim=32, n_dups=12, seed=5):
+    """Random unit-ish vectors + planted near-duplicates (tiny jitter of
+    an earlier row -> cosine > 0.99; random pairs sit near 0)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    planted = []
+    for j in range(n_dups):
+        a = j * 7
+        b = n - 1 - j
+        m[b] = m[a] + rng.standard_normal(dim).astype(np.float32) * 0.01
+        planted.append((a, b))
+    return m, planted
+
+
+def test_cosine_neardup_bucketed_matches_exact():
+    from dataflows_ray.functions.similarity import cosine_neardup_pairs
+    m, planted = _neardup_corpus()
+    tbl = pa.table({"vec_id": pa.array(range(len(m)), type=pa.int64()),
+                    "embedding": pa.array(list(map(list, m)))})
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    exact = cosine_neardup_pairs(ds, threshold=0.9, bucketed=False) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    bucketed = cosine_neardup_pairs(ds, threshold=0.9, bucketed=True) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(exact) >= len(planted)
+    for a, b in planted:
+        assert ((exact["id_a"] == min(a, b)) &
+                (exact["id_b"] == max(a, b))).any()
+    # bucketed path: exact verify, LSH recall ~0.996/pair at cos 0.9 —
+    # deterministic under the fixed seed, and on this corpus total
+    assert exact[["id_a", "id_b"]].values.tolist() == \
+        bucketed[["id_a", "id_b"]].values.tolist()
+    assert np.allclose(exact["cosine"], bucketed["cosine"], atol=1e-4)
+
+
+def test_cosine_neardup_auto_routes_past_limit():
+    from dataflows_ray.functions.similarity import cosine_neardup_pairs
+    m, planted = _neardup_corpus(n=120, n_dups=4, seed=9)
+    tbl = pa.table({"vec_id": pa.array(range(len(m)), type=pa.int64()),
+                    "embedding": pa.array(list(map(list, m)))})
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    # corpus_limit below n forces the auto-router onto the bucketed path
+    out = cosine_neardup_pairs(ds, threshold=0.9, corpus_limit=50) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    for a, b in planted:
+        assert ((out["id_a"] == min(a, b)) &
+                (out["id_b"] == max(a, b))).any()
