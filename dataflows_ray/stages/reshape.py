@@ -120,6 +120,30 @@ class unpivot(Step):
         return stream
 
 
+def _coalesce(col, nxt):
+    """nxt-if-valid-else-col, tolerating alias columns of DIFFERENT Arrow
+    types (the reference's per-row dict update coalesces any types —
+    concatenate.py:9-19). Same-type fast path is one ``if_else`` kernel;
+    mismatches try a permissive type promotion first and fall back to the
+    pickled-object extension column used for 'any' elsewhere."""
+    if col.type == nxt.type:
+        return pc.if_else(pc.is_valid(nxt), nxt, col)
+    try:
+        unified = pa.unify_schemas(
+            [pa.schema([("x", col.type)]), pa.schema([("x", nxt.type)])],
+            promote_options="permissive").field("x").type
+        return pc.if_else(pc.is_valid(nxt), nxt.cast(unified),
+                          col.cast(unified))
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError,
+            TypeError):
+        from ray.data.extensions.object_extension import (
+            ArrowPythonObjectArray)
+        nv = nxt.to_pylist()
+        cv = col.to_pylist()
+        return ArrowPythonObjectArray.from_objects(
+            [n if n is not None else c for n, c in zip(nv, cv)])
+
+
 class concatenate(Step):
     def __init__(self, fields: Dict[str, Optional[List[str]]],
                  target: Optional[Dict] = None, resources=None):
@@ -168,7 +192,7 @@ class concatenate(Step):
                             if col.null_count == len(batch):
                                 col = nxt
                                 continue
-                            col = pc.if_else(pc.is_valid(nxt), nxt, col)
+                            col = _coalesce(col, nxt)
                         out[tf] = col
                     else:
                         out[tf] = pa.nulls(len(batch), type=pa.string())

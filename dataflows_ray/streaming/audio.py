@@ -77,7 +77,13 @@ _ALAW_SEG_EDGES = np.array([0x1F, 0x3F, 0x7F, 0xFF,
 
 
 def encode_mulaw(wave: np.ndarray) -> bytes:
-    """float [-1,1] -> G.711 µ-law bytes (8 bits/sample)."""
+    """float [-1,1] -> G.711 µ-law bytes (8 bits/sample).
+
+    Negative handling note: the canonical Sun/CCITT ``linear2ulaw``
+    computes ``BIAS - pcm_val`` for negatives, which equals
+    ``BIAS + |pcm_val|`` — so abs() here IS the canonical 16-bit path
+    (the ITU STL variant differs only in its 14-bit one's-complement
+    front end)."""
     pcm = np.clip((wave * 32767.0).round(), -32768, 32767).astype(np.int32)
     sign = np.where(pcm < 0, 0x80, 0x00)
     mag = np.minimum(np.abs(pcm), _MULAW_CLIP) + _MULAW_BIAS
@@ -87,10 +93,16 @@ def encode_mulaw(wave: np.ndarray) -> bytes:
 
 
 def encode_alaw(wave: np.ndarray) -> bytes:
-    """float [-1,1] -> G.711 A-law bytes (8 bits/sample)."""
+    """float [-1,1] -> G.711 A-law bytes (8 bits/sample).
+
+    Canonical Sun/CCITT ``linear2alaw`` negative handling: arithmetic
+    shift to 13 bits FIRST, then one's complement (``-v - 1``) for
+    negative values — bit-exact against standard G.711 encoders
+    (round-2 ADVICE: abs() was one quantization step off on negatives)."""
     pcm = np.clip((wave * 32767.0).round(), -32768, 32767).astype(np.int32)
-    mask = np.where(pcm >= 0, 0xD5, 0x55)  # A-law sign: 0x80 set = positive
-    mag = np.minimum(np.abs(pcm) >> 3, 0x1FFF)  # 13-bit magnitude
+    v = pcm >> 3                                 # arithmetic shift, 13-bit
+    mask = np.where(v >= 0, 0xD5, 0x55)          # A-law sign: 0x80 set = +
+    mag = np.where(v >= 0, v, -v - 1)            # one's complement
     seg = np.searchsorted(_ALAW_SEG_EDGES, mag, side="left").astype(np.int32)
     low = (mag >> 1) & 0x0F                      # segment 0-1: linear
     high = (mag >> np.maximum(seg, 1)) & 0x0F    # segment 2+: log

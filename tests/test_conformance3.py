@@ -241,6 +241,28 @@ def test_concatenate_multifield():
     ]
 
 
+def test_concatenate_mixed_type_aliases():
+    """Aliases of one target with DIFFERENT types (int vs str) coalesce
+    like the reference's per-row dict update — values keep their own
+    types instead of raising in the Arrow if_else kernel."""
+    results, _, _ = Flow(
+        [
+            {"a": 1, "b": None, "c": "x"},
+            {"a": 2, "b": 5, "c": None},
+            {"a": 3, "b": None, "c": None},
+        ],
+        concatenate({
+            "f1": ["a"],
+            "f2": ["b", "c"],
+        }),
+    ).results()
+    assert results[0] == [
+        {"f1": 1, "f2": "x"},
+        {"f1": 2, "f2": 5},
+        {"f1": 3, "f2": None},
+    ]
+
+
 def test_unpivot_no_regex():
     """Port of reference test_lib.py:223: regex=False treats unpivot field
     names literally, even when they are invalid regexes."""

@@ -659,3 +659,46 @@ def test_cosine_neardup_auto_routes_past_limit():
     for a, b in planted:
         assert ((out["id_a"] == min(a, b)) &
                 (out["id_b"] == max(a, b))).any()
+
+
+def test_ngram_jaccard_dedup_matches_pure_python_bruteforce():
+    """Independent oracle for the q61 family (round-2 ADVICE): raw word
+    5-gram TUPLE sets + all-pairs exact Jaccard in pure Python (re +
+    set) — shares NO code with the engine's hash/blocking kernels. On
+    this corpus the bottom-k blocking has total recall, so the verified
+    pair set, the Jaccard values and the survivor set must all match."""
+    import re as _re
+    import pyarrow.parquet as pq
+    tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    deduped, pairs = ngram_jaccard_dedup(ds, threshold=0.7, k=5, b=8)
+
+    ids = tbl["doc_id"].to_pylist()
+    texts = tbl["text"].to_pylist()
+
+    def shingle_set(t):
+        words = _re.findall(r"\w+", (t or "").lower())
+        if len(words) < 5:          # engine: one shingle over all words
+            return {tuple(words)}
+        return {tuple(words[i:i + 5]) for i in range(len(words) - 4)}
+
+    sets = {i: shingle_set(t) for i, t in zip(ids, texts)}
+    sids = sorted(ids)
+    true_pairs = {}
+    for x in range(len(sids)):
+        sa = sets[sids[x]]
+        for y in range(x + 1, len(sids)):
+            sb = sets[sids[y]]
+            inter = len(sa & sb)
+            un = len(sa) + len(sb) - inter
+            if un and inter / un >= 0.7:
+                true_pairs[(sids[x], sids[y])] = inter / un
+
+    got = {(int(r.doc_a), int(r.doc_b)): float(r.jaccard)
+           for r in pairs.itertuples()}
+    assert set(got) == set(true_pairs)
+    for p, j in true_pairs.items():
+        assert abs(got[p] - j) < 1e-3
+    survivors = sorted(set(ids) - {b for (_, b) in true_pairs})
+    assert sorted(deduped.to_pandas()["doc_id"]) == survivors
