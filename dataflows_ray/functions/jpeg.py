@@ -1,0 +1,536 @@
+"""Baseline JPEG codec from the public ITU-T T.81 spec — numpy + stdlib.
+
+Round-2 VERDICT's top gap: every real multimodal corpus is jpeg/png, and
+the engine decoded only PPM/PNG. This module implements baseline
+sequential DCT JPEG (SOF0) from scratch:
+
+- encoder: JFIF container, 4:4:4 or 4:2:0 chroma subsampling, IJG
+  quality-scaled Annex K quantization tables, per-image OPTIMAL Huffman
+  tables built with the T.81 Annex K.2 two-pass algorithm (libjpeg's
+  ``-optimize`` path — avoids carrying the fixed Annex K code lists and
+  compresses better), level shift -> 2D DCT-II (one vectorized 8x8
+  matrix sandwich across each plane) -> zigzag -> DC-differential +
+  run-length AC Huffman coding with byte stuffing;
+- decoder: marker walk (DQT/DHT/SOF0/DRI/SOS, APPn/COM skipped),
+  canonical Huffman decode, dequantize -> IDCT -> chroma upsample ->
+  YCbCr->RGB (BT.601/JFIF). Restart markers are honored (DC predictors
+  and bit alignment reset per interval). Progressive (SOF2) and
+  12-bit/arithmetic variants raise cleanly.
+
+The per-block entropy loop is Python (bounded by Huffman's 16-bit max
+code length); DCT/IDCT, color transforms, subsampling and upsampling
+are vectorized numpy. At 100-TB scale this stage runs inside the
+actor-pool ``map_batches`` image decode stage where per-image work is
+embarrassingly parallel — the per-block loop costs nothing relative to
+object-store movement of the image bytes themselves.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# --- ITU-T T.81 Annex K reference tables (public spec constants) ---
+
+Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+
+Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# orthonormal 8-point DCT-II basis: forward = D @ X @ D.T
+_k = np.arange(8, dtype=np.float64)
+_DCT = np.cos((2 * _k[None, :] + 1) * _k[:, None] * np.pi / 16) / 2.0
+_DCT[0] /= np.sqrt(2)
+
+
+def _scaled_qtable(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling (libjpeg ``jpeg_quality_scaling``)."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+def _build_codes(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]]:
+    """Canonical Huffman: symbol -> (code, length) (T.81 Annex C)."""
+    out: Dict[int, Tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode(bits: List[int], vals: List[int]) -> Dict[Tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    return {(ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()}
+
+
+def _optimal_table(freq: np.ndarray) -> Tuple[List[int], List[int]]:
+    """Per-image optimal Huffman table from symbol frequencies — the
+    T.81 Annex K.2 flowcharts (the public-domain libjpeg
+    ``jpeg_gen_optimal_table`` algorithm): merge the two least-frequent
+    chains (largest symbol wins ties), limit code lengths to 16 bits,
+    drop the reserved all-ones code. Returns (BITS[1..16], HUFFVAL)."""
+    freq = freq.astype(np.int64).copy()
+    assert len(freq) == 257
+    freq[256] = 1                       # reserve the all-ones code
+    codesize = np.zeros(257, dtype=np.int64)
+    others = np.full(257, -1, dtype=np.int64)
+    while True:
+        nz = np.nonzero(freq)[0]
+        if len(nz) < 2:
+            break
+        # least frequency, ties to the LARGEST symbol value
+        f = freq[nz]
+        c1 = int(nz[np.nonzero(f == f.min())[0][-1]])
+        nz2 = nz[nz != c1]
+        f2 = freq[nz2]
+        c2 = int(nz2[np.nonzero(f2 == f2.min())[0][-1]])
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = int(others[c1])
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = int(others[c2])
+            codesize[c2] += 1
+    bits = [0] * 33                     # index = code length
+    for i in range(257):
+        if codesize[i]:
+            bits[int(codesize[i])] += 1
+    for ln in range(32, 16, -1):        # limit to 16 bits
+        while bits[ln] > 0:
+            j = ln - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[ln] -= 2
+            bits[ln - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    ln = 16
+    while bits[ln] == 0:
+        ln -= 1
+    bits[ln] -= 1                       # remove the reserved code
+    # symbols sorted by PRE-adjustment code size (libjpeg order; the
+    # 16-bit adjustment only moves counts, never reorders symbols)
+    huffval = [s for size in range(1, 33)
+               for s in range(256) if codesize[s] == size]
+    return bits[1:17], huffval
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:        # byte stuffing (T.81 B.1.1.5)
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)   # pad final byte with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.pos = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.bits):
+            raise ValueError("JPEG entropy stream exhausted")
+        b = int(self.bits[self.pos])
+        self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > len(self.bits):
+            raise ValueError("JPEG entropy stream exhausted")
+        seg = self.bits[self.pos:end]
+        self.pos = end
+        return int(seg @ (1 << np.arange(n - 1, -1, -1, dtype=np.int64)))
+
+    def read_symbol(self, table: Dict[Tuple[int, int], int]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _magnitude(v: int) -> Tuple[int, int]:
+    """(size, appended-bits) for a DC diff / AC coefficient (F.1.2.1)."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    m = img.astype(np.float64)
+    r, g, b = m[..., 0], m[..., 1], m[..., 2]
+    return np.stack([
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0], axis=-1)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) -> (H//8 * W//8, 8, 8) in MCU-raster order within the plane."""
+    h, w = plane.shape
+    return (plane.reshape(h // 8, 8, w // 8, 8)
+            .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+
+
+def _encode_plane_blocks(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """All 8x8 blocks of a padded plane -> quantized zigzag coefficients
+    (n_blocks, 64) int32 — one vectorized DCT over the whole plane."""
+    blk = _blocks(plane.astype(np.float64) - 128.0)
+    coef = np.einsum("ij,njk,lk->nil", _DCT, blk, _DCT)
+    q = np.round(coef / qtab).astype(np.int32)
+    return q.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _block_tokens(zz: np.ndarray, dc_prev: int):
+    """One block's entropy tokens: (is_ac, symbol, extra_bits, extra_len).
+    Shared by the frequency-counting pass and the emission pass so the
+    two can never disagree on run-length coding decisions."""
+    size, bits = _magnitude(int(zz[0]) - dc_prev)
+    yield (False, size, bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            yield (True, 0xF0, 0, 0)       # ZRL
+            run -= 16
+        size, bits = _magnitude(v)
+        yield (True, (run << 4) | size, bits, size)
+        run = 0
+    if last < 63:
+        yield (True, 0x00, 0, 0)           # EOB
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes.
+
+    ``subsampling``: '444' (one 8x8 Y/Cb/Cr block per MCU) or '420'
+    (2x2 luma blocks + 2x2-averaged chroma per 16x16 MCU)."""
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    h, w = img.shape[:2]
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub = subsampling == "420"
+    hy = vy = 2 if sub else 1
+    mcu_h, mcu_w = 8 * vy, 8 * hy
+    qy = _scaled_qtable(Q_LUMA, quality)
+    qc = _scaled_qtable(Q_CHROMA, quality)
+
+    ycc = _rgb_to_ycbcr(img)
+    ph = -h % mcu_h
+    pw = -w % mcu_w
+    ycc = np.pad(ycc, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    y_pl = ycc[..., 0]
+    if sub:     # 2x2 mean chroma
+        cb_pl = ycc[..., 1].reshape(ycc.shape[0] // 2, 2,
+                                    ycc.shape[1] // 2, 2).mean(axis=(1, 3))
+        cr_pl = ycc[..., 2].reshape(ycc.shape[0] // 2, 2,
+                                    ycc.shape[1] // 2, 2).mean(axis=(1, 3))
+    else:
+        cb_pl, cr_pl = ycc[..., 1], ycc[..., 2]
+
+    zz_y = _encode_plane_blocks(y_pl, qy)
+    zz_cb = _encode_plane_blocks(cb_pl, qc)
+    zz_cr = _encode_plane_blocks(cr_pl, qc)
+
+    mcus_x = y_pl.shape[1] // mcu_w
+    mcus_y = y_pl.shape[0] // mcu_h
+    yb_w = y_pl.shape[1] // 8        # luma blocks per row
+    cb_w = cb_pl.shape[1] // 8
+
+    def mcu_blocks():
+        """(table_class, zz, component) in scan emission order."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for by in range(vy):
+                    for bx in range(hy):
+                        idx = (my * vy + by) * yb_w + (mx * hy + bx)
+                        yield 0, zz_y[idx]
+                cidx = my * cb_w + mx
+                yield 1, zz_cb[cidx]
+                yield 1, zz_cr[cidx]
+
+    # pass 1: symbol frequencies -> per-image optimal tables (T.81 K.2)
+    dc_freq = [np.zeros(257, np.int64), np.zeros(257, np.int64)]
+    ac_freq = [np.zeros(257, np.int64), np.zeros(257, np.int64)]
+    preds = [0, 0, 0]
+    comp_of = []                      # component index per block, reused
+    ci_cycle = ([0] * (vy * hy)) + [1, 2]
+    for n, (tc, zz) in enumerate(mcu_blocks()):
+        ci = ci_cycle[n % len(ci_cycle)]
+        comp_of.append(ci)
+        for is_ac, sym, _bits, _ln in _block_tokens(zz, preds[ci]):
+            (ac_freq if is_ac else dc_freq)[tc][sym] += 1
+        preds[ci] = int(zz[0])
+    dc_tabs = [_optimal_table(f) for f in dc_freq]
+    ac_tabs = [_optimal_table(f) for f in ac_freq]
+    dc_codes = [_build_codes(*t) for t in dc_tabs]
+    ac_codes = [_build_codes(*t) for t in ac_tabs]
+
+    # pass 2: emission with the built tables
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for n, (tc, zz) in enumerate(mcu_blocks()):
+        ci = comp_of[n]
+        for is_ac, sym, bits, ln in _block_tokens(zz, preds[ci]):
+            code, clen = (ac_codes if is_ac else dc_codes)[tc][sym]
+            bw.write(code, clen)
+            if ln:
+                bw.write(bits, ln)
+        preds[ci] = int(zz[0])
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, bits: List[int], vals: List[int]) -> bytes:
+        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    sof += bytes([1, (hy << 4) | vy, 0])              # Y
+    sof += bytes([2, 0x11, 1])                        # Cb
+    sof += bytes([3, 0x11, 1])                        # Cr
+    out += seg(0xFFC0, sof)
+    out += seg(0xFFC4, dht(0, 0, *dc_tabs[0]))
+    out += seg(0xFFC4, dht(1, 0, *ac_tabs[0]))
+    out += seg(0xFFC4, dht(0, 1, *dc_tabs[1]))
+    out += seg(0xFFC4, dht(1, 1, *ac_tabs[1]))
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
+def decode_jpeg(raw: bytes) -> np.ndarray:
+    """Baseline JPEG (SOF0) -> (h, w, 3) uint8 RGB (gray replicated)."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtabs: Dict[int, np.ndarray] = {}
+    htabs: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
+    sof = None
+    restart_interval = 0
+    scan_comps = None
+    while pos < len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError(f"JPEG marker expected at {pos}")
+        marker = raw[pos + 1]
+        if marker == 0xD9:                 # EOI
+            break
+        (length,) = struct.unpack(">H", raw[pos + 2:pos + 4])
+        payload = raw[pos + 4:pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:                 # DQT (may hold several tables)
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit JPEG quant tables unsupported")
+                tab = np.frombuffer(payload[p + 1:p + 65],
+                                    dtype=np.uint8).astype(np.int32)
+                qtabs[tq] = tab[UNZIGZAG].reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:               # DHT (may hold several tables)
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17:p + 17 + n])
+                htabs[(cls, tid)] = _build_decode(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:   # SOF0/1 (baseline/ext seq)
+            depth, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if depth != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            sof = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+        elif marker == 0xDD:               # DRI
+            (restart_interval,) = struct.unpack(">H", payload[:2])
+        elif marker == 0xDA:               # SOS
+            ns = payload[0]
+            scan_comps = []
+            for i in range(ns):
+                cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+                scan_comps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
+            break                          # entropy data follows
+    if sof is None or scan_comps is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    h, w, comps = sof
+    by_id = {c["id"]: c for c in comps}
+
+    # entropy segment: unstuff FF00, split at RSTn markers
+    intervals: List[bytearray] = [bytearray()]
+    i = pos
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF:
+            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
+            if nxt == 0x00:
+                intervals[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:        # restart marker
+                intervals.append(bytearray())
+                i += 2
+                continue
+            break                          # EOI or next segment
+        intervals[-1].append(b)
+        i += 1
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros((mcus_y * c["v"] * 8, mcus_x * c["h"] * 8),
+                                   dtype=np.float64)
+
+    reader = _BitReader(bytes(intervals[0]))
+    interval_idx = 0
+    preds = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                interval_idx += 1
+                reader = _BitReader(bytes(intervals[interval_idx]))
+                preds = {c["id"]: 0 for c in comps}
+            for sc in scan_comps:
+                c = by_id[sc["id"]]
+                dct = htabs[(0, sc["dc"])]
+                act = htabs[(1, sc["ac"])]
+                q = qtabs[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int32)
+                        size = reader.read_symbol(dct)
+                        diff = _extend(reader.read_bits(size), size)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:   # ZRL
+                                    k += 16
+                                    continue
+                                break         # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        coef = (zz[UNZIGZAG].reshape(8, 8) * q).astype(
+                            np.float64)
+                        blk = _DCT.T @ coef @ _DCT + 128.0
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[c["id"]][py:py + 8, px:px + 8] = blk
+            mcu_count += 1
+
+    if len(comps) == 1:
+        y = np.clip(np.round(planes[comps[0]["id"]][:h, :w]),
+                    0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    yc, cbc, crc = comps[0], comps[1], comps[2]
+    y = planes[yc["id"]]
+    cb = planes[cbc["id"]]
+    cr = planes[crc["id"]]
+    cb = np.repeat(np.repeat(cb, hmax // cbc["h"], axis=1),
+                   vmax // cbc["v"], axis=0)
+    cr = np.repeat(np.repeat(cr, hmax // crc["h"], axis=1),
+                   vmax // crc["v"], axis=0)
+    return _ycbcr_to_rgb(y[:h, :w], cb[:h, :w], cr[:h, :w])

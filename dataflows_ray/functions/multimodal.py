@@ -16,15 +16,19 @@ what ``streaming/audio.py`` does with PCM —
   frame sampling really slices every-nth frame and computes per-frame
   features.
 
-Round 3 adds a REAL ``png`` codec (W3C PNG spec; stdlib ``zlib`` +
-numpy): chunk parse with CRC verification, IDAT inflate, all five
-scanline filters (None/Sub/Up/Average/Paeth) on decode, 8-bit color
-types gray/RGB/palette/RGBA (alpha dropped, gray replicated to RGB).
-The one remaining compressed stub is jpeg/h264, which genuinely needs
-an external codec — ``NotImplementedError`` marks exactly where a
-turbojpeg/ffmpeg call would slot in; the surrounding Ray plumbing
-(schema, batch size, actor signature, output layout) is identical
-either way.
+Round 3 adds REAL ``png`` and ``jpeg`` codecs:
+
+- ``png`` (W3C PNG spec; stdlib ``zlib`` + numpy): chunk parse with CRC
+  verification, IDAT inflate, all five scanline filters
+  (None/Sub/Up/Average/Paeth) on decode, 8-bit color types
+  gray/RGB/palette/RGBA (alpha dropped, gray replicated to RGB);
+- ``jpeg`` (ITU-T T.81 baseline; see ``functions/jpeg.py``): full
+  encoder + decoder, 4:4:4 and 4:2:0, per-image optimal Huffman tables.
+
+The one remaining compressed stub is h264/mp4 video, which genuinely
+needs an external codec — ``NotImplementedError`` marks exactly where
+the ffmpeg call would slot in; the surrounding Ray plumbing (schema,
+batch size, actor signature, output layout) is identical either way.
 """
 
 from __future__ import annotations
@@ -239,12 +243,18 @@ def synth_image_table(n: int, seed: int = 42, fmt: str = "ppm") -> pa.Table:
         rows["image_id"].append(f"img-{i:08d}")
         if fmt == "mixed":      # alternate real containers per image
             row_fmt = "png" if i % 3 == 2 else "ppm"
+        elif fmt == "mixed-jpeg":  # lossy mix: all three real containers
+            row_fmt = ("jpeg", "png", "ppm")[i % 3]
         else:
             row_fmt = fmt
         if row_fmt == "ppm":
             rows["bytes"].append(encode_ppm(img))
         elif row_fmt == "png":
             rows["bytes"].append(encode_png(img, filter_type=i % 5))
+        elif row_fmt == "jpeg":
+            from .jpeg import encode_jpeg
+            rows["bytes"].append(encode_jpeg(
+                img, quality=90, subsampling=("444", "420")[i % 2]))
         else:
             rows["bytes"].append(img.tobytes())
         rows["format"].append(row_fmt)
@@ -267,6 +277,9 @@ class ImageDecoder:
             return decode_ppm(raw)
         if fmt == "png":
             return decode_png(raw)
+        if fmt == "jpeg":
+            from .jpeg import decode_jpeg
+            return decode_jpeg(raw)
         if fmt == "raw-rgb":
             return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
         raise NotImplementedError(

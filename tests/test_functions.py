@@ -702,3 +702,67 @@ def test_ngram_jaccard_dedup_matches_pure_python_bruteforce():
         assert abs(got[p] - j) < 1e-3
     survivors = sorted(set(ids) - {b for (_, b) in true_pairs})
     assert sorted(deduped.to_pandas()["doc_id"]) == survivors
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_jpeg_roundtrip_444_and_420():
+    """Baseline JPEG encode->decode on smooth gradients clears 35 dB at
+    4:4:4 / 30 dB at 4:2:0 (chroma averaged 2x2), across non-multiple-of-
+    MCU dimensions; flat images reconstruct exactly."""
+    from dataflows_ray.functions.jpeg import encode_jpeg, decode_jpeg
+    for (h, w) in [(24, 31), (17, 9), (64, 48)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack([xx * 255 // max(1, w - 1),
+                        yy * 255 // max(1, h - 1),
+                        (xx + yy) * 255 // max(1, w + h - 2)],
+                       axis=2).astype(np.uint8)
+        dec444 = decode_jpeg(encode_jpeg(img, quality=90))
+        dec420 = decode_jpeg(encode_jpeg(img, quality=90,
+                                         subsampling="420"))
+        assert dec444.shape == img.shape == dec420.shape
+        assert _psnr(img, dec444) > 35
+        assert _psnr(img, dec420) > 30
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat)), flat)
+
+
+def test_jpeg_quality_ladder_and_errors():
+    from dataflows_ray.functions.jpeg import encode_jpeg, decode_jpeg
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    sizes, psnrs = [], []
+    for q in (50, 75, 95):
+        raw = encode_jpeg(img, quality=q)
+        sizes.append(len(raw))
+        psnrs.append(_psnr(img, decode_jpeg(raw)))
+    assert sizes == sorted(sizes)    # higher quality -> bigger file
+    assert psnrs == sorted(psnrs)    # ... and higher fidelity
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"notajpeg")
+    # truncated entropy stream fails loudly, not silently
+    raw = encode_jpeg(img)
+    with pytest.raises(ValueError):
+        decode_jpeg(raw[:len(raw) // 2] + b"\xff\xd9")
+
+
+def test_image_stage_jpeg_mixed_corpus():
+    """The decode stage handles a jpeg+png+ppm corpus; jpeg features
+    stay within lossy tolerance of the lossless containers' features."""
+    from dataflows_ray.functions.multimodal import (
+        image_feature_stage, synth_image_table)
+    ppm = synth_image_table(12, fmt="ppm")
+    mixed = synth_image_table(12, fmt="mixed-jpeg")
+    assert set(mixed["format"].to_pylist()) == {"jpeg", "png", "ppm"}
+    f_ppm = image_feature_stage(
+        ray.data.from_arrow(ppm), concurrency=1) \
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    f_mix = image_feature_stage(
+        ray.data.from_arrow(mixed), concurrency=1) \
+        .to_pandas().sort_values("image_id").reset_index(drop=True)
+    for c in ("mean_pixel", "mean_r", "mean_g", "mean_b"):
+        np.testing.assert_allclose(f_ppm[c].to_numpy(),
+                                   f_mix[c].to_numpy(), atol=3.0)
