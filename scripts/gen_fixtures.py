@@ -321,6 +321,39 @@ def gen_q51(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def gen_q62(sf_dir: str) -> pa.Table:
+    """Sequential mirror of q62 JPEG features: decode every baseline-JPEG
+    payload of the deterministic jpeg corpus single-process. (The codec
+    itself is independently verified by the roundtrip/PSNR pytest suite;
+    this fixture pins the DISTRIBUTION layer to sequential semantics.)"""
+    import glob
+    import pandas as pd
+    from dataflows_ray.functions.multimodal import ImageDecoder
+    from dataflows_ray.pipelines.relational import _jpeg_image_path
+    dec = ImageDecoder()
+    rows = []
+    for f in sorted(glob.glob(os.path.join(_jpeg_image_path(sf_dir),
+                                           "*.parquet"))):
+        t = pq.read_table(f)
+        for raw, iid, fmt, w, h in zip(t["bytes"].to_pylist(),
+                                       t["image_id"].to_pylist(),
+                                       t["format"].to_pylist(),
+                                       t["width"].to_pylist(),
+                                       t["height"].to_pylist()):
+            img = dec._decode(raw, fmt, w, h)
+            rows.append({
+                "image_id": iid,
+                "mean_pixel": round(float(img.mean()), 6),
+                "mean_r": round(float(img[:, :, 0].mean()), 6),
+                "mean_g": round(float(img[:, :, 1].mean()), 6),
+                "mean_b": round(float(img[:, :, 2].mean()), 6),
+                "out_width": np.int32(img.shape[1]),
+                "out_height": np.int32(img.shape[0]),
+            })
+    df = pd.DataFrame(rows).sort_values("image_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def gen_q52(sf_dir: str) -> pa.Table:
     """Sequential mirror of q52 streaming windowed NDV: one single-pass
     HLL per 10-min window over the audio table (register max commutes,
@@ -392,6 +425,9 @@ def main():
         print(f"{name}: q50 written")
         pq.write_table(gen_q51(sf_dir), f"{fdir}/q51_image_features.parquet")
         print(f"{name}: q51 written")
+        pq.write_table(gen_q62(sf_dir),
+                       f"{fdir}/q62_jpeg_image_features.parquet")
+        print(f"{name}: q62 written")
         pq.write_table(gen_q52(sf_dir), f"{fdir}/q52_windowed_ndv.parquet")
         print(f"{name}: q52 written")
         pq.write_table(gen_q56(sf_dir), f"{fdir}/q56_hash_sample.parquet")
