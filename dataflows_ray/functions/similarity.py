@@ -343,17 +343,21 @@ def cosine_verify_pairs(ds: ray.data.Dataset, cand: ray.data.Dataset,
     from ..stages.agg import grouped_aggregate
     from ..stages.semijoin import semi_join_ids
 
-    if num_partitions is None:
-        # same sizing rule as dedup.distributed_verify_pairs: two joins
-        # run concurrently alongside their upstream stages — a quarter of
-        # the CPUs each keeps the aggregator actor pools from deadlocking
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, cpus // 4)
-
     cand = grouped_aggregate(
         cand, ["id_a", "id_b"],
         [{"target": "__n__", "source": "id_a", "aggregate": "count"}]
-    ).select_columns(["id_a", "id_b"])
+    ).select_columns(["id_a", "id_b"]).materialize()
+
+    if num_partitions is None:
+        # sized from the ACTUAL candidate count (metadata-cheap after the
+        # distinct aggregate): ~100k pairs per partition, capped at a
+        # quarter of the CPUs (two joins run concurrently alongside their
+        # upstream stages — larger pools deadlock the aggregator actors),
+        # floor 2. Small candidate sets get 2-actor pools instead of
+        # paying full-pool spin-up for a few rows.
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_pairs = cand.count()
+        num_partitions = max(2, min(cpus // 4, 1 + n_pairs // 100_000))
     ids_a = cand.select_columns(["id_a"]).rename_columns({"id_a": id_col})
     ids_b = cand.select_columns(["id_b"]).rename_columns({"id_b": id_col})
     cand_ids = grouped_aggregate(

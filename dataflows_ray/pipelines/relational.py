@@ -956,6 +956,50 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
 
+def q63_cosine_neardup_bucketed(sf_dir: str):
+    """The LSH-BUCKETED cosine near-dup scale path (zero broadcast, zero
+    driver materialization — functions.similarity.cosine_lsh_candidates
+    + cosine_verify_pairs) against a REAL SQL oracle: the corpus is the
+    embeddings table plus an exact re-keyed copy of every 20th vector,
+    and the threshold (0.95) sits above the table's natural max pair
+    cosine (~0.51), so the true pair set is exactly the planted
+    duplicates. Identical vectors share every band bucket, so the LSH
+    recall is 1 BY CONSTRUCTION, not empirically — the oracle checks
+    the whole candidate->verify->emit machinery end to end."""
+    import numpy as np
+    import ray.data
+    from ..functions.similarity import cosine_neardup_pairs
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def rekeyed_dups(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = batch.filter(pa.array(ids % 20 == 0))
+        new_ids = pc.add(keep["vec_id"], pa.scalar(100000, pa.int64()))
+        return keep.set_column(keep.schema.get_field_index("vec_id"),
+                               "vec_id", pc.cast(new_ids, pa.int64()))
+
+    corpus = ds.union(ds.map_batches(rekeyed_dups, batch_format="pyarrow",
+                                     batch_size=None))
+    out = cosine_neardup_pairs(corpus, threshold=0.95, bucketed=True)
+    return out.to_pandas().sort_values(["id_a", "id_b"]) \
+        .reset_index(drop=True)
+
+
+Q63_SQL = """
+WITH corpus AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT CAST(vec_id + 100000 AS BIGINT), embedding FROM embeddings
+  WHERE vec_id % 20 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+"""
+
+
 def q28_approx_ndv(sf_dir: str):
     """HyperLogLog per-key approximate distinct counting (sketch
     aggregate; functions.sketch). Register merge is partition-invariant,
@@ -1787,6 +1831,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q60_multicodec_decode": q60_multicodec_decode,
     "q61_ngram_jaccard_dedup": q61_ngram_jaccard_dedup,
     "q62_jpeg_image_features": q62_jpeg_image_features,
+    "q63_cosine_neardup_bucketed": q63_cosine_neardup_bucketed,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1949,4 +1994,5 @@ SELECT image_id, mean_pixel, mean_r, mean_g, mean_b,
 FROM read_parquet('{_FIX}/q62_jpeg_image_features.parquet')
 ORDER BY image_id
 """,
+    "q63_cosine_neardup_bucketed": Q63_SQL,
 }

@@ -257,6 +257,9 @@ def test_image_stage_raw_rgb_and_resize():
 def test_image_decoder_unknown_format_raises():
     dec = ImageDecoder()
     with pytest.raises(NotImplementedError):
+        dec._decode(b"RIFF....WEBP", "webp", 1, 1)
+    # jpeg is REAL now (round 3) — garbage fails loudly, not as a stub
+    with pytest.raises(ValueError):
         dec._decode(b"\xff\xd8", "jpeg", 1, 1)
 
 
