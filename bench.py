@@ -54,8 +54,11 @@ def run_benchmarks() -> dict:
         timings[name] = round(time.time() - t0, 3)
         return out
 
-    # warm the page cache (untimed) so we measure compute + shuffle
+    # warm the page cache (untimed) so we measure compute + shuffle, and
+    # force the one-time synthetic audio-table build (cached in /tmp) so
+    # the first audio leg doesn't absorb table generation into its timing
     ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+    _audio_path(SF_DIR)
 
     timed("q01_pricing_summary", lambda: q01_pricing_summary(SF_DIR).to_pandas())
     timed("q05_priority_counts", lambda: q05_priority_counts(SF_DIR).to_pandas())

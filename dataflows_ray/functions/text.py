@@ -278,3 +278,72 @@ def compression_ratio(ds: ray.data.Dataset, text_col: str = "text",
         return batch.append_column(target, pa.array(ratios))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def redact_patterns(ds: ray.data.Dataset, patterns,
+                    text_col: str = "text",
+                    target: str = "redacted",
+                    count_col: str = "n_redactions") -> ray.data.Dataset:
+    """PII / pattern redaction: apply ``[(regex, replacement), ...]`` in
+    order and append the redacted text plus the total number of matches
+    replaced. Fully vectorized — one Arrow C++ RE2 pass per pattern
+    (``count_substring_regex`` + ``replace_substring_regex``), no Python
+    per row. Counting happens on the text AS SEEN by that pattern (i.e.
+    after the previous replacements), which is also what a sequential
+    ``re.subn`` chain would report.
+
+    RE2 syntax on both the engine and DuckDB oracle side keeps the
+    semantics identical (both bind RE2)."""
+    import pyarrow.compute as pc
+
+    pats = list(patterns)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = np.zeros(len(batch), dtype=np.int64)
+        for pat, repl in pats:
+            cnt = pc.count_substring_regex(col, pattern=pat)
+            n += np.asarray(pc.fill_null(cnt, 0), dtype=np.int64)
+            col = pc.replace_substring_regex(col, pattern=pat,
+                                             replacement=repl)
+        batch = batch.append_column(target, col)
+        return batch.append_column(count_col, pa.array(n, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def chunk_tokens(ds: ray.data.Dataset, text_col: str = "text",
+                 chunk_size: int = 32, stride: int = 24,
+                 id_col: str = "doc_id") -> ray.data.Dataset:
+    """Overlapping token-window chunking (the standard LLM-training
+    document -> context-window splitter): tokens are a plain
+    single-space split (DuckDB ``string_split`` semantics — '' yields
+    one empty token), chunks start every ``stride`` tokens and carry
+    ``chunk_size`` tokens each (short tail chunks included). Output is
+    exploded: one row per (doc, chunk_start).
+
+    ``chunk_start`` is 1-based so the value matches SQL ``list_slice``
+    arithmetic directly. Tokenization is one Arrow kernel per batch;
+    the per-doc loop only slices the already-split list column."""
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch[text_col], pattern=" ")
+        ids = batch[id_col].to_pylist()
+        out_id, out_start, out_chunk = [], [], []
+        for i, row_toks in enumerate(toks.to_pylist()):
+            row_toks = row_toks if row_toks is not None else [""]
+            n = max(1, len(row_toks))
+            for s in range(0, n, stride):
+                out_id.append(ids[i])
+                out_start.append(s + 1)
+                out_chunk.append(" ".join(row_toks[s:s + chunk_size]))
+        return pa.table({
+            id_col: pa.array(out_id),
+            "chunk_start": pa.array(out_start, type=pa.int64()),
+            "chunk": pa.array(out_chunk, type=pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

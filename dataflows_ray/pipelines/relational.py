@@ -1768,6 +1768,110 @@ def q25_audio_decode(sf_dir: str):
         ["clip_id", "n_samples", "rms", "snr_db"])
 
 
+def q64_pattern_redaction(sf_dir: str):
+    """PII-style pattern redaction (functions.text.redact_patterns):
+    vectorized RE2 replace + match counting per document, one Arrow
+    kernel pass per pattern — the standard scrubbing stage of an LLM
+    corpus pipeline. Oracle: DuckDB regexp_replace / regexp_extract_all
+    (both engines bind RE2, so the dialect is identical)."""
+    import ray.data
+    from ..functions.text import redact_patterns
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = redact_patterns(ds, [(r"\bspark\b", "<TOOL>"),
+                               (r"\b(key|hash)\b", "<K>")])
+    return out.select_columns(["doc_id", "redacted", "n_redactions"])
+
+
+Q64_SQL = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(text, '\bspark\b', '<TOOL>', 'g'),
+                      '\b(key|hash)\b', '<K>', 'g') AS redacted,
+       len(regexp_extract_all(text, '\bspark\b'))
+       + len(regexp_extract_all(
+             regexp_replace(text, '\bspark\b', '<TOOL>', 'g'),
+             '\b(key|hash)\b')) AS n_redactions
+FROM documents
+"""
+
+
+def q65_token_chunks(sf_dir: str):
+    """Overlapping context-window chunking (functions.text.chunk_tokens):
+    explode each document into 32-token chunks every 24 tokens — the
+    document -> training-sample splitter. flat_map-shaped stateless
+    stage; no shuffle. Oracle: DuckDB string_split + generate_series +
+    list_slice."""
+    import ray.data
+    from ..functions.text import chunk_tokens
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return chunk_tokens(ds, chunk_size=32, stride=24)
+
+
+Q65_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id, s AS chunk_start,
+       array_to_string(list_slice(t, s, s + 31), ' ') AS chunk
+FROM (SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t), 1), 24)) AS s
+      FROM toks)
+"""
+
+
+def q66_transcript_editdist(sf_dir: str):
+    """Levenshtein edit distance per row (functions.editdist): the
+    WER-style signal for transcript/OCR QC, here between a 48-char text
+    prefix and its reversal (a deterministic nontrivial pair available
+    in-corpus). numpy-DP kernel inside a stateless map_batches; oracle:
+    DuckDB levenshtein()."""
+    import ray.data
+    from ..functions.editdist import edit_distance
+
+    def derive(batch: pa.Table) -> pa.Table:
+        a = pc.utf8_slice_codeunits(batch["text"], 0, 48)
+        return pa.table({"doc_id": batch["doc_id"], "t_a": a,
+                         "t_b": pc.utf8_reverse(a)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    out = edit_distance(ds.map_batches(derive, batch_format="pyarrow"),
+                        "t_a", "t_b")
+    return out.select_columns(["doc_id", "edit_dist"])
+
+
+Q66_SQL = """
+SELECT doc_id,
+       levenshtein(substr(text, 1, 48), reverse(substr(text, 1, 48)))
+           AS edit_dist
+FROM documents
+"""
+
+
+def q67_bloom_semi_join(sf_dir: str):
+    """Bloom-filter-accelerated exact semi-join (stages.bloomjoin):
+    orders of high-balance customers. The Bloom filter (built
+    distributed, broadcast once) pre-filters the big side so only
+    probable matches enter the exact verify join — the shuffle-volume
+    reducer for selective joins at 100 TB. Result is exact; oracle is
+    the plain IN-subquery."""
+    import ray.data
+    from ..stages.bloomjoin import bloom_semi_join
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_acctbal"]).filter(
+        expr="c_acctbal > 5000.0").select_columns(["c_custkey"])
+    return bloom_semi_join(orders, cust, "o_custkey", "c_custkey")
+
+
+Q67_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+"""
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1832,6 +1936,10 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q61_ngram_jaccard_dedup": q61_ngram_jaccard_dedup,
     "q62_jpeg_image_features": q62_jpeg_image_features,
     "q63_cosine_neardup_bucketed": q63_cosine_neardup_bucketed,
+    "q64_pattern_redaction": q64_pattern_redaction,
+    "q65_token_chunks": q65_token_chunks,
+    "q66_transcript_editdist": q66_transcript_editdist,
+    "q67_bloom_semi_join": q67_bloom_semi_join,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -1995,4 +2103,8 @@ FROM read_parquet('{_FIX}/q62_jpeg_image_features.parquet')
 ORDER BY image_id
 """,
     "q63_cosine_neardup_bucketed": Q63_SQL,
+    "q64_pattern_redaction": Q64_SQL,
+    "q65_token_chunks": Q65_SQL,
+    "q66_transcript_editdist": Q66_SQL,
+    "q67_bloom_semi_join": Q67_SQL,
 }

@@ -769,3 +769,86 @@ def test_image_stage_jpeg_mixed_corpus():
     for c in ("mean_pixel", "mean_r", "mean_g", "mean_b"):
         np.testing.assert_allclose(f_ppm[c].to_numpy(),
                                    f_mix[c].to_numpy(), atol=3.0)
+
+
+def test_redact_patterns_counts_and_replaces():
+    import re
+    from dataflows_ray.functions.text import redact_patterns
+    rows = [{"doc_id": 0, "text": "spark and hash meet spark key"},
+            {"doc_id": 1, "text": "sparkle keyed nothing"},  # \b guards
+            {"doc_id": 2, "text": ""}]
+    out = redact_patterns(
+        ray.data.from_items(rows),
+        [(r"\bspark\b", "<T>"), (r"\b(key|hash)\b", "<K>")]).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # sequential re.subn chain is the semantics contract
+    for i, r in out.iterrows():
+        t1, n1 = re.subn(r"\bspark\b", "<T>", rows[i]["text"])
+        t2, n2 = re.subn(r"\b(key|hash)\b", "<K>", t1)
+        assert r["redacted"] == t2 and r["n_redactions"] == n1 + n2
+    assert out["n_redactions"].tolist() == [4, 0, 0]
+
+
+def test_chunk_tokens_windows_and_tail():
+    from dataflows_ray.functions.text import chunk_tokens
+    text = " ".join(str(i) for i in range(10))
+    out = chunk_tokens(ray.data.from_items(
+        [{"doc_id": 0, "text": text}, {"doc_id": 1, "text": ""}]),
+        chunk_size=4, stride=3).to_pandas()
+    d0 = out[out.doc_id == 0].sort_values("chunk_start")
+    assert d0["chunk_start"].tolist() == [1, 4, 7, 10]
+    assert d0["chunk"].tolist() == ["0 1 2 3", "3 4 5 6", "6 7 8 9", "9"]
+    # empty text still yields one (empty) chunk, like SQL string_split
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1["chunk"].iloc[0] == ""
+
+
+def test_edit_distance_stage_matches_naive():
+    from dataflows_ray.functions.editdist import edit_distance
+
+    def naive(a, b):
+        m, n = len(a), len(b)
+        d = list(range(n + 1))
+        for i in range(1, m + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, n + 1):
+                cur = min(d[j] + 1, d[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, d[j] = d[j], cur
+        return d[n]
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(60):
+        a = "".join(rng.choice(list("abcd ")) for _ in range(rng.integers(0, 15)))
+        b = "".join(rng.choice(list("abcd ")) for _ in range(rng.integers(0, 15)))
+        rows.append({"i": i, "a": a, "b": b})
+    out = edit_distance(ray.data.from_items(rows), "a", "b").to_pandas()
+    out = out.sort_values("i").reset_index(drop=True)
+    for i, r in out.iterrows():
+        assert r["edit_dist"] == naive(rows[i]["a"], rows[i]["b"])
+
+
+def test_bloom_semi_join_exact_and_no_false_negatives():
+    from dataflows_ray.stages.bloomjoin import (
+        bloom_semi_join, build_bloom, bloom_probe)
+    import ray as _ray
+    big = ray.data.from_items(
+        [{"k": i, "v": i * 10} for i in range(2000)])
+    small = ray.data.from_items([{"sk": i} for i in range(0, 2000, 7)])
+    out = bloom_semi_join(big, small, "k", "sk").to_pandas()
+    assert sorted(out["k"]) == list(range(0, 2000, 7))
+    assert set(out.columns) == {"k", "v"}
+    # approximate mode keeps a superset (no false negatives), and with a
+    # deliberately tiny filter it really does keep false positives that
+    # the exact verify then removes
+    tiny = bloom_semi_join(big, small, "k", "sk", num_bits=256, k=2,
+                           exact=False).to_pandas()
+    assert set(range(0, 2000, 7)) <= set(tiny["k"])
+    assert len(tiny) > len(out)
+    # string keys go through the Arrow-buffer string hash
+    bigs = ray.data.from_items([{"k": f"id-{i}"} for i in range(500)])
+    smalls = ray.data.from_items([{"k": f"id-{i}"} for i in range(0, 500, 9)])
+    f = build_bloom(smalls, "k")
+    got = bloom_probe(bigs, _ray.put(f), "k", 1 << 23).to_pandas()
+    assert set(f"id-{i}" for i in range(0, 500, 9)) <= set(got["k"])
