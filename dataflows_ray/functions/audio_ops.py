@@ -1,0 +1,148 @@
+"""Audio signal operators over binary PCM columns: resampling and
+energy-based voice-activity detection (VAD).
+
+Engine-defined operators for audio training-data pipelines (the
+reference datahq/dataflows has no audio surface; these extend the
+codec/decode family in ``streaming/audio.py``). Both run as stateless
+``map_batches`` stages over zero-copy Arrow binary columns — no shuffle,
+embarrassingly parallel, the 100-TB shape for per-clip transforms.
+
+Determinism contract: all arithmetic is elementwise float64/int64 with a
+fixed formula (no reductions whose order varies with partitioning), so a
+distributed run is bit-identical to a sequential one — the q68/q69
+fixtures rely on this.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..streaming.audio import decode_pcm
+
+
+def _decode_int16(raw: bytes, codec: str) -> np.ndarray:
+    """Integer-domain decode: pcm16 bytes map straight to int16 samples
+    (zero-copy); other codecs come back from the float decoder and are
+    re-quantized with the same floor(y*32767+0.5) rule used throughout
+    this module."""
+    if codec == "pcm16":
+        return np.frombuffer(raw, dtype="<i2")
+    wave = decode_pcm(raw, codec)
+    return np.floor(wave * 32767.0 + 0.5).astype(np.int16)
+
+
+def resample_linear(x: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Linear-interpolation resample of one int16 clip to ``sr_out``.
+
+    Output sample j sits at input position ``j * sr_in / sr_out``;
+    n_out = floor((n_in - 1) * sr_out / sr_in) + 1 keeps every position
+    inside the input (no edge extrapolation). Values round to int16 via
+    ``floor(y + 0.5)`` — a tie rule that is identical in any
+    implementation (unlike banker's rounding on exact .5 floats)."""
+    n_in = len(x)
+    if n_in == 0:
+        return np.empty(0, dtype=np.int16)
+    if n_in == 1 or sr_in == sr_out:
+        return x.astype(np.int16)
+    n_out = (n_in - 1) * sr_out // sr_in + 1
+    pos = np.arange(n_out, dtype=np.float64) * (float(sr_in) / float(sr_out))
+    idx = np.minimum(pos.astype(np.int64), n_in - 2)
+    frac = pos - idx
+    xf = x.astype(np.float64)
+    y = xf[idx] + (xf[idx + 1] - xf[idx]) * frac
+    return np.floor(y + 0.5).astype(np.int16)
+
+
+def vad_segments(x: np.ndarray, sr_hz: int, frame_ms: int = 20,
+                 rel_threshold: float = 0.5) -> List[tuple]:
+    """Energy VAD over one int16 clip: frame energies are exact int64
+    sums of squares over full ``frame_ms`` frames (partial tail frame
+    dropped); a frame is voiced when its energy exceeds
+    ``rel_threshold * max_frame_energy``; consecutive voiced frames merge
+    into ``(start_ms, end_ms)`` segments."""
+    spf = sr_hz * frame_ms // 1000
+    n_frames = len(x) // spf
+    if n_frames == 0:
+        return []
+    frames = x[:n_frames * spf].astype(np.int64).reshape(n_frames, spf)
+    energy = (frames * frames).sum(axis=1)
+    thresh = rel_threshold * float(energy.max())
+    voiced = energy.astype(np.float64) > thresh
+    segs = []
+    start = None
+    for i, v in enumerate(voiced):
+        if v and start is None:
+            start = i
+        elif not v and start is not None:
+            segs.append((start * frame_ms, i * frame_ms))
+            start = None
+    if start is not None:
+        segs.append((start * frame_ms, n_frames * frame_ms))
+    return segs
+
+
+def resample_stage(ds: ray.data.Dataset, sr_out: int,
+                   bytes_col: str = "bytes", codec_col: str = "codec",
+                   sr_col: str = "sr_hz") -> ray.data.Dataset:
+    """Per-clip resample: decode -> linear resample -> summary columns
+    (n_out, rms of the resampled int16 signal). The resampled payload is
+    re-emitted as pcm16 bytes so downstream stages keep streaming."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        raws = batch[bytes_col].to_pylist()
+        codecs = batch[codec_col].to_pylist() if codec_col in \
+            batch.column_names else ["pcm16"] * len(raws)
+        srs = batch[sr_col].to_pylist()
+        out_bytes, n_out, rms = [], [], []
+        for raw, codec, sr in zip(raws, codecs, srs):
+            pcm = _decode_int16(raw, codec or "pcm16")
+            y = resample_linear(pcm, int(sr), sr_out)
+            out_bytes.append(y.tobytes())
+            n_out.append(len(y))
+            ss = float((y.astype(np.int64) ** 2).sum())
+            rms.append(round(float(np.sqrt(ss / max(1, len(y)))), 6))
+        batch = batch.drop_columns([bytes_col])
+        batch = batch.append_column("bytes_out", pa.array(
+            out_bytes, type=pa.large_binary()))
+        batch = batch.append_column("sr_out", pa.array(
+            [sr_out] * len(n_out), type=pa.int32()))
+        batch = batch.append_column("n_out", pa.array(n_out, pa.int64()))
+        return batch.append_column("rms_out", pa.array(rms, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def vad_stage(ds: ray.data.Dataset, frame_ms: int = 20,
+              rel_threshold: float = 0.5, id_col: str = "clip_id",
+              bytes_col: str = "bytes", codec_col: str = "codec",
+              sr_col: str = "sr_hz") -> ray.data.Dataset:
+    """Exploded VAD: one output row per voiced segment
+    (clip_id, seg_idx, seg_start_ms, seg_end_ms)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        raws = batch[bytes_col].to_pylist()
+        codecs = batch[codec_col].to_pylist() if codec_col in \
+            batch.column_names else ["pcm16"] * len(raws)
+        srs = batch[sr_col].to_pylist()
+        out_id, out_idx, out_s, out_e = [], [], [], []
+        for cid, raw, codec, sr in zip(ids, raws, codecs, srs):
+            pcm = _decode_int16(raw, codec or "pcm16")
+            for j, (s, e) in enumerate(vad_segments(
+                    pcm, int(sr), frame_ms, rel_threshold)):
+                out_id.append(cid)
+                out_idx.append(j)
+                out_s.append(s)
+                out_e.append(e)
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.string()),
+            "seg_idx": pa.array(out_idx, type=pa.int64()),
+            "seg_start_ms": pa.array(out_s, type=pa.int64()),
+            "seg_end_ms": pa.array(out_e, type=pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

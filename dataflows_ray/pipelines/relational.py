@@ -1872,6 +1872,64 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 """
 
 
+def _first_clips(ds, n: int):
+    """Deterministic clip-index subset (limit() takes whichever blocks
+    finish first under parallel reads — not reproducible)."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(
+            batch["clip_id"], start=-12, stop=99), pa.int64())
+        return batch.filter(pc.less(idx, n))
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def q68_audio_resample(sf_dir: str):
+    """Linear-interpolation resample 16 kHz -> 11025 Hz per clip
+    (functions.audio_ops.resample_stage): decode -> deterministic
+    int16 resample (floor(y+0.5) tie rule) -> length + RMS summary.
+    Oracle: an INDEPENDENT sequential pure-Python implementation
+    (struct-unpacked PCM, per-sample interpolation loop) committed as a
+    fixture — no kernel code shared with the engine path."""
+    import ray.data
+    from ..functions.audio_ops import resample_stage
+    ds = _first_clips(ray.data.read_parquet(
+        _audio_path(sf_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"]), 250)
+    out = resample_stage(ds, sr_out=11025)
+    return out.select_columns(["clip_id", "sr_out", "n_out", "rms_out"])
+
+
+def q69_vad_segments(sf_dir: str):
+    """Energy-based voice-activity segments per clip
+    (functions.audio_ops.vad_stage): exact int64 frame energies (20 ms
+    frames), relative threshold at half the clip's max frame energy,
+    consecutive voiced frames merged; exploded one row per segment.
+    Oracle: an INDEPENDENT sequential pure-Python loop (fixture)."""
+    import ray.data
+    from ..functions.audio_ops import vad_stage
+    ds = _first_clips(ray.data.read_parquet(
+        _audio_path(sf_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"]), 250)
+    return vad_stage(ds, frame_ms=20, rel_threshold=0.5)
+
+
+def q70_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd's k-means over the embedding column
+    (functions.kmeans): per-batch assignment against broadcast centroids
+    + mergeable (k x d) partial sums per iteration — one streaming pass
+    per iteration, no shuffle, nothing bigger than k x d on any wire.
+    Deterministic: init = k smallest vec_ids, 5 iterations, centroids
+    quantized to 1e-6 per round. Oracle: an INDEPENDENT sequential
+    numpy implementation (fixture)."""
+    import ray.data
+    from ..functions.kmeans import kmeans_fit_predict
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    _, assigned = kmeans_fit_predict(ds, k=10, iters=5)
+    return assigned
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -1940,6 +1998,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q65_token_chunks": q65_token_chunks,
     "q66_transcript_editdist": q66_transcript_editdist,
     "q67_bloom_semi_join": q67_bloom_semi_join,
+    "q68_audio_resample": q68_audio_resample,
+    "q69_vad_segments": q69_vad_segments,
+    "q70_kmeans_embeddings": q70_kmeans_embeddings,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2025,6 +2086,24 @@ FROM read_parquet('{_FIX}/q56_hash_sample.parquet')
 ORDER BY doc_id
 """
 
+Q68_SQL = f"""
+SELECT clip_id, sr_out, n_out, rms_out
+FROM read_parquet('{_FIX}/q68_audio_resample.parquet')
+ORDER BY clip_id
+"""
+
+Q69_SQL = f"""
+SELECT clip_id, seg_idx, seg_start_ms, seg_end_ms
+FROM read_parquet('{_FIX}/q69_vad_segments.parquet')
+ORDER BY clip_id, seg_idx
+"""
+
+Q70_SQL = f"""
+SELECT vec_id, cluster
+FROM read_parquet('{_FIX}/q70_kmeans_embeddings.parquet')
+ORDER BY vec_id
+"""
+
 
 ORACLES: Dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
@@ -2107,4 +2186,7 @@ ORDER BY image_id
     "q65_token_chunks": Q65_SQL,
     "q66_transcript_editdist": Q66_SQL,
     "q67_bloom_semi_join": Q67_SQL,
+    "q68_audio_resample": Q68_SQL,
+    "q69_vad_segments": Q69_SQL,
+    "q70_kmeans_embeddings": Q70_SQL,
 }

@@ -391,6 +391,136 @@ def gen_q56(sf_dir: str) -> pa.Table:
         out, sort_keys=[("doc_id", "ascending")]))
 
 
+def _decode_pcm16_py(raw: bytes) -> list:
+    """Independent pcm16 decode (struct, no engine code)."""
+    import struct
+    return list(struct.unpack(f"<{len(raw) // 2}h", raw))
+
+
+def _first_clip_rows(audio_path: str, n: int):
+    tbl = pq.read_table(audio_path)
+    rows = []
+    for r in tbl.to_pylist():
+        if int(r["clip_id"][-12:]) < n:
+            rows.append(r)
+    rows.sort(key=lambda r: r["clip_id"])
+    return rows
+
+
+def gen_q68(audio_path: str) -> pa.Table:
+    """INDEPENDENT sequential oracle for q68: pure-Python per-sample
+    linear interpolation over struct-unpacked PCM — shares no code with
+    functions/audio_ops.py (ADVICE: at least one gate per kernel family
+    must not share code with the engine)."""
+    import math
+    sr_out = 11025
+    out = {"clip_id": [], "sr_out": [], "n_out": [], "rms_out": []}
+    for r in _first_clip_rows(audio_path, 250):
+        assert r["codec"] == "pcm16"
+        x = _decode_pcm16_py(r["bytes"])
+        sr_in = int(r["sr_hz"])
+        n_in = len(x)
+        if n_in <= 1 or sr_in == sr_out:
+            y = list(x)
+        else:
+            n_out = (n_in - 1) * sr_out // sr_in + 1
+            step = float(sr_in) / float(sr_out)
+            y = []
+            for j in range(n_out):
+                pos = j * step
+                i = min(int(math.floor(pos)), n_in - 2)
+                frac = pos - i
+                v = float(x[i]) + (float(x[i + 1]) - float(x[i])) * frac
+                y.append(int(math.floor(v + 0.5)))
+        ss = 0
+        for v in y:
+            ss += v * v
+        out["clip_id"].append(r["clip_id"])
+        out["sr_out"].append(sr_out)
+        out["n_out"].append(len(y))
+        out["rms_out"].append(round(math.sqrt(ss / max(1, len(y))), 6))
+    return pa.table({"clip_id": pa.array(out["clip_id"]),
+                     "sr_out": pa.array(out["sr_out"], pa.int32()),
+                     "n_out": pa.array(out["n_out"], pa.int64()),
+                     "rms_out": pa.array(out["rms_out"], pa.float64())})
+
+
+def gen_q69(audio_path: str) -> pa.Table:
+    """INDEPENDENT sequential oracle for q69: pure-Python frame-energy
+    VAD (20 ms frames, exact integer energies, relative 0.5 threshold,
+    adjacent-voiced merge)."""
+    frame_ms = 20
+    out = {"clip_id": [], "seg_idx": [], "seg_start_ms": [],
+           "seg_end_ms": []}
+    for r in _first_clip_rows(audio_path, 250):
+        x = _decode_pcm16_py(r["bytes"])
+        spf = int(r["sr_hz"]) * frame_ms // 1000
+        n_frames = len(x) // spf
+        if n_frames == 0:
+            continue
+        energies = []
+        for f in range(n_frames):
+            ss = 0
+            for v in x[f * spf:(f + 1) * spf]:
+                ss += v * v
+            energies.append(ss)
+        thresh = 0.5 * float(max(energies))
+        segs, start = [], None
+        for i, e in enumerate(energies):
+            voiced = float(e) > thresh
+            if voiced and start is None:
+                start = i
+            elif not voiced and start is not None:
+                segs.append((start * frame_ms, i * frame_ms))
+                start = None
+        if start is not None:
+            segs.append((start * frame_ms, n_frames * frame_ms))
+        for j, (s, e) in enumerate(segs):
+            out["clip_id"].append(r["clip_id"])
+            out["seg_idx"].append(j)
+            out["seg_start_ms"].append(s)
+            out["seg_end_ms"].append(e)
+    return pa.table({"clip_id": pa.array(out["clip_id"]),
+                     "seg_idx": pa.array(out["seg_idx"], pa.int64()),
+                     "seg_start_ms": pa.array(out["seg_start_ms"],
+                                              pa.int64()),
+                     "seg_end_ms": pa.array(out["seg_end_ms"], pa.int64())})
+
+
+def gen_q70(sf_dir: str) -> pa.Table:
+    """INDEPENDENT sequential k-means oracle: same contract as
+    functions/kmeans.py (init = k smallest vec_ids, 5 iterations,
+    centroids quantized to 1e-6 per round) but implemented with plain
+    per-row numpy distance loops in vec_id order — no shared code, no
+    matmul trick, sequential summation."""
+    k, iters = 10, 5
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    df = tbl.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    ids = df["vec_id"].to_numpy()
+    C = np.round(X[:k].copy(), 6)
+    for _ in range(iters):
+        assign = np.empty(len(X), dtype=np.int64)
+        for i in range(len(X)):
+            dists = ((X[i] - C) ** 2).sum(axis=1)
+            assign[i] = int(dists.argmin())
+        newC = C.copy()
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                s = np.zeros(X.shape[1])
+                for m in members:  # sequential, in vec_id order
+                    s += m
+                newC[c] = s / len(members)
+        C = np.round(newC, 6)
+    final = np.empty(len(X), dtype=np.int64)
+    for i in range(len(X)):
+        final[i] = int(((X[i] - C) ** 2).sum(axis=1).argmin())
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "cluster": pa.array(final, pa.int64())})
+
+
 def main():
     sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01"]
     for sf_dir in sf_dirs:
@@ -432,6 +562,13 @@ def main():
         print(f"{name}: q52 written")
         pq.write_table(gen_q56(sf_dir), f"{fdir}/q56_hash_sample.parquet")
         print(f"{name}: q56 written")
+        pq.write_table(gen_q68(audio), f"{fdir}/q68_audio_resample.parquet")
+        print(f"{name}: q68 written")
+        pq.write_table(gen_q69(audio), f"{fdir}/q69_vad_segments.parquet")
+        print(f"{name}: q69 written")
+        pq.write_table(gen_q70(sf_dir),
+                       f"{fdir}/q70_kmeans_embeddings.parquet")
+        print(f"{name}: q70 written")
 
 
 if __name__ == "__main__":

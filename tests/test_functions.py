@@ -852,3 +852,80 @@ def test_bloom_semi_join_exact_and_no_false_negatives():
     f = build_bloom(smalls, "k")
     got = bloom_probe(bigs, _ray.put(f), "k", 1 << 23).to_pandas()
     assert set(f"id-{i}" for i in range(0, 500, 9)) <= set(got["k"])
+
+
+def test_resample_linear_identity_and_known_values():
+    from dataflows_ray.functions.audio_ops import resample_linear
+    x = np.array([0, 100, -100, 200], dtype=np.int16)
+    # same rate: identity
+    assert resample_linear(x, 8000, 8000).tolist() == x.tolist()
+    # 2x upsample: midpoints are exact averages (floor(y+.5) on .0/.5)
+    up = resample_linear(x, 8000, 16000)
+    assert up.tolist() == [0, 50, 100, 0, -100, 50, 200]
+    # downsample halves the grid: positions 0, 2 -> original samples
+    down = resample_linear(x, 16000, 8000)
+    assert down.tolist() == [0, -100]
+    assert resample_linear(np.empty(0, np.int16), 8, 16).size == 0
+
+
+def test_vad_segments_merges_and_thresholds():
+    from dataflows_ray.functions.audio_ops import vad_segments
+    sr, spf = 1000, 20  # 20ms frames of 20 samples
+    loud = np.full(spf, 1000, np.int16)
+    quiet = np.full(spf, 10, np.int16)
+    x = np.concatenate([loud, loud, quiet, loud, quiet, quiet])
+    segs = vad_segments(x, sr, frame_ms=20, rel_threshold=0.5)
+    assert segs == [(0, 40), (60, 80)]
+    # trailing voiced run closes at clip end
+    x2 = np.concatenate([quiet, loud])
+    assert vad_segments(x2, sr, 20, 0.5) == [(20, 40)]
+    assert vad_segments(np.empty(0, np.int16), sr) == []
+
+
+def test_audio_stages_match_sequential(tmp_path):
+    import struct
+    from dataflows_ray.functions.audio_ops import (
+        resample_stage, vad_stage, resample_linear, vad_segments)
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(12):
+        n = int(rng.integers(50, 4000))
+        x = (rng.normal(0, 6000, n) * np.sin(
+            np.arange(n) / 50.0)).astype(np.int16)
+        rows.append({"clip_id": f"c{i:04d}", "bytes": x.tobytes(),
+                     "sr_hz": 16000, "codec": "pcm16"})
+    ds = ray.data.from_items(rows).repartition(4)
+    got = resample_stage(ds, 11025).to_pandas().set_index("clip_id")
+    for r in rows:
+        x = np.frombuffer(r["bytes"], dtype=np.int16)
+        y = resample_linear(x, 16000, 11025)
+        assert got.loc[r["clip_id"], "n_out"] == len(y)
+        assert got.loc[r["clip_id"], "bytes_out"] == y.tobytes()
+    vout = vad_stage(ds).to_pandas()
+    for r in rows:
+        x = np.frombuffer(r["bytes"], dtype=np.int16)
+        expect = vad_segments(x, 16000)
+        mine = vout[vout.clip_id == r["clip_id"]].sort_values("seg_idx")
+        assert list(zip(mine.seg_start_ms, mine.seg_end_ms)) == expect
+
+
+def test_kmeans_recovers_planted_clusters():
+    from dataflows_ray.functions.kmeans import kmeans_fit_predict
+    rng = np.random.default_rng(5)
+    centers = rng.normal(0, 10, size=(4, 8))
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = centers[c] + rng.normal(0, 0.3, 8)
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32).tolist(),
+                     "true": c})
+    ds = ray.data.from_items(rows).repartition(8)
+    C, assigned = kmeans_fit_predict(ds, k=4, iters=5)
+    df = assigned.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    # every planted cluster maps to exactly one kmeans cluster
+    truth = np.array([r["true"] for r in rows])
+    got = df["cluster"].to_numpy()
+    for t in range(4):
+        assert len(set(got[truth == t])) == 1
+    assert len(set(got)) == 4
+    assert C.shape == (4, 8)
