@@ -57,6 +57,12 @@ from .functions.quantiles import exact_quantiles, grouped_exact_quantile
 from .functions.components import connected_components, dedup_by_components
 from .functions.dedup import (
     exact_dedup, minhash_dedup, ngram_jaccard_dedup, simhash_signatures)
+from .functions.text import (
+    analyze_text, token_count_vectorized, redact_patterns, chunk_tokens)
+from .functions.editdist import edit_distance
+from .functions.kmeans import kmeans_fit, kmeans_predict, kmeans_fit_predict
+from .functions.audio_ops import resample_stage, vad_stage
+from .stages.bloomjoin import bloom_semi_join
 from .sinks.dump import dump_to_path, dump_to_zip
 from .sinks.checkpoint import checkpoint
 from .sinks.stream_file import stream, unstream, parallelize
@@ -81,6 +87,10 @@ __all__ = [
     "dedup_by_components", "rollup_aggregate",
     "exact_dedup", "minhash_dedup", "ngram_jaccard_dedup",
     "simhash_signatures",
+    "analyze_text", "token_count_vectorized", "redact_patterns",
+    "chunk_tokens", "edit_distance", "kmeans_fit", "kmeans_predict",
+    "kmeans_fit_predict", "resample_stage", "vad_stage",
+    "bloom_semi_join",
     "grouped_aggregate", "dump_to_path", "dump_to_zip", "checkpoint",
     "stream", "unstream", "parallelize", "dump_to_sql",
 ]
