@@ -85,35 +85,49 @@ def vad_segments(x: np.ndarray, sr_hz: int, frame_ms: int = 20,
     return segs
 
 
-def resample_stage(ds: ray.data.Dataset, sr_out: int,
-                   bytes_col: str = "bytes", codec_col: str = "codec",
-                   sr_col: str = "sr_hz") -> ray.data.Dataset:
-    """Per-clip resample: decode -> linear resample -> summary columns
-    (n_out, rms of the resampled int16 signal). The resampled payload is
-    re-emitted as pcm16 bytes so downstream stages keep streaming."""
+class ResampleTransform:
+    """Picklable batch transform (usable both as a ``map_batches`` fn and
+    as a ``StreamingMapEngine`` transform): decode -> linear resample ->
+    summary columns (n_out, rms of the resampled int16 signal). The
+    resampled payload is re-emitted as pcm16 bytes so downstream stages
+    keep streaming."""
 
-    def fn(batch: pa.Table) -> pa.Table:
-        raws = batch[bytes_col].to_pylist()
-        codecs = batch[codec_col].to_pylist() if codec_col in \
+    def __init__(self, sr_out: int, bytes_col: str = "bytes",
+                 codec_col: str = "codec", sr_col: str = "sr_hz"):
+        self.sr_out = sr_out
+        self.bytes_col = bytes_col
+        self.codec_col = codec_col
+        self.sr_col = sr_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raws = batch[self.bytes_col].to_pylist()
+        codecs = batch[self.codec_col].to_pylist() if self.codec_col in \
             batch.column_names else ["pcm16"] * len(raws)
-        srs = batch[sr_col].to_pylist()
+        srs = batch[self.sr_col].to_pylist()
         out_bytes, n_out, rms = [], [], []
         for raw, codec, sr in zip(raws, codecs, srs):
             pcm = _decode_int16(raw, codec or "pcm16")
-            y = resample_linear(pcm, int(sr), sr_out)
+            y = resample_linear(pcm, int(sr), self.sr_out)
             out_bytes.append(y.tobytes())
             n_out.append(len(y))
             ss = float((y.astype(np.int64) ** 2).sum())
             rms.append(round(float(np.sqrt(ss / max(1, len(y)))), 6))
-        batch = batch.drop_columns([bytes_col])
+        batch = batch.drop_columns([self.bytes_col])
         batch = batch.append_column("bytes_out", pa.array(
             out_bytes, type=pa.large_binary()))
         batch = batch.append_column("sr_out", pa.array(
-            [sr_out] * len(n_out), type=pa.int32()))
+            [self.sr_out] * len(n_out), type=pa.int32()))
         batch = batch.append_column("n_out", pa.array(n_out, pa.int64()))
         return batch.append_column("rms_out", pa.array(rms, pa.float64()))
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+def resample_stage(ds: ray.data.Dataset, sr_out: int,
+                   bytes_col: str = "bytes", codec_col: str = "codec",
+                   sr_col: str = "sr_hz") -> ray.data.Dataset:
+    """Per-clip resample as a stateless Dataset stage."""
+    return ds.map_batches(
+        ResampleTransform(sr_out, bytes_col, codec_col, sr_col),
+        batch_format="pyarrow", batch_size=None)
 
 
 def vad_stage(ds: ray.data.Dataset, frame_ms: int = 20,

@@ -209,4 +209,6 @@ def windowed_speaker_aggregate(ds: ray.data.Dataset, window_ms: int = 60_000
         {"target": "total_dur_ms", "source": "dur_ms", "aggregate": "sum"},
         {"target": "n_clips", "aggregate": "count"},
         {"target": "max_event_ms", "source": "event_ms", "aggregate": "max"},
-    ])
+        # known upstream schema: skips the lazy-plan probe that would
+        # otherwise execute the decode stage just to look for ROW_ID
+    ], input_columns=["speaker", "event_ms", "dur_ms", WINDOW_START])

@@ -1930,6 +1930,43 @@ def q70_kmeans_embeddings(sf_dir: str):
     return assigned
 
 
+class _First250Resample:
+    """q71 transform: clip-index filter + resample, running INSIDE the
+    streaming engine's split tasks (picklable module-level class)."""
+
+    def __init__(self):
+        from ..functions.audio_ops import ResampleTransform
+        self._resample = ResampleTransform(11025)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(
+            t["clip_id"], start=-12, stop=99), pa.int64())
+        return self._resample(t.filter(pc.less(idx, 250)))
+
+
+def q71_streaming_audio_resample(sf_dir: str):
+    """STREAMING exactly-once audio resample ETL (streaming.map_engine):
+    the q68 resample transform runs inside micro-batch split tasks with
+    per-partition idempotent staging, 2PC commit and crash resume —
+    verified against the SAME independent sequential fixture as batch
+    q68 (streaming and batch must agree row-for-row)."""
+    import shutil
+    from ..streaming.map_engine import StreamingMapEngine
+    from ..streaming.sink import ExactlyOnceSink
+
+    path = _audio_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_resample_sink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingMapEngine(path, out, transform=_First250Resample(),
+                             key="clip_id", ts_col="event_ms",
+                             num_partitions=4, rowgroups_per_epoch=2)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["clip_id", "sr_out", "n_out", "rms_out"])
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2001,6 +2038,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q68_audio_resample": q68_audio_resample,
     "q69_vad_segments": q69_vad_segments,
     "q70_kmeans_embeddings": q70_kmeans_embeddings,
+    "q71_streaming_audio_resample": q71_streaming_audio_resample,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2189,4 +2227,7 @@ ORDER BY image_id
     "q68_audio_resample": Q68_SQL,
     "q69_vad_segments": Q69_SQL,
     "q70_kmeans_embeddings": Q70_SQL,
+    # q71 re-uses q68's independent sequential fixture: the streaming
+    # engine must emit the same rows as the batch stage
+    "q71_streaming_audio_resample": Q68_SQL,
 }

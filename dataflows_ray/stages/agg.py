@@ -411,15 +411,27 @@ def grouped_aggregate(
     ds: ray.data.Dataset,
     keys: Sequence[str],
     specs: Sequence[Dict[str, Any]],
+    input_columns: Optional[Sequence[str]] = None,
 ) -> ray.data.Dataset:
     """``specs``: [{"target": out_col, "source": in_col, "aggregate": name}].
 
     Returns one row per distinct key tuple with finalized aggregates.
     Output blocks are guaranteed non-empty with a uniform schema (the
     round-1 column-less-empty-block degradation is fixed here at the root).
+
+    ``input_columns``: the upstream schema, when the caller knows it.
+    Without it, the ROW_ID check below calls ``ds.columns()``, which on a
+    lazy pipeline EXECUTES the upstream plan to its first output block —
+    behind a heavy decode stage that probe alone can cost seconds and
+    double-pays worker warmup. Callers on hot paths should pass it.
     """
     keys = list(keys)
-    has_row_id = ROW_ID in ds.columns()
+    if input_columns is not None:
+        has_row_id = ROW_ID in input_columns
+    else:
+        sch = ds.schema(fetch_if_missing=False)
+        has_row_id = (ROW_ID in sch.names) if sch is not None \
+            else ROW_ID in ds.columns()
 
     # Fast path: an aggregate of a GROUP KEY column with a selection
     # aggregator is just the key itself — alias it instead of aggregating.
