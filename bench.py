@@ -132,7 +132,9 @@ def _run_audio_job(audio: str, timed, n_clips: int,
     from dataflows_ray.streaming.sink import ExactlyOnceSink
 
     def decode_agg():
-        ds = ray.data.read_parquet(audio)
+        # prune at the read: transcript / sr_hz etc. never reach this leg
+        ds = ray.data.read_parquet(audio, columns=[
+            "clip_id", "bytes", "codec", "speaker", "event_ms", "dur_ms"])
         # stateless decode tasks share CPUs elastically with the reads
         decoded = decode_stage(ds, spectral=True)
         agg = windowed_speaker_aggregate(
@@ -159,7 +161,7 @@ def _run_audio_job(audio: str, timed, n_clips: int,
     return timed("audio_stream_join", stream_join)
 
 
-SCALE_CLIPS = int(os.environ.get("SCALE_CLIPS", "600000"))
+SCALE_CLIPS = int(os.environ.get("SCALE_CLIPS", "1200000"))
 # keep the micro-batch COUNT roughly constant as the corpus grows (an
 # epoch is an arrival batch — batch size scales with stream throughput);
 # otherwise the serial per-epoch commit floor caps strong scaling

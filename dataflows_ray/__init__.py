@@ -63,6 +63,8 @@ from .functions.editdist import edit_distance
 from .functions.kmeans import kmeans_fit, kmeans_predict, kmeans_fit_predict
 from .functions.audio_ops import resample_stage, vad_stage
 from .stages.bloomjoin import bloom_semi_join
+from .functions.histq import hist_quantiles, histogram_counts
+from .functions.lmscore import unigram_logprob, term_counts
 from .sinks.dump import dump_to_path, dump_to_zip
 from .sinks.checkpoint import checkpoint
 from .sinks.stream_file import stream, unstream, parallelize
@@ -90,7 +92,8 @@ __all__ = [
     "analyze_text", "token_count_vectorized", "redact_patterns",
     "chunk_tokens", "edit_distance", "kmeans_fit", "kmeans_predict",
     "kmeans_fit_predict", "resample_stage", "vad_stage",
-    "bloom_semi_join",
+    "bloom_semi_join", "hist_quantiles", "histogram_counts",
+    "unigram_logprob", "term_counts",
     "grouped_aggregate", "dump_to_path", "dump_to_zip", "checkpoint",
     "stream", "unstream", "parallelize", "dump_to_sql",
 ]

@@ -150,3 +150,17 @@ def apply() -> None:
         except Exception:
             pass  # future Ray: internals moved; warnings return, not errors
     _APPLIED = True
+
+
+def cheap_columns(ds):
+    """Column names WITHOUT executing the plan when Ray can resolve the
+    schema from metadata (parquet footers, propagated projections).
+
+    ``Dataset.columns()`` on a lazy pipeline executes the upstream plan
+    to its first output block — in a multi-step Flow every step that
+    probes its input this way re-executes the whole upstream once, and
+    behind a heavy stage a single probe can cost seconds. Falls back to
+    the executing ``columns()`` only when the schema is genuinely
+    unknown (e.g. behind a schema-changing ``map_batches``)."""
+    sch = ds.schema(fetch_if_missing=False)
+    return list(sch.names) if sch is not None else ds.columns()

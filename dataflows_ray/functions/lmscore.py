@@ -1,0 +1,92 @@
+"""Unigram language-model surprisal scoring — the classic cheap
+"LM perplexity" quality filter for LLM corpus curation.
+
+Engine-defined (no reference equivalent). Two streaming passes:
+
+1. global term counts: tokenize (lowercase, non-word-run split — the
+   same RE2 dialect as the DuckDB oracle) and count each token across
+   the corpus with the engine's combining aggregate (partial counts per
+   block, one small shuffle of partials);
+2. per-doc score: broadcast the token -> count table once (``ray.put``;
+   vocabulary, not corpus, sized) and compute each document's total
+   surprisal sum(ln(count(tok)/N)) in one stateless ``map_batches``.
+
+Determinism contract: per-token surprisal is quantized to INTEGER
+micro-nats (round(ln(p) * 1e6)) and summed as int64, so the distributed
+sum is bit-identical regardless of partitioning or summation order —
+float accumulation order can never leak into the gate hash.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+_TOKEN_SPLIT = r"\W+"
+
+
+def _tokens(col) -> pa.ListArray:
+    low = pc.utf8_lower(col)
+    toks = pc.split_pattern_regex(low, pattern=_TOKEN_SPLIT)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks
+
+
+def term_counts(ds: ray.data.Dataset, text_col: str = "text"
+                ) -> ray.data.Dataset:
+    """(token, n) global counts — empty tokens (split artifacts) dropped."""
+    from ..stages.agg import grouped_aggregate
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks = _tokens(batch[text_col])
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        return pa.table({"token": flat})
+
+    exploded = ds.select_columns([text_col]).map_batches(
+        explode, batch_format="pyarrow", batch_size=None)
+    return grouped_aggregate(
+        exploded, ["token"],
+        [{"target": "n", "source": "token", "aggregate": "count"}],
+        input_columns=["token"])
+
+
+def unigram_logprob(ds: ray.data.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """(id, logprob_micronats, n_toks) per document with >= 1 token:
+    logprob_micronats = sum over tokens of round(ln(count/N) * 1e6) as
+    int64 — integer-exact under any distribution."""
+    counts = term_counts(ds, text_col).to_pandas()
+    n_total = int(counts["n"].sum())
+    # per-token micro-nat surprisal, precomputed once on the vocabulary
+    micro = np.round(np.log(counts["n"].to_numpy(dtype=np.float64)
+                            / n_total) * 1e6).astype(np.int64)
+    table_ref = ray.put((dict(zip(counts["token"], micro)),))
+
+    def score(batch: pa.Table) -> pa.Table:
+        (vocab,) = ray.get(table_ref) if isinstance(
+            table_ref, ray.ObjectRef) else table_ref
+        toks = _tokens(batch[text_col])
+        ids = batch[id_col]
+        out_id, out_lp, out_nt = [], [], []
+        for i, row in enumerate(toks.to_pylist()):
+            vals = [vocab[t] for t in row if t]
+            if not vals:
+                continue  # docs with no tokens are dropped (oracle joins)
+            out_id.append(ids[i].as_py())
+            out_lp.append(int(sum(vals)))
+            out_nt.append(len(vals))
+        return pa.table({
+            id_col: pa.array(out_id),
+            "logprob_micronats": pa.array(out_lp, type=pa.int64()),
+            "n_toks": pa.array(out_nt, type=pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", batch_size=None)

@@ -1967,6 +1967,66 @@ def q71_streaming_audio_resample(sf_dir: str):
         ["clip_id", "sr_out", "n_out", "rms_out"])
 
 
+def q72_hist_quantiles(sf_dir: str):
+    """Histogram-sketch approximate quantiles (functions.histq): fixed
+    4096-bin counts per block, elementwise-add merge — order-insensitive
+    and constant-memory, the 100-TB alternative to the exact shuffle
+    quantiles of q45. Result is deterministic (bin lower edge at the
+    ceil(q*N)-th rank), so the oracle is the same arithmetic in SQL."""
+    import pandas as pd
+    import ray.data
+    from ..functions.histq import hist_quantiles
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    rows = hist_quantiles(ds, "l_extendedprice", lo=0.0, hi=120000.0,
+                          qs=[0.5, 0.9, 0.99], nbins=4096)
+    return pd.DataFrame({"q": [r[0] for r in rows],
+                         "approx_value": [r[1] for r in rows]})
+
+
+Q72_SQL = """
+WITH b AS (
+  SELECT least(greatest(CAST(floor(l_extendedprice / (120000.0 / 4096))
+                        AS BIGINT), 0), 4095) AS bin, count(*) AS c
+  FROM lineitem GROUP BY 1),
+cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cc,
+               (SELECT count(*) FROM lineitem) AS n
+        FROM b)
+SELECT q, min(bin) * (120000.0 / 4096) AS approx_value
+FROM cum, (VALUES (0.5), (0.9), (0.99)) qs(q)
+WHERE cc >= ceil(q * n)
+GROUP BY q
+"""
+
+
+def q73_unigram_surprisal(sf_dir: str):
+    """Unigram LM surprisal per document (functions.lmscore): global
+    term counts (combining aggregate) -> broadcast vocabulary -> per-doc
+    integer micro-nat sum. The classic cheap perplexity-style quality
+    filter; integer quantization makes the distributed sum bit-exact.
+    Oracle: the same two-stage formulation in SQL."""
+    import ray.data
+    from ..functions.lmscore import unigram_logprob
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return unigram_logprob(ds)
+
+
+Q73_SQL = r"""
+WITH t AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(text), '\W+')) AS tok
+           FROM documents),
+t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+freq AS (SELECT tok, count(*) AS c FROM t2 GROUP BY tok),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+m AS (SELECT tok, CAST(round(ln(c / n) * 1000000) AS BIGINT) AS mn
+      FROM freq, tot)
+SELECT d.doc_id, CAST(sum(m.mn) AS BIGINT) AS logprob_micronats,
+       count(*) AS n_toks
+FROM t2 d JOIN m USING (tok) GROUP BY d.doc_id
+"""
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2039,6 +2099,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q69_vad_segments": q69_vad_segments,
     "q70_kmeans_embeddings": q70_kmeans_embeddings,
     "q71_streaming_audio_resample": q71_streaming_audio_resample,
+    "q72_hist_quantiles": q72_hist_quantiles,
+    "q73_unigram_surprisal": q73_unigram_surprisal,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2230,4 +2292,6 @@ ORDER BY image_id
     # q71 re-uses q68's independent sequential fixture: the streaming
     # engine must emit the same rows as the batch stage
     "q71_streaming_audio_resample": Q68_SQL,
+    "q72_hist_quantiles": Q72_SQL,
+    "q73_unigram_surprisal": Q73_SQL,
 }

@@ -31,6 +31,7 @@ import ray.data
 
 from ..core.flow import Step
 from ..core.package import PackageStream, select_resources
+from ..core.raycompat import cheap_columns
 
 
 def _xlsx_cell(v):
@@ -110,7 +111,7 @@ class dump_to_path(Step):
             ds = stream.get(rname)
             desc = stream.descriptor(rname)
             known = {f.get("name"): dict(f) for f in (desc.fields or [])}
-            fields = [known.get(c, {"name": c}) for c in ds.columns()]
+            fields = [known.get(c, {"name": c}) for c in cheap_columns(ds)]
             tmap = self._temporal_map(fields)
             if tmap and self.format in ("csv", "json"):
                 import pandas as pd
@@ -195,7 +196,7 @@ class dump_to_path(Step):
                 # — no openpyxl in this container. Streamed via
                 # iter_batches; the grid lives only long enough to zip.
                 from ..sources import spreadsheet as ss
-                cols = ds.columns()
+                cols = cheap_columns(ds)
                 grid = [list(cols)]
                 for b in ds.iter_batches(batch_format="pyarrow",
                                          batch_size=4096):

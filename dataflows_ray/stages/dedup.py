@@ -34,6 +34,7 @@ from ..core.flow import Step
 from ..core.package import PackageStream, select_resources
 from ..sources.load import ROW_ID
 from .agg import keyed_merge
+from ..core.raycompat import cheap_columns
 
 SALT = "__salt__"
 
@@ -95,7 +96,7 @@ class deduplicate(Step):
                 raise ValueError(
                     f"deduplicate: resource '{rname}' has no primary key; "
                     "pass keys= or set_primary_key first")
-            cols = ds.columns()
+            cols = cheap_columns(ds)
             order_col = ROW_ID if ROW_ID in cols else None
             # NOTE dedup_dataset binds keys/order_col per call — no loop
             # closure capture (UDFs are serialized lazily; a closure over

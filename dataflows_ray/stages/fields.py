@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 from ..core.flow import Step, DEFAULT_BATCH_SIZE
 from ..core.package import PackageStream, select_resources
+from ..core.raycompat import cheap_columns
 
 _INT_TYPES = (pa.int8(), pa.int16(), pa.int32(), pa.int64(),
               pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64())
@@ -234,7 +235,7 @@ class select_fields(Step):
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         for rname in select_resources(stream, self.resources):
             ds = stream.get(rname)
-            cols = ds.columns()
+            cols = cheap_columns(ds)
             keep = _expand_regex(self.patterns, cols)
             if not keep:
                 raise ValueError(
@@ -254,7 +255,7 @@ class delete_fields(Step):
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         for rname in select_resources(stream, self.resources):
             ds = stream.get(rname)
-            drop = _expand_regex(self.patterns, ds.columns())
+            drop = _expand_regex(self.patterns, cheap_columns(ds))
             if drop:
                 stream.set(rname, ds.drop_columns(drop))
         return stream
@@ -274,7 +275,7 @@ class rename_fields(Step):
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         for rname in select_resources(stream, self.resources):
             ds = stream.get(rname)
-            cols = ds.columns()
+            cols = cheap_columns(ds)
             mapping: Dict[str, str] = {}
             for pattern, repl in self.mapping_patterns.items():
                 rx = re.compile("^" + pattern + "$")

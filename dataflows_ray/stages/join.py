@@ -41,6 +41,7 @@ import ray.data
 
 from ..core.flow import Step, DEFAULT_BATCH_SIZE
 from ..core.package import PackageStream
+from ..core.raycompat import cheap_columns
 from ..sources.load import ROW_ID
 from .agg import grouped_aggregate, HOLISTIC
 
@@ -173,11 +174,11 @@ class join(Step):
 
     # -- aggregation of the source side ----------------------------------
     def _aggregate_source(self, source: ray.data.Dataset, columnar: bool):
-        fields = _expand_star(_fix_fields(dict(self.fields)), source.columns())
+        fields = _expand_star(_fix_fields(dict(self.fields)), cheap_columns(source))
         # reference join.py (test_join_preserve_source_fields_order):
         # joined fields attach in SOURCE SCHEMA order, not spec order;
         # targets not mapped to a source column keep their order at the end
-        src_order = {c: i for i, c in enumerate(source.columns())}
+        src_order = {c: i for i, c in enumerate(cheap_columns(source))}
         fields = dict(sorted(
             fields.items(),
             key=lambda kv: src_order.get(kv[1]["name"], len(src_order))))
@@ -202,12 +203,12 @@ class join(Step):
         # '{#}' (1-based row number) keys work transparently as in the
         # reference (join.py:19-22): attach a global __row_id__ if the
         # side doesn't carry one yet
-        if self.source_key.uses_row_number and ROW_ID not in source.columns():
+        if self.source_key.uses_row_number and ROW_ID not in cheap_columns(source):
             source = _attach_row_ids(source)
         target_rid_attached = False
         if (target is not None and self.target_key is not None
                 and self.target_key.uses_row_number
-                and ROW_ID not in target.columns()):
+                and ROW_ID not in cheap_columns(target)):
             target = _attach_row_ids(target)
             target_rid_attached = True
         columnar = self._columnar()
@@ -352,7 +353,7 @@ def _shuffle_join_cols(target: ray.data.Dataset, agg: ray.data.Dataset,
     if num_partitions is None:
         ncpu = int(ray.cluster_resources().get("CPU", 4))
         num_partitions = max(2, min(32, ncpu))
-    tgt_cols = target.columns()
+    tgt_cols = cheap_columns(target)
     clash = [c for c in field_names if c in tgt_cols]
     joined = target.join(agg, join_type=join_type,
                          num_partitions=num_partitions,
@@ -399,7 +400,7 @@ def _shuffle_join(keyed_target: ray.data.Dataset, agg: ray.data.Dataset,
     # Drop clashing non-key columns from the target (the source aggregate
     # wins for its field names — join.py:245 row.update(extra) semantics
     # apply only on hit; for shuffle path we suffix and coalesce).
-    tgt_cols = keyed_target.columns()
+    tgt_cols = cheap_columns(keyed_target)
     clash = [c for c in field_names if c in tgt_cols]
     joined = keyed_target.join(
         agg, join_type=join_type, num_partitions=num_partitions,

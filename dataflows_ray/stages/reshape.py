@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 from ..core.flow import Flow, Step, DEFAULT_BATCH_SIZE
 from ..core.package import PackageStream, select_resources
+from ..core.raycompat import cheap_columns
 
 
 class unpivot(Step):
@@ -42,7 +43,7 @@ class unpivot(Step):
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         for rname in select_resources(stream, self.resources):
             ds = stream.get(rname)
-            cols = ds.columns()
+            cols = cheap_columns(ds)
             melt: List[Dict[str, Any]] = []  # [{'name': col, 'keys': {...}}]
             keep = list(cols)
             for u in self.unpivot_fields:
@@ -171,7 +172,7 @@ class concatenate(Step):
         parts = []
         for rname in matched:
             ds = stream.get(rname)
-            cols = ds.columns()
+            cols = cheap_columns(ds)
             local_map = {c: mapping[c] for c in cols if c in mapping}
 
             def fn(batch: pa.Table, local_map=local_map) -> pa.Table:

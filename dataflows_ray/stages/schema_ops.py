@@ -32,6 +32,7 @@ import pyarrow as pa
 from ..core.exceptions import ValidationError
 from ..core.flow import Step, DEFAULT_BATCH_SIZE
 from ..core.package import PackageStream, select_resources
+from ..core.raycompat import cheap_columns
 
 _BOOL_TRUE = {"true", "True", "TRUE", "1", "yes", "t"}
 _BOOL_FALSE = {"false", "False", "FALSE", "0", "no", "f"}
@@ -321,7 +322,7 @@ class set_type(Step):
         fmt = self.options.get("format")
         for rname in select_resources(stream, self.resources):
             ds = stream.get(rname)
-            cols = ds.columns()
+            cols = cheap_columns(ds)
             if self.regex:
                 rx = re.compile("^" + self.pattern + "$")
                 matched = [c for c in cols if rx.match(c)]

@@ -23,6 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from .agg import keyed_merge, _collect_nonempty_refs
+from ..core.raycompat import cheap_columns
 
 _SIDE = "__setop_side__"
 
@@ -91,10 +92,10 @@ def grouped_top_k(ds: ray.data.Dataset, group_cols: List[str],
 
 def _set_op(left: ray.data.Dataset, right: ray.data.Dataset,
             op: str) -> ray.data.Dataset:
-    cols = left.columns()
-    if right.columns() != cols:
+    cols = cheap_columns(left)
+    if cheap_columns(right) != cols:
         raise ValueError(f"set op requires identical schemas: "
-                         f"{cols} vs {right.columns()}")
+                         f"{cols} vs {cheap_columns(right)}")
 
     def tag(side: int):
         def fn(t: pa.Table, side=side) -> pa.Table:

@@ -24,6 +24,7 @@ import pyarrow as pa
 from ..core.flow import Step, DEFAULT_BATCH_SIZE
 from ..core.package import PackageStream, select_resources
 from ..sources.load import ROW_ID
+from ..core.raycompat import cheap_columns
 
 SORT_KEY = "__sort_key__"
 
@@ -39,7 +40,7 @@ class sort_rows(Step):
     def __flow_step__(self, stream: PackageStream) -> PackageStream:
         for rname in select_resources(stream, self.resources):
             ds = stream.get(rname)
-            cols = ds.columns()
+            cols = cheap_columns(ds)
             key = self.key
             if isinstance(key, str):
                 fields = re.findall(r"\{(.*?)\}", key)

@@ -929,3 +929,44 @@ def test_kmeans_recovers_planted_clusters():
         assert len(set(got[truth == t])) == 1
     assert len(set(got)) == 4
     assert C.shape == (4, 8)
+
+
+def test_hist_quantiles_matches_exact_within_bin():
+    from dataflows_ray.functions.histq import hist_quantiles
+    rng = np.random.default_rng(9)
+    vals = rng.uniform(0, 1000, 5000)
+    ds = ray.data.from_items([{"v": float(v)} for v in vals]).repartition(8)
+    out = hist_quantiles(ds, "v", lo=0.0, hi=1000.0,
+                         qs=[0.1, 0.5, 0.9], nbins=2000)
+    w = 1000.0 / 2000
+    for q, approx in out:
+        exact = np.quantile(vals, q)
+        assert abs(approx - exact) <= 2 * w  # one-bin error bound
+    # merge determinism: a different partitioning gives identical bins
+    out2 = hist_quantiles(ds.repartition(3), "v", lo=0.0, hi=1000.0,
+                          qs=[0.1, 0.5, 0.9], nbins=2000)
+    assert out == out2
+
+
+def test_unigram_logprob_matches_sequential():
+    import math
+    from collections import Counter
+    from dataflows_ray.functions.lmscore import unigram_logprob
+    rows = [{"doc_id": 0, "text": "the cat sat on the mat"},
+            {"doc_id": 1, "text": "The CAT! ran."},
+            {"doc_id": 2, "text": ""},            # no tokens -> dropped
+            {"doc_id": 3, "text": "dog dog dog"}]
+    out = unigram_logprob(ray.data.from_items(rows).repartition(3))
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # sequential reference
+    import re as _re
+    toks = {r["doc_id"]: [t for t in _re.split(r"\W+", r["text"].lower())
+                          if t] for r in rows}
+    freq = Counter(t for ts in toks.values() for t in ts)
+    n = sum(freq.values())
+    assert df["doc_id"].tolist() == [0, 1, 3]
+    for _, r in df.iterrows():
+        expect = sum(round(math.log(freq[t] / n) * 1e6)
+                     for t in toks[r["doc_id"]])
+        assert r["logprob_micronats"] == expect
+        assert r["n_toks"] == len(toks[r["doc_id"]])
