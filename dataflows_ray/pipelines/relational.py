@@ -2027,6 +2027,54 @@ FROM t2 d JOIN m USING (tok) GROUP BY d.doc_id
 """
 
 
+def q74_speaker_transcripts(sf_dir: str):
+    """Per-speaker training-document assembly: every speaker's clip
+    transcripts concatenated in event order — the audio-corpus -> text
+    corpus step of an ASR data pipeline. One hash shuffle on speaker
+    (``groupby().map_groups``); order inside the group is made
+    deterministic by the (event_ms, clip_id) sort. Oracle: DuckDB
+    string_agg(... ORDER BY)."""
+    import pandas as pd
+    import ray.data
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["event_ms", "clip_id"])
+        return pd.DataFrame({
+            "speaker": [df["speaker"].iloc[0]],
+            "n_clips": [len(df)],
+            "full_transcript": [" ".join(df["transcript"])],
+        })
+
+    ds = ray.data.read_parquet(
+        _audio_path(sf_dir),
+        columns=["speaker", "transcript", "event_ms", "clip_id"])
+    return ds.groupby("speaker").map_groups(assemble, batch_format="pandas")
+
+
+def q75_cluster_lang_profile(sf_dir: str):
+    """Curation composition: k-means cluster assignments (q70's operator,
+    computed live) joined back to document metadata, profiled as docs per
+    (cluster, lang). embeddings.vec_id and documents.doc_id share the id
+    space by construction of the test tables. Oracle: the committed q70
+    fixture joined to documents in SQL — the join/aggregate layer is
+    checked on top of the already-gated clustering."""
+    import ray.data
+    from ..functions.kmeans import kmeans_fit_predict
+    from ..stages.agg import grouped_aggregate
+    vecs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+    _, assigned = kmeans_fit_predict(vecs, k=10, iters=5)
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang"])
+    joined = assigned.join(
+        docs, join_type="inner", num_partitions=4,
+        on=("vec_id",), right_on=("doc_id",))
+    return grouped_aggregate(
+        joined, ["cluster", "lang"],
+        [{"target": "n_docs", "source": "lang", "aggregate": "count"}],
+        input_columns=["vec_id", "cluster", "doc_id", "lang"])
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2101,6 +2149,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q71_streaming_audio_resample": q71_streaming_audio_resample,
     "q72_hist_quantiles": q72_hist_quantiles,
     "q73_unigram_surprisal": q73_unigram_surprisal,
+    "q74_speaker_transcripts": q74_speaker_transcripts,
+    "q75_cluster_lang_profile": q75_cluster_lang_profile,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2294,4 +2344,16 @@ ORDER BY image_id
     "q71_streaming_audio_resample": Q68_SQL,
     "q72_hist_quantiles": Q72_SQL,
     "q73_unigram_surprisal": Q73_SQL,
+    "q74_speaker_transcripts": f"""
+SELECT speaker, count(*) AS n_clips,
+       string_agg(transcript, ' ' ORDER BY event_ms, clip_id)
+           AS full_transcript
+FROM read_parquet('{_AUDIO}') GROUP BY speaker
+""",
+    "q75_cluster_lang_profile": f"""
+SELECT k.cluster, d.lang, count(*) AS n_docs
+FROM read_parquet('{_FIX}/q70_kmeans_embeddings.parquet') k
+JOIN documents d ON k.vec_id = d.doc_id
+GROUP BY k.cluster, d.lang
+""",
 }
