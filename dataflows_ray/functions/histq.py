@@ -38,10 +38,23 @@ def histogram_counts(ds: ray.data.Dataset, col: str, lo: float, hi: float,
         return pa.table({"counts": pa.array([counts.tobytes()],
                                             type=pa.large_binary())})
 
+    def add_merge(batch: pa.Table) -> pa.Table:
+        # per-partition pre-reduce: the driver merges at most
+        # num_partitions count vectors, not one per block
+        acc = np.zeros(nbins, dtype=np.int64)
+        for raw in batch["counts"].to_pylist():
+            acc += np.frombuffer(raw, dtype=np.int64)
+        return pa.table({"counts": pa.array([acc.tobytes()],
+                                            type=pa.large_binary())})
+
+    reduced = (ds.select_columns([col])
+               .map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)
+               .repartition(8)
+               .map_batches(add_merge, batch_format="pyarrow",
+                            batch_size=None))
     total = np.zeros(nbins, dtype=np.int64)
-    for b in (ds.select_columns([col])
-              .map_batches(partial, batch_format="pyarrow", batch_size=None)
-              .iter_batches(batch_format="pyarrow", batch_size=None)):
+    for b in reduced.iter_batches(batch_format="pyarrow", batch_size=None):
         for raw in b["counts"].to_pylist():
             total += np.frombuffer(raw, dtype=np.int64)
     return total

@@ -74,14 +74,28 @@ def build_bloom(small: ray.data.Dataset, key: str,
         return pa.table({"bits": pa.array([uniq.tobytes()],
                                           type=pa.large_binary())})
 
-    filt = np.zeros(num_bits >> 3, dtype=np.uint8)
-    for b in (small.select_columns([key])
-              .map_batches(partial, batch_format="pyarrow", batch_size=None)
-              .iter_batches(batch_format="pyarrow", batch_size=None)):
-        for raw in b["bits"].to_pylist():
+    def or_merge(batch: pa.Table) -> pa.Table:
+        """Combine a partition's partials into ONE dense bit array, so
+        the driver merges at most num_partitions arrays — not one per
+        block (at 100-TB block counts a flat driver merge would move
+        blocks x num_bits/8 bytes through the driver)."""
+        acc = np.zeros(num_bits >> 3, dtype=np.uint8)
+        for raw in batch["bits"].to_pylist():
             idx = np.frombuffer(raw, dtype=np.uint64)
-            np.bitwise_or.at(filt, (idx >> np.uint64(3)).astype(np.int64),
+            np.bitwise_or.at(acc, (idx >> np.uint64(3)).astype(np.int64),
                              (1 << (idx & np.uint64(7))).astype(np.uint8))
+        return pa.table({"dense": pa.array([acc.tobytes()],
+                                           type=pa.large_binary())})
+
+    partials = (small.select_columns([key])
+                .map_batches(partial, batch_format="pyarrow",
+                             batch_size=None))
+    reduced = partials.repartition(8).map_batches(
+        or_merge, batch_format="pyarrow", batch_size=None)
+    filt = np.zeros(num_bits >> 3, dtype=np.uint8)
+    for b in reduced.iter_batches(batch_format="pyarrow", batch_size=None):
+        for raw in b["dense"].to_pylist():
+            filt |= np.frombuffer(raw, dtype=np.uint8)
     return filt
 
 
