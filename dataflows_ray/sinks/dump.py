@@ -77,13 +77,18 @@ class dump_to_path(Step):
                  resources=None, add_filehash: bool = False,
                  min_rows_per_file: Optional[int] = None, readback: bool = True,
                  temporal_format_property: Optional[str] = None,
-                 use_titles: bool = False):
+                 use_titles: bool = False,
+                 partition_by: Optional[list] = None):
         self.out_path = out_path
         self.format = format
         self.resources = resources
         self.add_filehash = add_filehash
         self.min_rows_per_file = min_rows_per_file
         self.readback = readback
+        # hive-style partitioned parquet output (one directory per
+        # partition value): the resumable-output shape for 100-TB runs —
+        # a failed run skips finished partitions, consumers prune at read
+        self.partition_by = list(partition_by) if partition_by else None
         # reference dumpers/file_dumper.py:34-35 + formats/base.py:43-46:
         # serialize temporal fields with the strftime format stored under
         # this field-descriptor property, and record it as the dumped
@@ -139,6 +144,8 @@ class dump_to_path(Step):
                 kwargs = {}
                 if self.min_rows_per_file:
                     kwargs["min_rows_per_file"] = self.min_rows_per_file
+                if self.partition_by:
+                    kwargs["partition_cols"] = self.partition_by
                 ds.write_parquet(staged, **kwargs)
             elif self.format == "csv":
                 ds.write_csv(staged)
@@ -222,7 +229,34 @@ class dump_to_path(Step):
                 {f"{k}__{rname}": v for k, v in stats.items() if k != "hashes"})
             if self.format == "parquet" and self.readback:
                 # read back: downstream consumers don't recompute upstream
-                stream.set(rname, ray.data.read_parquet(res_dir))
+                rb = ray.data.read_parquet(res_dir)
+                if self.partition_by:
+                    # hive partition columns read back as strings; restore
+                    # the original Arrow types from the pre-dump schema
+                    types = {}
+                    sch = ds.schema(fetch_if_missing=False)
+                    if sch is not None:
+                        base = getattr(sch, "base_schema", None)
+                        if base is not None:
+                            types = {n: t for n, t in zip(base.names,
+                                                          base.types)}
+
+                    part_cols = list(self.partition_by)
+
+                    def restore(batch, types=types, cols=part_cols):
+                        import pyarrow.compute as _pc
+                        for c in cols:
+                            if c in types and c in batch.column_names and \
+                                    batch.schema.field(c).type != types[c]:
+                                i = batch.column_names.index(c)
+                                batch = batch.set_column(
+                                    i, c, _pc.cast(batch[c], types[c]))
+                        return batch
+
+                    if types:
+                        rb = rb.map_batches(restore, batch_format="pyarrow",
+                                            batch_size=None)
+                stream.set(rname, rb)
         # atomic manifest write
         tmp = os.path.join(self.out_path, "datapackage.json.tmp")
         with open(tmp, "w") as f:

@@ -350,3 +350,38 @@ def test_dump_to_sql_with_indexes(tmp_path):
         "AND tbl_name='output_table'").fetchall()
     assert idx
     assert con.execute("SELECT count(*) FROM output_table").fetchone()[0] == 2
+
+
+def test_dump_to_path_partition_by(tmp_path):
+    import os
+    import duckdb
+    from dataflows_ray import Flow, iterable_loader, dump_to_path
+    rows = [{"k": i % 3, "v": i} for i in range(30)]
+    out = str(tmp_path / "part_out")
+    Flow(
+        iterable_loader(rows, name="t"),
+        dump_to_path(out, format="parquet", partition_by=["k"]),
+    ).process()
+    # hive layout: one directory per k value
+    dirs = sorted(d for d in os.listdir(os.path.join(out, "t"))
+                  if d.startswith("k="))
+    assert dirs == ["k=0", "k=1", "k=2"]
+    got = duckdb.sql(
+        f"SELECT CAST(k AS BIGINT) k, v FROM read_parquet('{out}/t/*/*.parquet', hive_partitioning=1) ORDER BY v"
+    ).fetchdf()
+    assert got["v"].tolist() == list(range(30))
+    assert got["k"].tolist() == [i % 3 for i in range(30)]
+
+
+def test_dump_to_path_partition_by_readback_types(tmp_path):
+    from dataflows_ray import Flow, iterable_loader, dump_to_path
+    rows = [{"k": i % 2, "v": float(i)} for i in range(10)]
+    out = str(tmp_path / "part_rb")
+    dss = Flow(
+        iterable_loader(rows, name="t"),
+        dump_to_path(out, format="parquet", partition_by=["k"]),
+    ).datasets()
+    df = dss.get("t").to_pandas().sort_values("v").reset_index(drop=True)
+    # readback restored the partition column's integer type
+    assert df["k"].tolist() == [i % 2 for i in range(10)]
+    assert str(df["k"].dtype).startswith("int")
