@@ -148,3 +148,78 @@ def test_exact_quantiles_property(data):
     s = np.sort(np.asarray(vals, dtype=np.float64))
     exp = [float(s[min(n - 1, max(0, math.ceil(q * n) - 1))]) for q in qs]
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.data())
+def test_levenshtein_property(data):
+    """Kernel vs textbook DP on arbitrary unicode-ish strings, plus the
+    metric axioms (identity, symmetry, length lower bound)."""
+    from dataflows_ray.functions.editdist import levenshtein_pair
+    alphabet = st.sampled_from(list("abcABC 日本х"))
+    a = "".join(data.draw(st.lists(alphabet, max_size=20)))
+    b = "".join(data.draw(st.lists(alphabet, max_size=20)))
+
+    def naive(x, y):
+        d = list(range(len(y) + 1))
+        for i in range(1, len(x) + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, len(y) + 1):
+                cur = min(d[j] + 1, d[j - 1] + 1,
+                          prev + (x[i - 1] != y[j - 1]))
+                prev, d[j] = d[j], cur
+        return d[len(y)]
+
+    dist = levenshtein_pair(a, b)
+    assert dist == naive(a, b)
+    assert dist == levenshtein_pair(b, a)
+    assert levenshtein_pair(a, a) == 0
+    assert dist >= abs(len(a) - len(b))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.data())
+def test_resample_linear_properties(data):
+    """n_out formula, output bounds within input min/max (linear interp
+    never overshoots), and identity at equal rates."""
+    from dataflows_ray.functions.audio_ops import resample_linear
+    n = data.draw(st.integers(min_value=2, max_value=500))
+    sr_in = data.draw(st.sampled_from([8000, 11025, 16000, 22050]))
+    sr_out = data.draw(st.sampled_from([8000, 11025, 16000, 22050]))
+    x = np.asarray(data.draw(st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=n, max_size=n)), dtype=np.int16)
+    y = resample_linear(x, sr_in, sr_out)
+    if sr_in == sr_out:
+        assert y.tolist() == x.tolist()
+    else:
+        assert len(y) == (n - 1) * sr_out // sr_in + 1
+    assert y.min() >= x.min() and y.max() <= x.max() + 1  # +1: round-up
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_bloom_no_false_negatives_property(data):
+    """Membership after build must hold for EVERY inserted key, for any
+    key set and any (even adversarially small) filter size."""
+    from dataflows_ray.stages.bloomjoin import (
+        _hash_column, _bit_positions)
+    import pyarrow as pa
+    keys = data.draw(st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                              min_size=1, max_size=200, unique=True))
+    num_bits = data.draw(st.sampled_from([64, 1024, 1 << 16]))
+    k = data.draw(st.integers(min_value=1, max_value=6))
+    col = pa.array(keys, type=pa.int64())
+    pos = _bit_positions(_hash_column(col), k, num_bits)
+    filt = np.zeros(num_bits >> 3, dtype=np.uint8)
+    idx = np.unique(pos.ravel()).astype(np.uint64)
+    np.bitwise_or.at(filt, (idx >> np.uint64(3)).astype(np.int64),
+                     (1 << (idx & np.uint64(7))).astype(np.uint8))
+    # probe the same keys: every bit must be set
+    pos2 = _bit_positions(_hash_column(col), k, num_bits)
+    hit = np.ones(len(keys), dtype=bool)
+    for i in range(k):
+        byte = filt[(pos2[i] >> np.uint64(3)).astype(np.int64)]
+        hit &= (((byte >> (pos2[i] & np.uint64(7)).astype(np.uint8))
+                 & np.uint8(1)) == 1)
+    assert hit.all()
