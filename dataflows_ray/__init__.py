@@ -50,7 +50,8 @@ from .stages.setops import (
     detect_sequence)
 from .stages.agg import grouped_aggregate, rollup_aggregate
 from .stages.analytic import keyed_window
-from .stages.sampling import hash_sample, stratified_sample
+from .stages.sampling import (hash_sample, stratified_sample,
+    train_val_test_split)
 from .stages.semijoin import semi_join_ids
 from .stages.reshape import unnest_list
 from .functions.quantiles import exact_quantiles, grouped_exact_quantile
@@ -84,7 +85,7 @@ __all__ = [
     "sort_rows", "deduplicate", "join", "join_with_self", "asof_join",
     "range_join", "top_k", "grouped_top_k", "set_intersect",
     "set_except", "pivot_table", "detect_sequence", "keyed_window",
-    "hash_sample", "stratified_sample", "semi_join_ids", "unnest_list",
+    "hash_sample", "stratified_sample", "train_val_test_split", "semi_join_ids", "unnest_list",
     "exact_quantiles", "grouped_exact_quantile", "connected_components",
     "dedup_by_components", "rollup_aggregate",
     "exact_dedup", "minhash_dedup", "ngram_jaccard_dedup",

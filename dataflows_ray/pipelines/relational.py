@@ -2075,6 +2075,31 @@ def q75_cluster_lang_profile(sf_dir: str):
         input_columns=["vec_id", "cluster", "doc_id", "lang"])
 
 
+def q76_train_val_split(sf_dir: str):
+    """Deterministic hash-based train/val/test split
+    (stages.sampling.train_val_test_split): md5-anchored uniform draw per
+    id, disjoint + exhaustive, no shuffle, reproducible by any system —
+    which is exactly how the oracle checks it (DuckDB md5 + the same hex
+    arithmetic)."""
+    import ray.data
+    from ..stages.sampling import train_val_test_split
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    return train_val_test_split(ds)
+
+
+Q76_SQL = """
+SELECT doc_id, n_chars,
+       CASE WHEN u < 0.8 THEN 'train'
+            WHEN u < 0.9 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, n_chars,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM documents)
+"""
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2151,6 +2176,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q73_unigram_surprisal": q73_unigram_surprisal,
     "q74_speaker_transcripts": q74_speaker_transcripts,
     "q75_cluster_lang_profile": q75_cluster_lang_profile,
+    "q76_train_val_split": q76_train_val_split,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2356,4 +2382,5 @@ FROM read_parquet('{_FIX}/q70_kmeans_embeddings.parquet') k
 JOIN documents d ON k.vec_id = d.doc_id
 GROUP BY k.cluster, d.lang
 """,
+    "q76_train_val_split": Q76_SQL,
 }

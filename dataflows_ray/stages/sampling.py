@@ -61,3 +61,34 @@ def stratified_sample(ds: ray.data.Dataset, strata_cols: List[str],
     from .setops import grouped_top_k
     return grouped_top_k(ds, list(strata_cols), list(order_cols),
                          n_per_stratum, descending=False)
+
+
+def train_val_test_split(ds, id_col: str = "doc_id",
+                         weights=(0.8, 0.1, 0.1),
+                         names=("train", "val", "test"),
+                         target: str = "split"):
+    """Deterministic hash-based dataset split — the standard
+    train/val/test assignment for corpus curation: stable across runs,
+    machines and languages (md5 of the stringified id, first 8 hex chars
+    as a uniform draw in [0,1)), disjoint and exhaustive by construction,
+    and requiring no shuffle or global state. The md5 anchor makes the
+    assignment reproducible by ANY system (SQL, Spark, pandas) — unlike
+    process-seeded RNGs or engine-private hashes."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    cum = np.cumsum(weights) / float(sum(weights))
+    labels = list(names)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        out = []
+        for v in ids:
+            u = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) \
+                / 4294967296.0
+            out.append(labels[int(np.searchsorted(cum, u, side="right"))])
+        return batch.append_column(target, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
