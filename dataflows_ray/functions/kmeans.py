@@ -52,7 +52,19 @@ def kmeans_fit(ds: ray.data.Dataset, k: int = 8, iters: int = 5,
                vec_col: str = "embedding", id_col: str = "vec_id"
                ) -> np.ndarray:
     """Fixed-iteration Lloyd's: returns the (k, d) centroid matrix."""
-    rows = ds.select_columns([id_col, vec_col]).sort(id_col).take(k)
+    import pyarrow.compute as pc
+
+    # init = embeddings of the k smallest ids, WITHOUT a global sort:
+    # each block contributes its local bottom-k (k rows per block move,
+    # never the corpus), the driver merges k x blocks candidate rows
+    def block_bottomk(batch: pa.Table) -> pa.Table:
+        t = pa.table({id_col: batch[id_col], vec_col: batch[vec_col]})
+        order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        return t.take(order[:k])
+
+    cand = ds.select_columns([id_col, vec_col]).map_batches(
+        block_bottomk, batch_format="pyarrow", batch_size=None)
+    rows = sorted(cand.take_all(), key=lambda r: r[id_col])[:k]
     C = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     C = np.round(C, 6)
 

@@ -76,7 +76,7 @@ def unigram_logprob(ds: ray.data.Dataset, text_col: str = "text",
         ids = batch[id_col]
         out_id, out_lp, out_nt = [], [], []
         for i, row in enumerate(toks.to_pylist()):
-            vals = [vocab[t] for t in row if t]
+            vals = [vocab[t] for t in (row or []) if t]
             if not vals:
                 continue  # docs with no tokens are dropped (oracle joins)
             out_id.append(ids[i].as_py())

@@ -364,8 +364,11 @@ def cosine_verify_pairs(ds: ray.data.Dataset, cand: ray.data.Dataset,
         ids_a.union(ids_b), [id_col],
         [{"target": "__n__", "source": id_col, "aggregate": "count"}]
     ).select_columns([id_col])
+    # materialized: both pack branches below consume `need`, and without
+    # pinning it the whole semi-join lineage (corpus scan + distinct +
+    # join) would execute twice — the dominant cost on the scale path
     need = semi_join_ids(ds.select_columns([id_col, vec_col]), cand_ids,
-                         id_col)
+                         id_col).materialize()
 
     # two independent pack stages (not one + rename) so every block a
     # join consumes carries ONE schema

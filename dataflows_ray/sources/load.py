@@ -481,10 +481,18 @@ class load(Step):
                     mode="wb", suffix=".csv", delete=False)
                 tmp.write(csv_bytes)
                 tmp.close()
-                sub = load(tmp.name, name=self.resource_name, format="csv",
-                           infer_strategy=self.infer_strategy,
-                           cast_strategy=self.cast_strategy)
-                return sub._read()
+                try:
+                    sub = load(tmp.name, name=self.resource_name,
+                               format="csv",
+                               infer_strategy=self.infer_strategy,
+                               cast_strategy=self.cast_strategy)
+                    # ray.data.read_csv is LAZY (it would re-open the
+                    # file at execution time) — materialize while the
+                    # temp file still exists, then delete it; a sheet is
+                    # driver-memory sized by definition
+                    return sub._read().materialize()
+                finally:
+                    os.unlink(tmp.name)
             rows = []
             if grid:
                 header = [str(h) for h in grid[0]]

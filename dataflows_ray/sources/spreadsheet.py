@@ -41,6 +41,29 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 Rows = List[List[Any]]
 
 # ---------------------------------------------------------------------------
+def _sheet_key(sheet) -> tuple:
+    """Normalize a sheet selector: None -> first sheet; an int or a
+    digit string -> 1-based index (the tabulator convention the
+    reference's users expect); anything else -> exact name match.
+    Returns ("index", i) / ("name", s) / ("first", None)."""
+    if sheet is None:
+        return ("first", None)
+    if isinstance(sheet, int):
+        return ("index", sheet)
+    if isinstance(sheet, str) and sheet.isdigit():
+        return ("index", int(sheet))
+    return ("name", sheet)
+
+
+def _sheet_matches(key: tuple, name, idx1: int) -> bool:
+    kind, val = key
+    if kind == "first":
+        return idx1 == 1
+    if kind == "index":
+        return idx1 == val
+    return name == val
+
+
 # xlsx (ECMA-376 SpreadsheetML)
 # ---------------------------------------------------------------------------
 
@@ -69,8 +92,9 @@ def read_xlsx(path: str, sheet: Optional[str] = None) -> Rows:
             r.get("Id"): r.get("Target")
             for r in rels.findall(f"{{{_NS_PKGREL}}}Relationship")}
         target = None
-        for sh in wb.find(f"{{{_NS_MAIN}}}sheets"):
-            if sheet is None or sh.get("name") == sheet:
+        key = _sheet_key(sheet)
+        for _i, sh in enumerate(wb.find(f"{{{_NS_MAIN}}}sheets"), 1):
+            if _sheet_matches(key, sh.get("name"), _i):
                 target = rel_target[sh.get(f"{{{_NS_REL}}}id")]
                 break
         if target is None:
@@ -205,8 +229,9 @@ def read_ods(path: str, sheet: Optional[str] = None) -> Rows:
         content = ET.fromstring(zf.read("content.xml"))
     tables = content.iter(f"{{{_NS_TABLE}}}table")
     table = None
-    for t in tables:
-        if sheet is None or t.get(f"{{{_NS_TABLE}}}name") == sheet:
+    key = _sheet_key(sheet)
+    for _i, t in enumerate(tables, 1):
+        if _sheet_matches(key, t.get(f"{{{_NS_TABLE}}}name"), _i):
             table = t
             break
     if table is None:
@@ -299,8 +324,9 @@ def read_excel_xml(path: str, sheet: Optional[str] = None) -> Rows:
     concatenated) with typed Data variants honored."""
     root = ET.parse(path).getroot()
     table = None
-    for ws in root.iter(f"{{{_NS_SS}}}Worksheet"):
-        if sheet is None or ws.get(f"{{{_NS_SS}}}Name") == sheet:
+    key = _sheet_key(sheet)
+    for _i, ws in enumerate(root.iter(f"{{{_NS_SS}}}Worksheet"), 1):
+        if _sheet_matches(key, ws.get(f"{{{_NS_SS}}}Name"), _i):
             table = ws.find(f"{{{_NS_SS}}}Table")
             break
     if table is None:
@@ -572,8 +598,9 @@ def read_xls(path: str, sheet: Optional[str] = None) -> Rows:
             sheets.append((off, nm))
     if not sheets:
         raise ValueError("xls: no sheets")
-    want = next(((off, nm) for off, nm in sheets
-                 if sheet is None or nm == sheet), None)
+    key = _sheet_key(sheet)
+    want = next(((off, nm) for _i, (off, nm) in enumerate(sheets, 1)
+                 if _sheet_matches(key, nm, _i)), None)
     if want is None:
         raise ValueError(f"xls: sheet {sheet!r} not found")
     start_idx = by_pos.get(want[0])
