@@ -2031,24 +2031,19 @@ def q74_speaker_transcripts(sf_dir: str):
     """Per-speaker training-document assembly: every speaker's clip
     transcripts concatenated in event order — the audio-corpus -> text
     corpus step of an ASR data pipeline. One hash shuffle on speaker
-    (``groupby().map_groups``); order inside the group is made
-    deterministic by the (event_ms, clip_id) sort. Oracle: DuckDB
-    string_agg(... ORDER BY)."""
-    import pandas as pd
+    (``ordered_group_concat``: keyed exchange + ONE vectorized pandas
+    sort/groupby per partition, not one Python task per group); order
+    inside the group is made deterministic by the (event_ms, clip_id)
+    sort. Oracle: DuckDB string_agg(... ORDER BY)."""
     import ray.data
-
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["event_ms", "clip_id"])
-        return pd.DataFrame({
-            "speaker": [df["speaker"].iloc[0]],
-            "n_clips": [len(df)],
-            "full_transcript": [" ".join(df["transcript"])],
-        })
+    from ..stages.agg import ordered_group_concat
 
     ds = ray.data.read_parquet(
         _audio_path(sf_dir),
         columns=["speaker", "transcript", "event_ms", "clip_id"])
-    return ds.groupby("speaker").map_groups(assemble, batch_format="pandas")
+    return ordered_group_concat(
+        ds, "speaker", ["event_ms", "clip_id"], "transcript",
+        out_col="full_transcript", count_col="n_clips")
 
 
 def q75_cluster_lang_profile(sf_dir: str):

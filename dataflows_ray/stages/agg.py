@@ -191,6 +191,39 @@ def keyed_merge(ds: ray.data.Dataset, keys: List[str],
                                  batch_size=None)
 
 
+def ordered_group_concat(ds: ray.data.Dataset, key: str,
+                         order_by: Sequence[str], col: str,
+                         sep: str = " ", out_col: str = "concat",
+                         count_col: Optional[str] = None
+                         ) -> ray.data.Dataset:
+    """Ordered string aggregation (SQL ``string_agg(col, sep ORDER BY
+    order_by)`` grouped by ``key``) in the keyed-exchange shape: ONE hash
+    shuffle on ``key`` via :func:`keyed_merge`, then ONE vectorized pandas
+    sort + groupby per partition — not one Python task per group (Ray's
+    ``groupby().map_groups`` costs ~1.5 ms/group in its reduce, which is
+    minutes at 150k groups; see BASELINE.md lesson 2).
+
+    Ordered concat has no compressing combiner (the merge needs every
+    (order_key, text) pair, so per-batch partials would carry the full
+    payload anyway) — the single keyed exchange IS the minimal plan.
+    """
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            cols = {key: pd.Series([], dtype=df[key].dtype if key in df else object),
+                    out_col: pd.Series([], dtype=str)}
+            if count_col:
+                cols[count_col] = pd.Series([], dtype="int64")
+            return _df_to_arrow(pd.DataFrame(cols))
+        df = df.sort_values([key, *order_by], kind="mergesort")
+        g = df.groupby(key, sort=True)
+        out = g[col].agg(sep.join).rename(out_col).to_frame()
+        if count_col:
+            out[count_col] = g.size()
+        return _df_to_arrow(out.reset_index())
+
+    return keyed_merge(ds, [key], merge)
+
+
 def _median(values: list) -> Any:
     if not values:
         return None

@@ -545,3 +545,42 @@ def test_unnest_list_ordinality_nulls_empties():
     assert out.to_dict("list") == {
         "id": [1, 1, 4, 4, 4], "pos": [1, 2, 1, 2, 3],
         "val": [10, 11, 20, 21, 22]}
+
+
+def test_ordered_group_concat_multiblock():
+    """ordered_group_concat == pandas string_agg(ORDER BY) on input that
+    spans many blocks with keys interleaved across them (the exchange must
+    co-locate keys; order comes from the per-partition sort)."""
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.agg import ordered_group_concat
+
+    n = 5000
+    df = pd.DataFrame({
+        "k": [f"g{i % 37}" for i in range(n)],
+        # decreasing order key: input order is the REVERSE of output order
+        "o": list(range(n, 0, -1)),
+        "t": [f"w{i}" for i in range(n)],
+    })
+    ds = ray.data.from_pandas(df).repartition(16)
+    out = ordered_group_concat(ds, "k", ["o"], "t",
+                               out_col="joined", count_col="n").to_pandas()
+    exp = (df.sort_values(["k", "o"]).groupby("k")
+             .agg(joined=("t", " ".join), n=("t", "size")).reset_index())
+    got = out.sort_values("k").reset_index(drop=True)[["k", "joined", "n"]]
+    pd.testing.assert_frame_equal(
+        got, exp.sort_values("k").reset_index(drop=True),
+        check_dtype=False)
+
+
+def test_ordered_group_concat_small_input_coalesce():
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.agg import ordered_group_concat
+
+    df = pd.DataFrame({"k": ["a", "b", "a"], "o": [2, 1, 1],
+                       "t": ["y", "z", "x"]})
+    out = ordered_group_concat(ray.data.from_pandas(df), "k", ["o"], "t",
+                               out_col="j").to_pandas()
+    got = dict(zip(out["k"], out["j"]))
+    assert got == {"a": "x y", "b": "z"}
