@@ -386,3 +386,101 @@ def normalize_text(ds: "ray.data.Dataset", text_col: str = "text",
             "norm_len", pc.cast(pc.utf8_length(s), pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def repetition_signals(ds: "ray.data.Dataset", text_col: str = "text",
+                       id_col: str = "doc_id") -> "ray.data.Dataset":
+    """Gopher-style intra-document repetition quality signals: per doc,
+    total word count, distinct word count, duplicate-word fraction
+    ((n_words - n_distinct) / n_words) and the most-frequent-word
+    fraction (max count / n_words). Boilerplate / keyword-stuffed /
+    degenerate documents score high and get filtered before training.
+
+    Purely per-document — stateless ``map_batches``, no shuffle; the
+    per-batch kernel is one pandas split/explode/groupby chain (C-level
+    kernels, not a per-row Python loop over words). Words = maximal
+    non-empty runs between ASCII whitespace, mirrored exactly by the
+    oracle's ``string_split_regex`` + ``list_filter``. Fractions are
+    NULL for empty documents."""
+    def fn(batch: pa.Table) -> pa.Table:
+        df = batch.select([id_col, text_col]).to_pandas()
+        ex = df[[id_col]].assign(w=df[text_col].fillna("").str.split())
+        ex = ex.explode("w")
+        ex = ex[ex["w"].notna() & (ex["w"] != "")]
+        if len(ex):
+            wc = ex.groupby([id_col, "w"], sort=False).size()
+            per = wc.groupby(level=0, sort=False)
+            stats = pd.DataFrame({"n_words": per.sum(),
+                                  "n_distinct": per.size(),
+                                  "top_c": per.max()})
+        else:
+            stats = pd.DataFrame(columns=["n_words", "n_distinct", "top_c"])
+        stats = stats.reindex(df[id_col]).fillna(0).astype("int64")
+        n = stats["n_words"].to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup = np.where(n > 0, (n - stats["n_distinct"].to_numpy()) / n,
+                           np.nan)
+            top = np.where(n > 0, stats["top_c"].to_numpy() / n, np.nan)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": pa.array(stats["n_words"].to_numpy()),
+            "n_distinct": pa.array(stats["n_distinct"].to_numpy()),
+            "dup_word_frac": pa.array(dup, pa.float64()),
+            "top_word_frac": pa.array(top, pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def _doc_shingles(batch: pa.Table, id_col: str, text_col: str,
+                  n: int) -> pa.Table:
+    """(id, shingle) rows: per-document DISTINCT word n-grams joined by
+    single spaces. Distinctness inside the doc bounds output volume
+    (and the downstream semi-join / DISTINCT make global dups moot)."""
+    out_ids: list = []
+    out_sh: List[str] = []
+    for did, t in zip(batch[id_col].to_pylist(),
+                      batch[text_col].to_pylist()):
+        ws = (t or "").split()
+        seen = set()
+        for i in range(len(ws) - n + 1):
+            s = " ".join(ws[i:i + n])
+            if s not in seen:
+                seen.add(s)
+                out_ids.append(did)
+                out_sh.append(s)
+    return pa.table({id_col: pa.array(out_ids,
+                                      batch.schema.field(id_col).type),
+                     "shingle": pa.array(out_sh, pa.string())})
+
+
+def ngram_contamination(corpus: "ray.data.Dataset",
+                        eval_ds: "ray.data.Dataset",
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5) -> "ray.data.Dataset":
+    """Train/eval contamination check: ids of corpus documents sharing
+    at least one word ``n``-gram with any eval-set document — the
+    decontamination primitive every benchmark-respecting training
+    pipeline runs before a data release.
+
+    Shape at 100 TB: both sides shingle inside ``map_batches`` (no
+    shuffle); the eval side (benchmarks are small by nature) is
+    DISTINCT-ed by a combining grouped_aggregate and then drives
+    ``semi_join_ids``, which broadcasts the shingle set once via
+    ``ray.put`` when it fits and auto-switches to the distributed hash
+    semi-join above the limit; contaminated ids come out of a second
+    combining distinct. Nothing materializes on the driver."""
+    from ..stages.agg import grouped_aggregate
+    from ..stages.semijoin import semi_join_ids
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        return _doc_shingles(batch, id_col, text_col, n)
+
+    corpus_sh = corpus.map_batches(shingle, batch_format="pyarrow",
+                                   batch_size=None)
+    eval_sh = grouped_aggregate(
+        eval_ds.map_batches(shingle, batch_format="pyarrow",
+                            batch_size=None).select_columns(["shingle"]),
+        ["shingle"], [])
+    hits = semi_join_ids(corpus_sh, eval_sh, col="shingle")
+    return grouped_aggregate(hits.select_columns([id_col]), [id_col], [])

@@ -2193,6 +2193,100 @@ FROM documents
 """
 
 
+def q80_repetition_signals(sf_dir: str):
+    """Intra-document repetition quality signals (Gopher-style:
+    functions.text.repetition_signals): per doc, word count, distinct
+    word count, duplicate-word fraction and top-word fraction — the
+    degenerate-text filter stage of a curation pipeline. Stateless
+    map_batches, pandas explode/groupby kernel, no shuffle."""
+    import ray.data
+    from ..functions.text import repetition_signals
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    return repetition_signals(ds)
+
+
+Q80_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+), agg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS top_c
+  FROM wc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(n_words, 0) AS n_words,
+       COALESCE(n_distinct, 0) AS n_distinct,
+       CASE WHEN n_words > 0
+            THEN (n_words - n_distinct) / CAST(n_words AS DOUBLE) END
+           AS dup_word_frac,
+       CASE WHEN n_words > 0
+            THEN top_c / CAST(n_words AS DOUBLE) END AS top_word_frac
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def q81_contamination_check(sf_dir: str):
+    """Train/eval n-gram decontamination
+    (functions.text.ngram_contamination): corpus docs sharing any word
+    4-gram with the held-out eval slice (doc_id % 23 == 0). Shingle in
+    map_batches on both sides, DISTINCT the (small) eval shingle set
+    through the combining aggregate, then the adaptive broadcast /
+    distributed-hash semi-join; returns the contaminated ids joined
+    back to their metadata."""
+    import ray.data
+    from ..functions.text import ngram_contamination
+    from ..stages.semijoin import semi_join_ids
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "source",
+                                          "text"])
+    def split(pred):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.equal(
+                pc.subtract(t["doc_id"],
+                            pc.multiply(pc.divide(t["doc_id"], 23), 23)), 0)
+            return t.filter(mask if pred else pc.invert(mask))
+        return fn
+
+    eval_ds = docs.map_batches(split(True), batch_format="pyarrow",
+                               batch_size=None)
+    corpus = docs.map_batches(split(False), batch_format="pyarrow",
+                              batch_size=None)
+    cont = ngram_contamination(corpus, eval_ds, n=4)
+    meta = corpus.select_columns(["doc_id", "lang", "source"])
+    return semi_join_ids(meta, cont, col="doc_id")
+
+
+Q81_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 3), ' ') AS shingle
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 3)) AS i
+        FROM toks WHERE len(ws) >= 4)
+), eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 23 = 0
+), cont AS (
+  SELECT DISTINCT doc_id FROM sh
+  WHERE doc_id % 23 <> 0
+    AND shingle IN (SELECT shingle FROM eval_sh)
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN cont USING (doc_id)
+"""
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2273,6 +2367,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q77_rolling_window": q77_rolling_window,
     "q78_hash_stratified_sample": q78_hash_stratified_sample,
     "q79_normalize_text": q79_normalize_text,
+    "q80_repetition_signals": q80_repetition_signals,
+    "q81_contamination_check": q81_contamination_check,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2482,4 +2578,6 @@ GROUP BY k.cluster, d.lang
     "q77_rolling_window": Q77_SQL,
     "q78_hash_stratified_sample": Q78_SQL,
     "q79_normalize_text": Q79_SQL,
+    "q80_repetition_signals": Q80_SQL,
+    "q81_contamination_check": Q81_SQL,
 }

@@ -645,3 +645,41 @@ def test_normalize_text_kernels():
     out = normalize_text(ds).to_pandas().sort_values("doc_id")
     assert out["norm_text"].tolist() == ["hello world", "\u00e9cole x", "", "ab"]
     assert out["norm_len"].tolist() == [11, 7, 0, 2]
+
+
+def test_repetition_signals_exact():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.text import repetition_signals
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a a a a", "w x y z", "spam spam ham", ""],
+    })
+    out = repetition_signals(ray.data.from_pandas(docs).repartition(2)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["n_words"].tolist() == [4, 4, 3, 0]
+    assert out["n_distinct"].tolist() == [1, 4, 2, 0]
+    assert np.allclose(out["dup_word_frac"][:3], [0.75, 0.0, 1 / 3])
+    assert np.allclose(out["top_word_frac"][:3], [1.0, 0.25, 2 / 3])
+    assert out["dup_word_frac"].isna().tolist() == [False] * 3 + [True]
+
+
+def test_ngram_contamination_planted():
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.text import ngram_contamination
+
+    eval_ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [100],
+        "text": ["the quick brown fox jumps over the lazy dog"],
+    }))
+    corpus = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["we saw the quick brown fox yesterday",   # shares 4-gram
+                 "completely unrelated text with no overlap at all",
+                 "quick brown fox jumps again"],           # shares 4-gram
+    })).repartition(3)
+    out = ngram_contamination(corpus, eval_ds, n=4).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2]
