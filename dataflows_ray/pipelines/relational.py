@@ -2287,6 +2287,45 @@ FROM documents d JOIN cont USING (doc_id)
 """
 
 
+def q82_sequence_packing(sf_dir: str):
+    """GPT-style sequence packing — the flagship pretraining composition:
+    concatenate documents in doc_id order within deterministic buckets
+    (doc_id // 50, so bucketing is partition-invariant), then split each
+    packed stream into fixed 128-token training sequences. Composes the
+    ordered_group_concat keyed exchange (ONE hash shuffle, vectorized
+    per-partition sort/groupby) with the stateless chunk_tokens
+    splitter; at 100 TB the bucket width is the packing parallelism
+    knob and no stage materializes more than a bucket."""
+    import ray.data
+    from ..functions.text import chunk_tokens
+    from ..stages.agg import ordered_group_concat
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pc.divide(t["doc_id"], 50))
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]).map_batches(
+        bucketize, batch_format="pyarrow", batch_size=None)
+    packed = ordered_group_concat(docs, "bucket", ["doc_id"], "text",
+                                  sep=" ", out_col="t")
+    return chunk_tokens(packed, text_col="t", chunk_size=128, stride=128,
+                        id_col="bucket")
+
+
+Q82_SQL = """
+WITH packed AS (
+  SELECT doc_id // 50 AS bucket,
+         string_agg(text, ' ' ORDER BY doc_id) AS t
+  FROM documents GROUP BY 1
+), toks AS (SELECT bucket, string_split(t, ' ') AS t FROM packed)
+SELECT bucket, s AS chunk_start,
+       array_to_string(list_slice(t, s, s + 127), ' ') AS chunk
+FROM (SELECT bucket, t,
+             unnest(generate_series(1, greatest(len(t), 1), 128)) AS s
+      FROM toks)
+"""
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2369,6 +2408,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q79_normalize_text": q79_normalize_text,
     "q80_repetition_signals": q80_repetition_signals,
     "q81_contamination_check": q81_contamination_check,
+    "q82_sequence_packing": q82_sequence_packing,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2580,4 +2620,5 @@ GROUP BY k.cluster, d.lang
     "q79_normalize_text": Q79_SQL,
     "q80_repetition_signals": Q80_SQL,
     "q81_contamination_check": Q81_SQL,
+    "q82_sequence_packing": Q82_SQL,
 }
