@@ -70,22 +70,32 @@ def unigram_logprob(ds: ray.data.Dataset, text_col: str = "text",
     table_ref = ray.put((dict(zip(counts["token"], micro)),))
 
     def score(batch: pa.Table) -> pa.Table:
+        # Vectorized: flatten the token lists once, carry the row index
+        # via np.repeat, look every token up with ONE C-level Series.map
+        # over the broadcast vocab, reduce with one groupby sum/size.
+        # No Python statement executes per token.
+        import pandas as pd
         (vocab,) = ray.get(table_ref) if isinstance(
             table_ref, ray.ObjectRef) else table_ref
         toks = _tokens(batch[text_col])
-        ids = batch[id_col]
-        out_id, out_lp, out_nt = [], [], []
-        for i, row in enumerate(toks.to_pylist()):
-            vals = [vocab[t] for t in (row or []) if t]
-            if not vals:
-                continue  # docs with no tokens are dropped (oracle joins)
-            out_id.append(ids[i].as_py())
-            out_lp.append(int(sum(vals)))
-            out_nt.append(len(vals))
+        lens = pc.fill_null(pc.list_value_length(toks), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        flat = pd.Series(toks.flatten().to_pandas())
+        nonempty = (flat != "").to_numpy()
+        # .astype raises on NaN, preserving the loop version's KeyError
+        # contract: every token was counted in pass 1, OOV is a bug.
+        micro_tok = flat[nonempty].map(vocab).to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"r": rows[nonempty], "m": micro_tok}) \
+            .groupby("r", sort=True)["m"]
+        lp = g.sum()
+        keep = lp.index.to_numpy()  # rows with >= 1 token (oracle joins)
         return pa.table({
-            id_col: pa.array(out_id),
-            "logprob_micronats": pa.array(out_lp, type=pa.int64()),
-            "n_toks": pa.array(out_nt, type=pa.int64()),
+            id_col: batch[id_col].take(pa.array(keep)),
+            "logprob_micronats": pa.array(lp.to_numpy(np.int64),
+                                          type=pa.int64()),
+            "n_toks": pa.array(g.size().to_numpy(np.int64),
+                               type=pa.int64()),
         })
 
     return ds.select_columns([id_col, text_col]).map_batches(
