@@ -29,13 +29,30 @@ _LANG_PROFILES: Dict[str, set] = {
 
 class TextAnalyzer:
     """Actor-pool stage computing lang-id, quality score, token count and a
-    rolling-hash fingerprint in one pass over the batch."""
+    rolling-hash fingerprint in one pass over the batch.
+
+    The per-row methods (``lang_id`` / ``quality`` / ``token_count`` /
+    ``fingerprint``) are the REFERENCE semantics; ``__call__`` computes
+    the same values vectorized — Arrow RE2 kernels for split/count,
+    numpy ``bincount`` reductions over an exploded word table, and a
+    zero-copy uint64 polynomial dot for the fingerprint — and a pytest
+    asserts per-row equality between the two. Dialect note: the
+    vectorized ``n_tokens`` uses RE2 (ASCII ``\\d``/``\\s``, same engine
+    as the DuckDB oracle) while the reference method uses Python ``re``
+    (Unicode classes); they agree on Latin-1 text."""
 
     def __init__(self):
         self.word_re = re.compile(r"[A-Za-zÀ-ÿ]+")
         # BPE-ish tokenizer: words, numbers, or single non-space symbols
         self.token_re = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
         self.punct_re = re.compile(r"[.,;:!?]")
+        # P^k mod 2^64 for the vectorized fingerprint dot (P = 1000003)
+        pw = np.empty(4096, dtype=np.uint64)
+        pw[0] = 1
+        P = np.uint64(1_000_003)
+        for i in range(1, 4096):
+            pw[i] = pw[i - 1] * P  # uint64 wraps mod 2^64
+        self._powers = pw
 
     def lang_id(self, text: str) -> str:
         words = [w.lower() for w in self.word_re.findall(text)]
@@ -81,17 +98,94 @@ class TextAnalyzer:
         return h
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        batch = batch.append_column(
-            "lang_pred", pa.array([self.lang_id(t or "") for t in texts]))
-        batch = batch.append_column(
-            "quality", pa.array([self.quality(t or "") for t in texts]))
-        batch = batch.append_column(
-            "n_tokens", pa.array([self.token_count(t or "") for t in texts],
-                                 type=pa.int64()))
-        batch = batch.append_column(
-            "fingerprint", pa.array([self.fingerprint(t or "") for t in texts],
-                                    type=pa.uint64()))
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        text = pc.fill_null(text, "")
+        n = len(text)
+
+        # ---- exploded word table (extract on ORIGINAL text, lowercase
+        # the extracted words — the reference method order)
+        words = pc.split_pattern_regex(text, pattern="[^A-Za-zÀ-ÿ]+")
+        lens = pc.list_value_length(words).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows = np.repeat(np.arange(n), lens)
+        flat = words.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        rows_w = rows[nonempty]
+        low = pd.Series(pc.utf8_lower(flat).to_pandas().to_numpy()[nonempty])
+        wlen = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)[nonempty]
+
+        n_words = np.bincount(rows_w, minlength=n).astype(np.int64)
+        denom = np.maximum(n_words, 1)
+        # word lengths are small exact ints: any float64 summation order
+        # reproduces np.mean bit-for-bit
+        mean_len = np.bincount(rows_w, weights=wlen, minlength=n) / denom
+
+        # ---- lang-id: DISTINCT stopword hits per language, first-max
+        # wins in _LANG_PROFILES order (reference uses strict >)
+        all_stops = set().union(*_LANG_PROFILES.values())
+        in_any = low.isin(all_stops).to_numpy()
+        sub = pd.DataFrame({"r": rows_w[in_any],
+                            "w": low.to_numpy()[in_any]}).drop_duplicates()
+        scores = np.zeros((n, len(_LANG_PROFILES)), np.int64)
+        for j, (_, stops) in enumerate(_LANG_PROFILES.items()):
+            m = sub["w"].isin(stops).to_numpy()
+            scores[:, j] = np.bincount(sub["r"].to_numpy()[m], minlength=n)
+        best_j = np.argmax(scores, axis=1)
+        best_score = scores[np.arange(n), best_j]
+        lang_names = np.array(list(_LANG_PROFILES.keys()))
+        lang_pred = np.where(best_score > 0, lang_names[best_j], "unknown")
+
+        # ---- quality score (same float64 arithmetic as the reference)
+        en_hits = np.bincount(
+            rows_w[low.isin(_LANG_PROFILES["en"]).to_numpy()], minlength=n)
+        punct = pc.count_substring_regex(
+            text, pattern="[.,;:!?]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        len_score = np.minimum(1.0, n_words / 50.0)
+        wordlen_score = np.where((mean_len >= 3.0) & (mean_len <= 8.0),
+                                 1.0, 0.5)
+        punct_score = np.where(punct / denom <= 0.5, 1.0, 0.5)
+        stop_score = np.minimum(1.0, 4.0 * (en_hits / denom))
+        q = np.where(
+            n_words == 0, 0.0,
+            (len_score + wordlen_score + punct_score + stop_score) / 4.0)
+        # Python round() for exact parity with the reference (np.round's
+        # scale-and-round can differ on representation ties)
+        quality = pa.array([round(float(v), 4) for v in q], pa.float64())
+
+        # ---- token count: one RE2 kernel
+        n_tokens = pc.cast(pc.count_substring_regex(
+            text, pattern=r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"), pa.int64())
+
+        # ---- fingerprint: per-row uint64 polynomial dot over the
+        # string column's utf-8 data buffer (zero copy, no encode())
+        odt = np.int64 if pa.types.is_large_string(text.type) else np.int32
+        offs = np.frombuffer(text.buffers()[1], odt)[
+            text.offset:text.offset + n + 1]
+        data = np.frombuffer(text.buffers()[2], np.uint8)
+        fps = np.empty(n, np.uint64)
+        pw = self._powers
+        for i in range(n):
+            s = offs[i]
+            e = min(offs[i + 1], s + 4096)
+            L = e - s
+            if L:
+                seg = data[s:e].astype(np.uint64)
+                fps[i] = np.sum(seg * pw[L - 1::-1], dtype=np.uint64)
+            else:
+                fps[i] = 0
+
+        batch = batch.append_column("lang_pred",
+                                    pa.array(lang_pred.tolist(), pa.string()))
+        batch = batch.append_column("quality", quality)
+        batch = batch.append_column("n_tokens", n_tokens)
+        batch = batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
         return batch
 
 

@@ -970,3 +970,31 @@ def test_unigram_logprob_matches_sequential():
                      for t in toks[r["doc_id"]])
         assert r["logprob_micronats"] == expect
         assert r["n_toks"] == len(toks[r["doc_id"]])
+
+
+def test_text_analyzer_vectorized_matches_reference_methods():
+    """__call__ (vectorized Arrow/numpy path) must reproduce the per-row
+    reference methods bit-for-bit on a mixed corpus."""
+    import numpy as np
+    import pyarrow as pa
+    from dataflows_ray.functions.text import TextAnalyzer
+
+    rng = np.random.RandomState(11)
+    vocab = ["the", "and", "der", "die", "le", "la", "el", "los", "word",
+             "supercalifragilistic", "a", "xx", "touché", "école", "123",
+             "mix3d", "!!", "...", "?", "end."]
+    texts = []
+    for _ in range(200):
+        k = rng.randint(0, 40)
+        texts.append(" ".join(rng.choice(vocab, k)) if k else "")
+    texts += ["", "    ", "é" * 5000, "no stopwords here at all",
+              "the the the the", "a.b,c;d:e!f?g", None]
+    ta = TextAnalyzer()
+    out = ta(pa.table({"text": pa.array(texts, pa.string())}))
+    got = out.to_pandas()
+    for i, t in enumerate(texts):
+        ref = t or ""
+        assert got["lang_pred"][i] == ta.lang_id(ref), (i, t)
+        assert got["quality"][i] == ta.quality(ref), (i, t)
+        assert got["n_tokens"][i] == ta.token_count(ref), (i, t)
+        assert got["fingerprint"][i] == ta.fingerprint(ref), (i, t)
