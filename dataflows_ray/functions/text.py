@@ -50,8 +50,9 @@ class TextAnalyzer:
         pw = np.empty(4096, dtype=np.uint64)
         pw[0] = 1
         P = np.uint64(1_000_003)
-        for i in range(1, 4096):
-            pw[i] = pw[i - 1] * P  # uint64 wraps mod 2^64
+        with np.errstate(over="ignore"):  # mod-2^64 wrap is the point
+            for i in range(1, 4096):
+                pw[i] = pw[i - 1] * P
         self._powers = pw
 
     def lang_id(self, text: str) -> str:
