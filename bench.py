@@ -40,7 +40,8 @@ def run_benchmarks() -> dict:
         q01_pricing_summary, q05_priority_counts, q12_tumbling_hour,
         q16_token_counts, q17_exact_dedup, q18_knn_cosine,
         q20_minhash_dedup, q45_exact_quantiles, q48_keyed_window_funcs,
-        q49_term_doc_frequency, q61_ngram_jaccard_dedup, _audio_path)
+        q49_term_doc_frequency, q61_ngram_jaccard_dedup,
+        q79_normalize_text, q82_sequence_packing, _audio_path)
     from dataflows_ray.pipelines.audio import decode_stage, windowed_speaker_aggregate
     from dataflows_ray.streaming.engine import StreamingJoinEngine
     from dataflows_ray.streaming.sink import ExactlyOnceSink
@@ -72,6 +73,9 @@ def run_benchmarks() -> dict:
     timed("q45_exact_quantiles", lambda: q45_exact_quantiles(SF_DIR))
     timed("q48_keyed_window_funcs", lambda: len(q48_keyed_window_funcs(SF_DIR)))
     timed("q49_term_doc_frequency", lambda: q49_term_doc_frequency(SF_DIR))
+    timed("q79_normalize_text", lambda: q79_normalize_text(SF_DIR).count())
+    timed("q82_sequence_packing",
+          lambda: q82_sequence_packing(SF_DIR).count())
 
     # streaming windowed-aggregate engine (micro-batch epochs, watermark
     # emission, 2PC sink) over the same audio table — the engine-form
