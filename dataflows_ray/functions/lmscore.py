@@ -58,11 +58,24 @@ def term_counts(ds: ray.data.Dataset, text_col: str = "text"
 
 
 def unigram_logprob(ds: ray.data.Dataset, text_col: str = "text",
-                    id_col: str = "doc_id") -> ray.data.Dataset:
+                    id_col: str = "doc_id",
+                    vocab_limit: int = 50_000_000) -> ray.data.Dataset:
     """(id, logprob_micronats, n_toks) per document with >= 1 token:
     logprob_micronats = sum over tokens of round(ln(count/N) * 1e6) as
-    int64 — integer-exact under any distribution."""
+    int64 — integer-exact under any distribution.
+
+    The vocabulary (token -> count) is broadcast once via ``ray.put`` —
+    vocabulary-sized, not corpus-sized, which holds to ~10^8 distinct
+    tokens (a few GB). ``vocab_limit`` makes the ceiling an honest
+    error instead of a silent driver/worker OOM; past it, the scale
+    path is a top-V vocabulary + OOV smoothing (changes scores, so it
+    is not silently substituted here)."""
     counts = term_counts(ds, text_col).to_pandas()
+    if len(counts) > vocab_limit:
+        raise ValueError(
+            f"unigram vocabulary has {len(counts)} distinct tokens "
+            f"(> vocab_limit={vocab_limit}); use a top-V vocabulary with "
+            "OOV smoothing for corpora at this scale")
     n_total = int(counts["n"].sum())
     # per-token micro-nat surprisal, precomputed once on the vocabulary
     micro = np.round(np.log(counts["n"].to_numpy(dtype=np.float64)
