@@ -59,7 +59,9 @@ from .functions.components import connected_components, dedup_by_components
 from .functions.dedup import (
     exact_dedup, minhash_dedup, ngram_jaccard_dedup, simhash_signatures)
 from .functions.text import (
-    analyze_text, token_count_vectorized, redact_patterns, chunk_tokens)
+    analyze_text, token_count_vectorized, redact_patterns, chunk_tokens,
+    normalize_text, repetition_signals, ngram_contamination)
+from .stages.sampling import hash_stratified_sample
 from .functions.editdist import edit_distance
 from .functions.kmeans import kmeans_fit, kmeans_predict, kmeans_fit_predict
 from .functions.audio_ops import resample_stage, vad_stage
@@ -91,7 +93,9 @@ __all__ = [
     "exact_dedup", "minhash_dedup", "ngram_jaccard_dedup",
     "simhash_signatures",
     "analyze_text", "token_count_vectorized", "redact_patterns",
-    "chunk_tokens", "edit_distance", "kmeans_fit", "kmeans_predict",
+    "chunk_tokens", "normalize_text", "repetition_signals",
+    "ngram_contamination", "hash_stratified_sample",
+    "edit_distance", "kmeans_fit", "kmeans_predict",
     "kmeans_fit_predict", "resample_stage", "vad_stage",
     "bloom_semi_join", "hist_quantiles", "histogram_counts",
     "unigram_logprob", "term_counts",
