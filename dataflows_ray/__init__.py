@@ -61,7 +61,7 @@ from .functions.dedup import (
 from .functions.text import (
     analyze_text, token_count_vectorized, redact_patterns, chunk_tokens,
     normalize_text, repetition_signals, ngram_contamination)
-from .stages.sampling import hash_stratified_sample
+from .stages.sampling import hash_stratified_sample, weighted_source_sample
 from .functions.editdist import edit_distance
 from .functions.kmeans import kmeans_fit, kmeans_predict, kmeans_fit_predict
 from .functions.audio_ops import resample_stage, vad_stage
@@ -95,6 +95,7 @@ __all__ = [
     "analyze_text", "token_count_vectorized", "redact_patterns",
     "chunk_tokens", "normalize_text", "repetition_signals",
     "ngram_contamination", "hash_stratified_sample",
+    "weighted_source_sample",
     "edit_distance", "kmeans_fit", "kmeans_predict",
     "kmeans_fit_predict", "resample_stage", "vad_stage",
     "bloom_semi_join", "hist_quantiles", "histogram_counts",

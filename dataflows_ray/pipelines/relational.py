@@ -2326,6 +2326,31 @@ FROM (SELECT bucket, t,
 """
 
 
+def q83_source_rebalance(sf_dir: str):
+    """Corpus-mixture rebalancing (stages.sampling.weighted_source_sample):
+    downsample over-represented domains with a deterministic md5-anchored
+    per-row Bernoulli — src0 kept at 10%, src1 at 50%, everything else
+    untouched. Stateless filter, no shuffle, byte-reproducible by the
+    oracle (same md5 hex arithmetic as the q76 split)."""
+    import ray.data
+    from ..stages.sampling import weighted_source_sample
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "lang",
+                                        "n_chars"])
+    return weighted_source_sample(ds, {"src0": 0.1, "src1": 0.5})
+
+
+Q83_SQL = """
+SELECT doc_id, source, lang, n_chars
+FROM (SELECT *,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM documents)
+WHERE u < CASE source WHEN 'src0' THEN 0.1
+                      WHEN 'src1' THEN 0.5 ELSE 1.0 END
+"""
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2409,6 +2434,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q80_repetition_signals": q80_repetition_signals,
     "q81_contamination_check": q81_contamination_check,
     "q82_sequence_packing": q82_sequence_packing,
+    "q83_source_rebalance": q83_source_rebalance,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2621,4 +2647,5 @@ GROUP BY k.cluster, d.lang
     "q80_repetition_signals": Q80_SQL,
     "q81_contamination_check": Q81_SQL,
     "q82_sequence_packing": Q82_SQL,
+    "q83_source_rebalance": Q83_SQL,
 }

@@ -88,6 +88,33 @@ def hash_stratified_sample(ds, strata_cols: List[str], id_col: str,
     return picked.drop_columns([rank_col])
 
 
+def weighted_source_sample(ds, rates: dict, source_col: str = "source",
+                           id_col: str = "doc_id",
+                           default_rate: float = 1.0):
+    """Deterministic source/domain rebalancing — the corpus-mixture
+    primitive (downsample over-represented domains, keep the rest):
+    each row is kept iff its md5-anchored uniform draw (same anchor as
+    :func:`train_val_test_split` — reproducible by ANY engine) is below
+    its source's rate. Stateless per-batch filter, no shuffle, no RNG
+    state; re-runs and repartitions keep exactly the same rows. Sources
+    absent from ``rates`` use ``default_rate``."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        u = np.array([int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                      for v in ids], dtype=np.float64) / 4294967296.0
+        srcs = batch[source_col].to_pylist()
+        r = np.array([rates.get(s, default_rate) for s in srcs],
+                     dtype=np.float64)
+        return batch.filter(pa.array(u < r))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def train_val_test_split(ds, id_col: str = "doc_id",
                          weights=(0.8, 0.1, 0.1),
                          names=("train", "val", "test"),

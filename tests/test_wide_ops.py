@@ -683,3 +683,26 @@ def test_ngram_contamination_planted():
     })).repartition(3)
     out = ngram_contamination(corpus, eval_ds, n=4).to_pandas()
     assert sorted(out["doc_id"]) == [0, 2]
+
+
+def test_weighted_source_sample_deterministic_and_bounded():
+    import hashlib
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.sampling import weighted_source_sample
+
+    df = pd.DataFrame({"doc_id": range(400),
+                       "source": [f"s{i % 4}" for i in range(400)]})
+    ds = ray.data.from_pandas(df).repartition(5)
+    rates = {"s0": 0.0, "s1": 0.25, "s2": 1.0}
+    out1 = weighted_source_sample(ds, rates, default_rate=0.5).to_pandas()
+    out2 = weighted_source_sample(ds, rates, default_rate=0.5).to_pandas()
+    assert sorted(out1["doc_id"]) == sorted(out2["doc_id"])
+    by = out1.groupby("source").size()
+    assert by.get("s0", 0) == 0          # rate 0 drops everything
+    assert by["s2"] == 100               # rate 1 keeps everything
+    # exact md5 definition
+    u = df["doc_id"].map(lambda v: int(
+        hashlib.md5(str(v).encode()).hexdigest()[:8], 16) / 2**32)
+    r = df["source"].map(lambda s: rates.get(s, 0.5))
+    assert sorted(out1["doc_id"]) == sorted(df.loc[u < r, "doc_id"])
