@@ -459,28 +459,36 @@ def normalize_text(ds: "ray.data.Dataset", text_col: str = "text",
     web corpus. The character classes are spelled in ASCII-safe RE2 so
     any engine reproduces the output byte-for-byte (the oracle does,
     via DuckDB nfc_normalize + regexp_replace)."""
+    from functools import partial
+    return ds.map_batches(partial(normalize_text_batch, text_col=text_col,
+                                  out_col=out_col),
+                          batch_format="pyarrow", batch_size=None)
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "norm_text") -> pa.Table:
+    """The :func:`normalize_text` per-batch kernel, exposed so the
+    streaming map engine can run the SAME transform inside its split
+    tasks (batch and streaming must agree byte-for-byte)."""
     import unicodedata
 
     import pyarrow.compute as pc
 
-    def fn(batch: pa.Table) -> pa.Table:
-        s = batch[text_col]
-        all_ascii = pc.all(pc.fill_null(pc.string_is_ascii(s), True),
-                           min_count=0).as_py()
-        if not all_ascii:
-            s = pa.array(
-                [unicodedata.normalize("NFC", v) if v is not None else None
-                 for v in s.to_pylist()], pa.string())
-        s = pc.replace_substring_regex(
-            s, pattern="[\\x00-\\x08\\x0e-\\x1f\\x7f]", replacement="")
-        s = pc.replace_substring_regex(
-            s, pattern="[ \\t\\n\\r\\f\\v]+", replacement=" ")
-        s = pc.utf8_trim(s, characters=" ")
-        batch = batch.append_column(out_col, s)
-        return batch.append_column(
-            "norm_len", pc.cast(pc.utf8_length(s), pa.int64()))
-
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+    s = batch[text_col]
+    all_ascii = pc.all(pc.fill_null(pc.string_is_ascii(s), True),
+                       min_count=0).as_py()
+    if not all_ascii:
+        s = pa.array(
+            [unicodedata.normalize("NFC", v) if v is not None else None
+             for v in s.to_pylist()], pa.string())
+    s = pc.replace_substring_regex(
+        s, pattern="[\\x00-\\x08\\x0e-\\x1f\\x7f]", replacement="")
+    s = pc.replace_substring_regex(
+        s, pattern="[ \\t\\n\\r\\f\\v]+", replacement=" ")
+    s = pc.utf8_trim(s, characters=" ")
+    batch = batch.append_column(out_col, s)
+    return batch.append_column(
+        "norm_len", pc.cast(pc.utf8_length(s), pa.int64()))
 
 
 def repetition_signals(ds: "ray.data.Dataset", text_col: str = "text",

@@ -2351,6 +2351,39 @@ WHERE u < CASE source WHEN 'src0' THEN 0.1
 """
 
 
+class _NormalizeTransform:
+    """q84 transform: the q79 normalize kernel running INSIDE the
+    streaming engine's split tasks (picklable module-level class)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from ..functions.text import normalize_text_batch
+        return normalize_text_batch(t).drop_columns(["text"])
+
+
+def q84_streaming_normalize(sf_dir: str):
+    """STREAMING exactly-once corpus normalization
+    (streaming.map_engine): the q79 NFC/control-strip/whitespace kernel
+    runs inside micro-batch split tasks with per-partition idempotent
+    staging, 2PC commit and crash resume — streaming and batch must
+    agree byte-for-byte, so the oracle is the SAME SQL as q79."""
+    import shutil
+    from ..streaming.map_engine import StreamingMapEngine
+    from ..streaming.sink import ExactlyOnceSink
+
+    out = (f"/tmp/dataflows_ray_norm_sink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingMapEngine(f"{sf_dir}/documents.parquet", out,
+                             transform=_NormalizeTransform(),
+                             key="doc_id", ts_col="doc_id",
+                             columns=["doc_id", "text"],
+                             num_partitions=4, rowgroups_per_epoch=2)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["doc_id", "norm_text", "norm_len"])
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2435,6 +2468,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q81_contamination_check": q81_contamination_check,
     "q82_sequence_packing": q82_sequence_packing,
     "q83_source_rebalance": q83_source_rebalance,
+    "q84_streaming_normalize": q84_streaming_normalize,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2648,4 +2682,5 @@ GROUP BY k.cluster, d.lang
     "q81_contamination_check": Q81_SQL,
     "q82_sequence_packing": Q82_SQL,
     "q83_source_rebalance": Q83_SQL,
+    "q84_streaming_normalize": Q79_SQL,  # streaming ≡ batch, same oracle
 }

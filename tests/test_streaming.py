@@ -1027,3 +1027,44 @@ def test_mixed_codec_snr_invariant_distributed():
     assert (out["snr_db"] >= 30).all()
     by_codec = out.groupby("codec")["snr_db"].min()
     assert set(by_codec.index) == {"pcm16", "mulaw", "alaw", "wav"}
+
+
+def test_streaming_normalize_crash_resume_matches_batch(tmp_path):
+    """q84's engine: crash after staging epoch 0, resume, and the
+    committed output must equal the batch normalize_text result
+    exactly (exactly-once, no dupes / no loss)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+    from dataflows_ray.functions.text import normalize_text
+    from dataflows_ray.pipelines.relational import _NormalizeTransform
+    from dataflows_ray.streaming.map_engine import StreamingMapEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    texts = [f"doc\x01 {i}  body\t{'é' if i % 7 == 0 else 'x'}  tail"
+             for i in range(120)]
+    src = str(tmp_path / "docs.parquet")
+    tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                    "text": pa.array(texts)})
+    pq.write_table(tbl, src, row_group_size=20)  # 6 row groups -> epochs
+    out = str(tmp_path / "sink")
+
+    eng = StreamingMapEngine(src, out, transform=_NormalizeTransform(),
+                             key="doc_id", ts_col="doc_id",
+                             num_partitions=2, rowgroups_per_epoch=2)
+    try:
+        eng.run(crash_after_stage_of_epoch=0)
+    except RuntimeError:
+        pass
+    eng2 = StreamingMapEngine(src, out, transform=_NormalizeTransform(),
+                              key="doc_id", ts_col="doc_id",
+                              num_partitions=2, rowgroups_per_epoch=2)
+    eng2.run()
+    got = (ExactlyOnceSink(out).read_output().to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    exp = (normalize_text(ray.data.from_arrow(tbl)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["norm_text"].tolist() == exp["norm_text"].tolist()
+    assert got["norm_len"].tolist() == exp["norm_len"].tolist()
