@@ -39,7 +39,9 @@ class TextAnalyzer:
     asserts per-row equality between the two. Dialect note: the
     vectorized ``n_tokens`` uses RE2 (ASCII ``\\d``/``\\s``, same engine
     as the DuckDB oracle) while the reference method uses Python ``re``
-    (Unicode classes); they agree on Latin-1 text."""
+    (Unicode classes); they agree only on text whose whitespace is
+    ASCII — NBSP (U+00A0, Latin-1) is ``\\s`` to Python ``re`` but not
+    to RE2, so such text tokenizes differently between the two."""
 
     def __init__(self):
         self.word_re = re.compile(r"[A-Za-zÀ-ÿ]+")
@@ -502,12 +504,17 @@ def repetition_signals(ds: "ray.data.Dataset", text_col: str = "text",
     Purely per-document — stateless ``map_batches``, no shuffle; the
     per-batch kernel is one pandas split/explode/groupby chain (C-level
     kernels, not a per-row Python loop over words). Words = maximal
-    non-empty runs between ASCII whitespace, mirrored exactly by the
-    oracle's ``string_split_regex`` + ``list_filter``. Fractions are
-    NULL for empty documents."""
+    non-empty runs between ASCII whitespace — the EXPLICIT class
+    ``[ \\t\\n\\r\\f\\v]+`` (NOT pandas' default Unicode ``\\s``, which
+    also splits on NBSP/U+0085/U+001C-1F), mirrored exactly by the
+    oracle's ``string_split_regex`` + ``list_filter`` and by the q79
+    normalizer and q81 shingler. Fractions are NULL for empty
+    documents."""
     def fn(batch: pa.Table) -> pa.Table:
         df = batch.select([id_col, text_col]).to_pandas()
-        ex = df[[id_col]].assign(w=df[text_col].fillna("").str.split())
+        ex = df[[id_col]].assign(
+            w=df[text_col].fillna("").str.split(
+                r"[ \t\n\r\f\v]+", regex=True))
         ex = ex.explode("w")
         ex = ex[ex["w"].notna() & (ex["w"] != "")]
         if len(ex):
@@ -551,8 +558,11 @@ def _doc_shingles(batch: pa.Table, id_col: str, text_col: str,
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    # Explicit ASCII class: RE2's \s is [\t\n\f\r ] (no \v), so spelling
+    # the class keeps the engine byte-identical to the q81 SQL oracle's
+    # string_split_regex('[ \t\n\r\f\v]+') and to q79/q80 tokenization.
     words = pc.split_pattern_regex(pc.fill_null(text, ""),
-                                   pattern=r"\s+")
+                                   pattern="[ \\t\\n\\r\\f\\v]+")
     lens = pc.list_value_length(words).to_numpy(
         zero_copy_only=False).astype(np.int64)
     rows = np.repeat(np.arange(len(lens)), lens)

@@ -21,15 +21,41 @@ driver-side.
 
 from __future__ import annotations
 
+import hashlib
 from typing import List, Union
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.sketch import _hash_column, _mix64
 
 _TWO64 = float(2 ** 64)
+
+
+def _md5_strings(column) -> List[str]:
+    """Stringified column values for the md5 anchor, via one vectorized
+    Arrow cast (identical to per-row ``str(v)`` for int/string ids; nulls
+    map to ``"None"`` for parity with the historical ``str(None)``)."""
+    casted = pc.fill_null(pc.cast(column, pa.string()), "None")
+    return casted.to_pylist()
+
+
+def _md5_u01(column) -> np.ndarray:
+    """Uniform draws in [0,1) from the md5 anchor: first 4 digest bytes
+    big-endian / 2^32 — bit-identical to
+    ``int(md5(str(v)).hexdigest()[:8], 16) / 2**32`` and to the DuckDB
+    oracle's hex arithmetic. md5 itself is inherently per-value (one
+    CPython→OpenSSL call per id — ~0.4 µs/row, parallel across tasks);
+    everything around it (stringify, hex→int, divide) is vectorized:
+    digests are joined into one buffer and decoded with a single
+    ``np.frombuffer`` big-endian uint32 view."""
+    md5 = hashlib.md5
+    buf = b"".join(md5(s.encode()).digest()[:4] for s in _md5_strings(column))
+    if not buf:
+        return np.empty(0, dtype=np.float64)
+    return np.frombuffer(buf, dtype=">u4").astype(np.float64) / 4294967296.0
 
 
 def hash_sample(ds: ray.data.Dataset, key_col: str, fraction: float,
@@ -70,16 +96,15 @@ def hash_stratified_sample(ds, strata_cols: List[str], id_col: str,
     reproducible uniform draw — same anchor as train_val_test_split,
     recomputable by any engine) and keep the k smallest. One vectorized
     rank pass + the grouped_top_k selection exchange; no RNG state, no
-    global sort, stable under repartitioning."""
-    import hashlib
-
-    import pyarrow as pa
-
+    global sort, stable under repartitioning. Cost note: the md5 digest
+    is the one per-value step (a single C call per id); stringify and
+    column assembly are vectorized via :func:`_md5_strings`."""
     from .setops import grouped_top_k
 
     def rank(batch: pa.Table) -> pa.Table:
-        digests = [hashlib.md5(str(v).encode()).hexdigest()
-                   for v in batch[id_col].to_pylist()]
+        md5 = hashlib.md5
+        digests = [md5(s.encode()).hexdigest()
+                   for s in _md5_strings(batch[id_col])]
         return batch.append_column(rank_col, pa.array(digests, pa.string()))
 
     ranked = ds.map_batches(rank, batch_format="pyarrow", batch_size=None)
@@ -97,19 +122,22 @@ def weighted_source_sample(ds, rates: dict, source_col: str = "source",
     :func:`train_val_test_split` — reproducible by ANY engine) is below
     its source's rate. Stateless per-batch filter, no shuffle, no RNG
     state; re-runs and repartitions keep exactly the same rows. Sources
-    absent from ``rates`` use ``default_rate``."""
-    import hashlib
-
-    import numpy as np
-    import pyarrow as pa
-
+    absent from ``rates`` use ``default_rate``. Vectorized: draws via
+    :func:`_md5_u01` (md5 is the one per-value C call); the rate lookup
+    dictionary-encodes the source column so ``rates`` is consulted once
+    per DISTINCT source, then a numpy take fans it out per row."""
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        u = np.array([int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
-                      for v in ids], dtype=np.float64) / 4294967296.0
-        srcs = batch[source_col].to_pylist()
-        r = np.array([rates.get(s, default_rate) for s in srcs],
-                     dtype=np.float64)
+        u = _md5_u01(batch[id_col])
+        enc = pc.dictionary_encode(batch[source_col])
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        by_code = np.array(
+            [rates.get(s, default_rate) for s in enc.dictionary.to_pylist()],
+            dtype=np.float64)
+        idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+        null_idx = idx < 0  # null sources fill to -1
+        r = by_code[np.where(null_idx, 0, idx)]
+        r[null_idx] = rates.get(None, default_rate)
         return batch.filter(pa.array(u < r))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
@@ -125,22 +153,15 @@ def train_val_test_split(ds, id_col: str = "doc_id",
     as a uniform draw in [0,1)), disjoint and exhaustive by construction,
     and requiring no shuffle or global state. The md5 anchor makes the
     assignment reproducible by ANY system (SQL, Spark, pandas) — unlike
-    process-seeded RNGs or engine-private hashes."""
-    import hashlib
-
-    import numpy as np
-    import pyarrow as pa
-
+    process-seeded RNGs or engine-private hashes. Vectorized: draws via
+    :func:`_md5_u01`, then one ``np.searchsorted`` over the cumulative
+    weights and a label take — no per-row Python beyond the md5 call."""
     cum = np.cumsum(weights) / float(sum(weights))
-    labels = list(names)
+    label_arr = np.array(list(names), dtype=object)
 
     def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        out = []
-        for v in ids:
-            u = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) \
-                / 4294967296.0
-            out.append(labels[int(np.searchsorted(cum, u, side="right"))])
+        u = _md5_u01(batch[id_col])
+        out = label_arr[np.searchsorted(cum, u, side="right")]
         return batch.append_column(target, pa.array(out, type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

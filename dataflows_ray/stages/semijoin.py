@@ -52,13 +52,21 @@ def semi_join_ids(ds: ray.data.Dataset, ids: ray.data.Dataset,
     """
     id_col = id_col or col
     n_ids = ids.count()
+    if n_ids == 0:
+        # Zero ids: semi-join is empty, anti-join is the identity. Short-
+        # circuit rather than build an empty value_set whose type can't be
+        # inferred (pc.is_in rejects a mistyped empty set, e.g. string
+        # column vs int64 set).
+        if anti:
+            return ds
+        return ds.map_batches(lambda t: t.slice(0, 0),
+                              batch_format="pyarrow", batch_size=None)
     if n_ids <= broadcast_limit:
         chunks = [b[id_col] for b in ids.select_columns([id_col])
                   .iter_batches(batch_format="pyarrow", batch_size=None)]
-        value_set = (pa.concat_arrays([c.combine_chunks() if
-                                       isinstance(c, pa.ChunkedArray) else c
-                                       for c in chunks])
-                     if chunks else pa.array([], type=pa.int64()))
+        value_set = pa.concat_arrays([c.combine_chunks() if
+                                      isinstance(c, pa.ChunkedArray) else c
+                                      for c in chunks])
         ref = ray.put(value_set)
 
         def bfilter(batch: pa.Table, col=col, anti=anti) -> pa.Table:

@@ -706,3 +706,91 @@ def test_weighted_source_sample_deterministic_and_bounded():
         hashlib.md5(str(v).encode()).hexdigest()[:8], 16) / 2**32)
     r = df["source"].map(lambda s: rates.get(s, 0.5))
     assert sorted(out1["doc_id"]) == sorted(df.loc[u < r, "doc_id"])
+
+
+def test_repetition_signals_ascii_whitespace_class_matches_oracle():
+    # Engine and q80 oracle both split on the EXPLICIT class
+    # [ \t\n\r\f\v]+ — NBSP (U+00A0) is NOT a separator (pandas'
+    # default Unicode split used to diverge here).
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.text import repetition_signals
+
+    docs = pd.DataFrame({"doc_id": [0, 1],
+                         "text": ["c\xa0d c\xa0d", "a\vb a\vb"]})
+    out = repetition_signals(ray.data.from_pandas(docs)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 0: "c\xa0d" is ONE word appearing twice
+    assert out.loc[0, "n_words"] == 2 and out.loc[0, "n_distinct"] == 1
+    # doc 1: \v IS a separator -> words a, b, a, b
+    assert out.loc[1, "n_words"] == 4 and out.loc[1, "n_distinct"] == 2
+
+
+def test_doc_shingles_split_on_vertical_tab():
+    import pyarrow as pa
+    from dataflows_ray.functions.text import _doc_shingles
+
+    batch = pa.table({"doc_id": [0], "text": ["a\vb c d"]})
+    out = _doc_shingles(batch, "doc_id", "text", 2)
+    assert sorted(out["shingle"].to_pylist()) == ["a b", "b c", "c d"]
+
+
+def test_ngram_contamination_empty_eval_set():
+    # All eval docs shorter than n words -> zero shingles; must return
+    # the correct EMPTY result, not raise on a mistyped empty value_set.
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.text import ngram_contamination
+
+    eval_ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [100], "text": ["too short"]}))
+    corpus = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["one two three four five",
+                                    "six seven eight nine ten"]}))
+    out = ngram_contamination(corpus, eval_ds, n=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_semi_join_ids_empty_set_anti_identity():
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.semijoin import semi_join_ids
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"k": ["x", "y"], "v": [1, 2]}))
+    empty = ray.data.from_pandas(pd.DataFrame({"k": pd.Series([], dtype=str)}))
+    assert len(semi_join_ids(ds, empty, col="k").to_pandas()) == 0
+    anti = semi_join_ids(ds, empty, col="k", anti=True).to_pandas()
+    assert sorted(anti["k"]) == ["x", "y"]
+
+
+def test_train_val_test_split_vectorized_matches_md5_definition():
+    import hashlib
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.sampling import train_val_test_split
+
+    df = pd.DataFrame({"doc_id": range(300)})
+    out = train_val_test_split(
+        ray.data.from_pandas(df).repartition(4)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cum = np.cumsum((0.8, 0.1, 0.1))
+    labels = ("train", "val", "test")
+    want = [labels[int(np.searchsorted(cum, int(
+        hashlib.md5(str(v).encode()).hexdigest()[:8], 16) / 2**32,
+        side="right"))] for v in df["doc_id"]]
+    assert out["split"].tolist() == want
+
+
+def test_weighted_source_sample_null_source_uses_default():
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.sampling import weighted_source_sample
+
+    df = pd.DataFrame({"doc_id": range(40),
+                       "source": ["a"] * 20 + [None] * 20})
+    ds = ray.data.from_pandas(df)
+    out = weighted_source_sample(ds, {"a": 0.0}, default_rate=1.0) \
+        .to_pandas()
+    assert sorted(out["doc_id"]) == list(range(20, 40))
