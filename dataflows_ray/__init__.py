@@ -48,13 +48,16 @@ from .stages.rangejoin import range_join
 from .stages.setops import (
     top_k, grouped_top_k, set_intersect, set_except, pivot_table,
     detect_sequence)
-from .stages.agg import grouped_aggregate, rollup_aggregate
+from .stages.agg import (grouped_aggregate, rollup_aggregate,
+                         grouping_sets_aggregate, cube_aggregate)
 from .stages.analytic import keyed_window
 from .stages.sampling import (hash_sample, stratified_sample,
     train_val_test_split)
 from .stages.semijoin import semi_join_ids
 from .stages.reshape import unnest_list
-from .functions.quantiles import exact_quantiles, grouped_exact_quantile
+from .functions.quantiles import (exact_quantiles,
+                                  grouped_exact_quantile,
+                                  quantile_bucket_stats)
 from .functions.components import connected_components, dedup_by_components
 from .functions.dedup import (
     exact_dedup, minhash_dedup, ngram_jaccard_dedup, simhash_signatures)
@@ -64,7 +67,9 @@ from .functions.text import (
 from .stages.sampling import hash_stratified_sample, weighted_source_sample
 from .functions.editdist import edit_distance
 from .functions.kmeans import kmeans_fit, kmeans_predict, kmeans_fit_predict
-from .functions.audio_ops import resample_stage, vad_stage
+from .functions.audio_ops import (resample_stage, vad_stage,
+                                  loudness_normalize_stage,
+                                  audio_qc_stage)
 from .stages.bloomjoin import bloom_semi_join
 from .functions.histq import hist_quantiles, histogram_counts
 from .functions.lmscore import unigram_logprob, term_counts
@@ -90,6 +95,9 @@ __all__ = [
     "hash_sample", "stratified_sample", "train_val_test_split", "semi_join_ids", "unnest_list",
     "exact_quantiles", "grouped_exact_quantile", "connected_components",
     "dedup_by_components", "rollup_aggregate",
+    "grouping_sets_aggregate", "cube_aggregate",
+    "quantile_bucket_stats", "loudness_normalize_stage",
+    "audio_qc_stage",
     "exact_dedup", "minhash_dedup", "ngram_jaccard_dedup",
     "simhash_signatures",
     "analyze_text", "token_count_vectorized", "redact_patterns",

@@ -160,3 +160,143 @@ def vad_stage(ds: ray.data.Dataset, frame_ms: int = 20,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def loudness_normalize(x: np.ndarray, target_rms: float) -> tuple:
+    """Normalize one int16 clip to ``target_rms``: gain =
+    target_rms / rms_in (1.0 for silent clips), output samples
+    ``clamp(floor(x * gain + 0.5), -32768, 32767)`` — the same explicit
+    tie rule as :func:`resample_linear`, so any implementation agrees
+    bit-for-bit. Returns (y, rms_in, gain, rms_out)."""
+    n = len(x)
+    if n == 0:
+        return np.empty(0, dtype=np.int16), 0.0, 1.0, 0.0
+    xf = x.astype(np.float64)
+    rms_in = float(np.sqrt((xf * xf).sum() / n))
+    gain = (target_rms / rms_in) if rms_in > 0 else 1.0
+    y = np.clip(np.floor(xf * gain + 0.5), -32768, 32767).astype(np.int16)
+    yf = y.astype(np.float64)
+    rms_out = float(np.sqrt((yf * yf).sum() / n))
+    return y, rms_in, gain, rms_out
+
+
+class LoudnessNormalizeTransform:
+    """Picklable batch transform (map_batches fn AND StreamingMapEngine
+    transform): decode -> gain to target RMS -> summary columns. The
+    normalized payload is re-emitted as pcm16 bytes so downstream stages
+    keep streaming. Per-clip numpy kernels (a clip IS the vector unit);
+    no shuffle, no state."""
+
+    def __init__(self, target_rms: float = 3000.0, bytes_col: str = "bytes",
+                 codec_col: str = "codec"):
+        self.target_rms = target_rms
+        self.bytes_col = bytes_col
+        self.codec_col = codec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raws = batch[self.bytes_col].to_pylist()
+        codecs = batch[self.codec_col].to_pylist() if self.codec_col in \
+            batch.column_names else ["pcm16"] * len(raws)
+        out_b, n_s, r_in, g, r_out = [], [], [], [], []
+        for raw, codec in zip(raws, codecs):
+            x = _decode_int16(raw, codec or "pcm16")
+            y, rin, gain, rout = loudness_normalize(x, self.target_rms)
+            out_b.append(y.tobytes())
+            n_s.append(len(y))
+            r_in.append(round(rin, 6))
+            g.append(round(gain, 6))
+            r_out.append(round(rout, 6))
+        batch = batch.drop_columns([self.bytes_col])
+        batch = batch.append_column("bytes_out",
+                                    pa.array(out_b, pa.large_binary()))
+        batch = batch.append_column("n_samples", pa.array(n_s, pa.int64()))
+        batch = batch.append_column("rms_in", pa.array(r_in, pa.float64()))
+        batch = batch.append_column("gain", pa.array(g, pa.float64()))
+        return batch.append_column("rms_out", pa.array(r_out, pa.float64()))
+
+
+def loudness_normalize_stage(ds: ray.data.Dataset,
+                             target_rms: float = 3000.0,
+                             bytes_col: str = "bytes",
+                             codec_col: str = "codec") -> ray.data.Dataset:
+    """Per-clip loudness normalization as a stateless Dataset stage."""
+    return ds.map_batches(
+        LoudnessNormalizeTransform(target_rms, bytes_col, codec_col),
+        batch_format="pyarrow", batch_size=None)
+
+
+def audio_qc(x: np.ndarray, sr_hz: int, frame_ms: int = 20,
+             rel_threshold: float = 0.5) -> tuple:
+    """QC metrics for one int16 clip:
+
+    - ``peak`` = max |sample| (int; |-32768| = 32768),
+    - ``n_clipped`` = samples with |x| >= 32767 (both rails),
+    - edge-silence trim: frame energies exactly as
+      :func:`vad_segments` (full ``frame_ms`` frames, int64 sums of
+      squares, ``rel_threshold * max`` cutoff); ``trim_start_ms`` /
+      ``trim_end_ms`` bound the first..last voiced frame. No voiced
+      frames (or no full frame) => 0/0.
+
+    Returns (peak, n_clipped, trim_start_ms, trim_end_ms)."""
+    n = len(x)
+    if n == 0:
+        return 0, 0, 0, 0
+    ax = np.abs(x.astype(np.int64))
+    peak = int(ax.max())
+    n_clipped = int((ax >= 32767).sum())
+    spf = sr_hz * frame_ms // 1000
+    n_frames = n // spf
+    if n_frames == 0:
+        return peak, n_clipped, 0, 0
+    frames = x[:n_frames * spf].astype(np.int64).reshape(n_frames, spf)
+    energy = (frames * frames).sum(axis=1)
+    thresh = rel_threshold * float(energy.max())
+    voiced = np.nonzero(energy.astype(np.float64) > thresh)[0]
+    if len(voiced) == 0:
+        return peak, n_clipped, 0, 0
+    return (peak, n_clipped, int(voiced[0]) * frame_ms,
+            (int(voiced[-1]) + 1) * frame_ms)
+
+
+def audio_qc_stage(ds: ray.data.Dataset, frame_ms: int = 20,
+                   rel_threshold: float = 0.5, id_col: str = "clip_id",
+                   bytes_col: str = "bytes", codec_col: str = "codec",
+                   sr_col: str = "sr_hz") -> ray.data.Dataset:
+    """Per-clip QC row: (clip_id, n_samples, peak, n_clipped, clip_frac,
+    trim_start_ms, trim_end_ms, trimmed_dur_ms). Stateless map_batches —
+    the corpus-health scan every audio ingestion runs before training."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        raws = batch[bytes_col].to_pylist()
+        codecs = batch[codec_col].to_pylist() if codec_col in \
+            batch.column_names else ["pcm16"] * len(raws)
+        srs = batch[sr_col].to_pylist()
+        cols = {k: [] for k in ("n_samples", "peak", "n_clipped",
+                                "clip_frac", "trim_start_ms",
+                                "trim_end_ms")}
+        for raw, codec, sr in zip(raws, codecs, srs):
+            x = _decode_int16(raw, codec or "pcm16")
+            peak, ncl, ts, te = audio_qc(x, int(sr), frame_ms,
+                                         rel_threshold)
+            cols["n_samples"].append(len(x))
+            cols["peak"].append(peak)
+            cols["n_clipped"].append(ncl)
+            cols["clip_frac"].append(round(ncl / len(x), 6) if len(x)
+                                     else 0.0)
+            cols["trim_start_ms"].append(ts)
+            cols["trim_end_ms"].append(te)
+        return pa.table({
+            id_col: pa.array(ids, pa.string()),
+            "n_samples": pa.array(cols["n_samples"], pa.int64()),
+            "peak": pa.array(cols["peak"], pa.int64()),
+            "n_clipped": pa.array(cols["n_clipped"], pa.int64()),
+            "clip_frac": pa.array(cols["clip_frac"], pa.float64()),
+            "trim_start_ms": pa.array(cols["trim_start_ms"], pa.int64()),
+            "trim_end_ms": pa.array(cols["trim_end_ms"], pa.int64()),
+            "trimmed_dur_ms": pa.array(
+                [e - s for s, e in zip(cols["trim_start_ms"],
+                                       cols["trim_end_ms"])], pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -182,3 +182,66 @@ def grouped_exact_quantile(ds: ray.data.Dataset, keys: List[str], col: str,
     proj = ds.select_columns(list(keys) + [col]).map_batches(
         lambda t: t, batch_format="pyarrow", batch_size=None)
     return keyed_merge(proj, list(keys), merge)
+
+
+def quantile_bucket_stats(ds: "ray.data.Dataset", col: str,
+                          qs: List[float],
+                          int_edges: bool = True) -> "ray.data.Dataset":
+    """Quantile-bucketed batching stats — the length-bucketing step of a
+    padded-batch training pipeline (group clips/sequences of similar
+    length so per-batch padding waste stays small): bucket edges are the
+    exact ``quantile_disc`` values of ``col`` at ``qs`` (computed by the
+    shuffle-free :func:`exact_quantiles` refinement), each row lands in
+    ``bucket = #edges < value`` (ties go DOWN: value == edge stays in
+    the lower bucket, matching SQL ``value <= edge``), and per bucket we
+    emit ``n_rows``, ``sum_val``, ``max_val`` and the padding waste
+    ``n_rows * max_val - sum_val`` (the cost of padding every row to the
+    bucket max).
+
+    Scale shape: the quantile pass is 3-4 streaming scans of one column
+    with KB-sized mergeable partials; the edges (len(qs) scalars)
+    broadcast in the task closure; bucketing is one vectorized
+    ``searchsorted`` per batch; the final aggregate moves one partial
+    row per (block, bucket). No sort, no wide shuffle."""
+    import numpy as np
+
+    from ..stages.agg import grouped_aggregate
+
+    qt = exact_quantiles(ds, col, list(qs))
+    vals = qt["value"].to_pylist()
+    if any(v is None for v in vals):
+        raise ValueError(f"quantile_bucket_stats: empty input column {col}")
+    edges = np.array(sorted(set(int(v) if int_edges else float(v)
+                                for v in vals)))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = batch[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        arr = v.to_numpy(zero_copy_only=False)
+        b = np.searchsorted(edges, arr, side="left")
+        return pa.table({"bucket": pa.array(b.astype(np.int64)),
+                         col: v})
+
+    bucketed = ds.select_columns([col]).map_batches(
+        bucketize, batch_format="pyarrow", batch_size=None)
+    agg = grouped_aggregate(bucketed, ["bucket"], [
+        {"target": "n_rows", "source": col, "aggregate": "count"},
+        {"target": "sum_val", "source": col, "aggregate": "sum"},
+        {"target": "max_val", "source": col, "aggregate": "max"},
+    ])
+
+    def pad(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.cast(batch["n_rows"], pa.int64())
+        s = pc.cast(batch["sum_val"], pa.int64())
+        m = pc.cast(batch["max_val"], pa.int64())
+        return pa.table({
+            "bucket": batch["bucket"],
+            "n_rows": n,
+            "sum_val": s,
+            "max_val": m,
+            "padding": pc.subtract(pc.multiply(n, m), s),
+        })
+
+    return agg.map_batches(pad, batch_format="pyarrow", batch_size=None)

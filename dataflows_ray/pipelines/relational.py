@@ -2384,6 +2384,134 @@ def q84_streaming_normalize(sf_dir: str):
         ["doc_id", "norm_text", "norm_len"])
 
 
+def q85_loudness_normalize(sf_dir: str):
+    """Per-clip loudness normalization to a target RMS
+    (functions.audio_ops.loudness_normalize_stage): decode -> gain =
+    target_rms / rms_in -> floor(x*gain+0.5) clamped to int16 ->
+    re-emit pcm16 + (n_samples, rms_in, gain, rms_out). Stateless
+    map_batches over zero-copy binary — the corpus-levelling stage of
+    an audio training pipeline. Oracle: an INDEPENDENT sequential
+    pure-Python implementation (fixture)."""
+    import ray.data
+    from ..functions.audio_ops import loudness_normalize_stage
+    ds = _first_clips(ray.data.read_parquet(
+        _audio_path(sf_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"]), 250)
+    out = loudness_normalize_stage(ds, target_rms=3000.0)
+    return out.select_columns(["clip_id", "n_samples", "rms_in", "gain",
+                               "rms_out"])
+
+
+def q86_audio_qc(sf_dir: str):
+    """Per-clip QC scan (functions.audio_ops.audio_qc_stage): peak
+    amplitude, clipped-sample count/fraction (|x| >= 32767), and
+    edge-silence trim bounds from exact int64 frame energies (20 ms
+    frames, relative 0.5 threshold — same frame rule as the q69 VAD).
+    The corpus-health report every audio ingestion runs before
+    training. Oracle: an INDEPENDENT sequential pure-Python loop
+    (fixture)."""
+    import ray.data
+    from ..functions.audio_ops import audio_qc_stage
+    ds = _first_clips(ray.data.read_parquet(
+        _audio_path(sf_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"]), 250)
+    return audio_qc_stage(ds, frame_ms=20, rel_threshold=0.5)
+
+
+def q87_duration_buckets(sf_dir: str):
+    """Quantile length-bucketing stats
+    (functions.quantiles.quantile_bucket_stats): bucket clips by exact
+    dur_ms quartiles (shuffle-free iterative-histogram quantiles, q45
+    machinery), then per bucket count / total / max duration and the
+    padding waste of padding every clip to the bucket max — the
+    batch-packing planner for padded audio training. Edges broadcast in
+    the closure; bucketing is one searchsorted per batch."""
+    import ray.data
+    from ..functions.quantiles import quantile_bucket_stats
+    ds = ray.data.read_parquet(_audio_path(sf_dir), columns=["dur_ms"])
+    return quantile_bucket_stats(ds, "dur_ms", [0.25, 0.5, 0.75])
+
+
+class _NationEnrich:
+    """q88 transform: broadcast-dim enrichment inside the streaming
+    engine's split tasks. The dim table (25 nation names) loads once at
+    construction and ships in the task closure — the broadcast-join
+    pattern (a big dim would go through ray.put + per-actor ray.get
+    instead; the plumbing is identical). Picklable module-level class."""
+
+    def __init__(self, nation_path: str):
+        import pyarrow.parquet as _pq
+        t = _pq.read_table(nation_path, columns=["n_nationkey", "n_name"])
+        order = pc.sort_indices(t["n_nationkey"])
+        self._names = np.asarray(t["n_name"].take(order).to_pylist(),
+                                 dtype=object)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        spk_num = pc.cast(pc.utf8_slice_codeunits(
+            t["speaker"], start=4, stop=8), pa.int64())
+        codes = (spk_num.to_numpy(zero_copy_only=False) % len(self._names))
+        nation = pa.array(self._names[codes], type=pa.string())
+        return pa.table({
+            "clip_id": t["clip_id"],
+            "speaker": t["speaker"],
+            "dur_ms": t["dur_ms"],
+            "nation": nation,
+        })
+
+
+def q88_streaming_enrich_join(sf_dir: str):
+    """STREAMING stream-table enrichment join (streaming.map_engine):
+    every clip joins the small nation dim (speaker number mod 25 ->
+    n_name) INSIDE the exactly-once micro-batch tasks — the canonical
+    broadcast-dim enrichment of a streaming ETL (no shuffle: the dim
+    rides the closure / actor state, the stream never repartitions).
+    Streaming == batch, so the oracle is the plain SQL join."""
+    import shutil
+    from ..streaming.map_engine import StreamingMapEngine
+    from ..streaming.sink import ExactlyOnceSink
+
+    path = _audio_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_enrich_sink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingMapEngine(
+        path, out, transform=_NationEnrich(f"{sf_dir}/nation.parquet"),
+        key="clip_id", ts_col="event_ms",
+        columns=["clip_id", "speaker", "dur_ms", "event_ms"],
+        num_partitions=4, rowgroups_per_epoch=2)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["clip_id", "speaker", "dur_ms", "nation"])
+
+
+def q89_cube_pricing(sf_dir: str):
+    """GROUP BY CUBE over (returnflag, linestatus)
+    (stages.agg.cube_aggregate): all four grouping sets from ONE corpus
+    scan — the finest aggregate computes once, every coarser set
+    re-aggregates its group-count-sized output (sum->sum, count->sum),
+    so subtotal planes cost tiny keyed exchanges, not rescans."""
+    import ray.data
+    from ..stages.agg import cube_aggregate
+    ds = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_returnflag", "l_linestatus",
+                                        "l_quantity", "l_extendedprice"])
+    cube = cube_aggregate(ds, ["l_returnflag", "l_linestatus"], [
+        {"target": "sum_qty", "source": "l_quantity", "aggregate": "sum"},
+        {"target": "sum_price", "source": "l_extendedprice",
+         "aggregate": "sum"},
+        {"target": "n_rows", "source": "l_quantity", "aggregate": "count"},
+    ])
+
+    def rnd(t: pa.Table) -> pa.Table:
+        t = t.set_column(t.schema.get_field_index("sum_qty"), "sum_qty",
+                         pc.round(t["sum_qty"], ndigits=2))
+        return t.set_column(t.schema.get_field_index("sum_price"),
+                            "sum_price", pc.round(t["sum_price"], ndigits=2))
+
+    return cube.map_batches(rnd, batch_format="pyarrow", batch_size=None)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2469,6 +2597,11 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q82_sequence_packing": q82_sequence_packing,
     "q83_source_rebalance": q83_source_rebalance,
     "q84_streaming_normalize": q84_streaming_normalize,
+    "q85_loudness_normalize": q85_loudness_normalize,
+    "q86_audio_qc": q86_audio_qc,
+    "q87_duration_buckets": q87_duration_buckets,
+    "q88_streaming_enrich_join": q88_streaming_enrich_join,
+    "q89_cube_pricing": q89_cube_pricing,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2683,4 +2816,47 @@ GROUP BY k.cluster, d.lang
     "q82_sequence_packing": Q82_SQL,
     "q83_source_rebalance": Q83_SQL,
     "q84_streaming_normalize": Q79_SQL,  # streaming ≡ batch, same oracle
+    "q85_loudness_normalize": f"""
+SELECT clip_id, n_samples, rms_in, gain, rms_out
+FROM read_parquet('{_FIX}/q85_loudness_normalize.parquet')
+ORDER BY clip_id
+""",
+    "q86_audio_qc": f"""
+SELECT clip_id, n_samples, peak, n_clipped, clip_frac,
+       trim_start_ms, trim_end_ms, trimmed_dur_ms
+FROM read_parquet('{_FIX}/q86_audio_qc.parquet')
+ORDER BY clip_id
+""",
+    "q87_duration_buckets": f"""
+WITH e AS (
+  SELECT quantile_disc(dur_ms, 0.25) AS q1,
+         quantile_disc(dur_ms, 0.50) AS q2,
+         quantile_disc(dur_ms, 0.75) AS q3
+  FROM read_parquet('{_AUDIO}')
+), b AS (
+  SELECT CASE WHEN dur_ms <= q1 THEN 0 WHEN dur_ms <= q2 THEN 1
+              WHEN dur_ms <= q3 THEN 2 ELSE 3 END AS bucket,
+         CAST(dur_ms AS BIGINT) AS dur_ms
+  FROM read_parquet('{_AUDIO}'), e
+)
+SELECT bucket, count(*) AS n_rows,
+       CAST(sum(dur_ms) AS BIGINT) AS sum_val,
+       max(dur_ms) AS max_val,
+       CAST(count(*) * max(dur_ms) - sum(dur_ms) AS BIGINT) AS padding
+FROM b GROUP BY bucket
+""",
+    "q88_streaming_enrich_join": f"""
+SELECT a.clip_id, a.speaker, a.dur_ms, n.n_name AS nation
+FROM read_parquet('{_AUDIO}') a
+JOIN nation n
+  ON n.n_nationkey = CAST(substr(a.speaker, 5) AS BIGINT) % 25
+""",
+    "q89_cube_pricing": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
 }

@@ -589,3 +589,84 @@ def rollup_aggregate(ds: ray.data.Dataset, keys: Sequence[str],
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def grouping_sets_aggregate(ds: ray.data.Dataset, keys: Sequence[str],
+                            sets: Sequence[Sequence[str]],
+                            specs: Sequence[Dict[str, Any]],
+                            ) -> ray.data.Dataset:
+    """SQL ``GROUP BY GROUPING SETS(sets)`` over ``keys``: one result
+    set per grouping set, dropped key columns NULL-filled (keys are
+    assumed non-null in the data, as in SQL the NULL marker would
+    otherwise be ambiguous).
+
+    Scale shape — same as :func:`rollup_aggregate`: the corpus is
+    scanned ONCE (the finest level over ALL ``keys`` via
+    ``grouped_aggregate``); every requested set re-aggregates that
+    group-count-sized result, so each extra set costs a tiny keyed
+    exchange, never a second corpus scan. Only distributive aggregates
+    (sum/count/min/max) re-aggregate correctly."""
+    keys = list(keys)
+    sets = [list(s) for s in sets]
+    for s in sets:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(f"grouping set {s} has keys {unknown} "
+                             f"not in {keys}")
+    for sp in specs:
+        if sp["aggregate"] not in _ROLLUP_REAGG:
+            raise ValueError(
+                f"grouping sets support {sorted(_ROLLUP_REAGG)} "
+                f"aggregates, got {sp['aggregate']!r}")
+    targets = [sp["target"] for sp in specs]
+    respecs = [{"target": sp["target"], "source": sp["target"],
+                "aggregate": _ROLLUP_REAGG[sp["aggregate"]]}
+               for sp in specs]
+
+    finest = grouped_aggregate(ds, keys, specs)
+    key_types = {n: t for n, t in zip(finest.schema().names,
+                                      finest.schema().types) if n in keys}
+
+    def level_fill(level_keys: List[str]):
+        def fn(batch: pa.Table, level_keys=list(level_keys)) -> pa.Table:
+            for k in keys:
+                if k not in level_keys:
+                    batch = batch.append_column(
+                        k, pa.nulls(len(batch), type=key_types[k]))
+            return batch.select(keys + targets)
+        return fn
+
+    levels = []
+    for s in sets:
+        if set(s) == set(keys):
+            lv = finest
+        elif s:
+            lv = grouped_aggregate(finest, s, respecs)
+        else:
+            const = finest.map_batches(
+                lambda t: t.append_column(
+                    "__gs_all__",
+                    pa.array(np.zeros(len(t), dtype=np.int8))),
+                batch_format="pyarrow", batch_size=None)
+            lv = grouped_aggregate(const, ["__gs_all__"], respecs) \
+                .drop_columns(["__gs_all__"])
+        levels.append(lv.map_batches(level_fill(s), batch_format="pyarrow",
+                                     batch_size=None))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def cube_aggregate(ds: ray.data.Dataset, keys: Sequence[str],
+                   specs: Sequence[Dict[str, Any]]) -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE(keys)``: every subset of ``keys`` as a
+    grouping set (2^k sets — keep ``keys`` short), via
+    :func:`grouping_sets_aggregate`'s one-scan re-aggregation."""
+    from itertools import combinations
+    keys = list(keys)
+    sets: List[List[str]] = []
+    for r in range(len(keys), -1, -1):
+        for c in combinations(keys, r):
+            sets.append(list(c))
+    return grouping_sets_aggregate(ds, keys, sets, specs)

@@ -487,6 +487,102 @@ def gen_q69(audio_path: str) -> pa.Table:
                      "seg_end_ms": pa.array(out["seg_end_ms"], pa.int64())})
 
 
+def gen_q85(audio_path: str) -> pa.Table:
+    """INDEPENDENT sequential oracle for q85: pure-Python per-sample
+    loudness normalization (struct-unpacked PCM, integer sums of squares
+    — exact in float64 since they stay under 2^53 — gain =
+    target/rms_in, floor(x*gain+0.5) clamped to int16). Shares no code
+    with functions/audio_ops.py."""
+    import math
+    target = 3000.0
+    out = {"clip_id": [], "n_samples": [], "rms_in": [], "gain": [],
+           "rms_out": []}
+    for r in _first_clip_rows(audio_path, 250):
+        assert r["codec"] == "pcm16"
+        x = _decode_pcm16_py(r["bytes"])
+        n = len(x)
+        if n == 0:
+            rms_in, gain, rms_out = 0.0, 1.0, 0.0
+        else:
+            ss = 0
+            for v in x:
+                ss += v * v
+            rms_in = math.sqrt(ss / n)
+            gain = (target / rms_in) if rms_in > 0 else 1.0
+            ss_out = 0
+            for v in x:
+                y = int(math.floor(float(v) * gain + 0.5))
+                y = max(-32768, min(32767, y))
+                ss_out += y * y
+            rms_out = math.sqrt(ss_out / n)
+        out["clip_id"].append(r["clip_id"])
+        out["n_samples"].append(n)
+        out["rms_in"].append(round(rms_in, 6))
+        out["gain"].append(round(gain, 6))
+        out["rms_out"].append(round(rms_out, 6))
+    return pa.table({"clip_id": pa.array(out["clip_id"]),
+                     "n_samples": pa.array(out["n_samples"], pa.int64()),
+                     "rms_in": pa.array(out["rms_in"], pa.float64()),
+                     "gain": pa.array(out["gain"], pa.float64()),
+                     "rms_out": pa.array(out["rms_out"], pa.float64())})
+
+
+def gen_q86(audio_path: str) -> pa.Table:
+    """INDEPENDENT sequential oracle for q86: pure-Python QC loop —
+    peak |sample| (|-32768| = 32768), clipped count (|x| >= 32767),
+    edge-silence trim from exact integer 20 ms frame energies at the
+    relative 0.5 threshold (first..last voiced frame bounds)."""
+    frame_ms = 20
+    out = {k: [] for k in ("clip_id", "n_samples", "peak", "n_clipped",
+                           "clip_frac", "trim_start_ms", "trim_end_ms",
+                           "trimmed_dur_ms")}
+    for r in _first_clip_rows(audio_path, 250):
+        x = _decode_pcm16_py(r["bytes"])
+        n = len(x)
+        peak = 0
+        n_clipped = 0
+        for v in x:
+            a = -v if v < 0 else v
+            if a > peak:
+                peak = a
+            if a >= 32767:
+                n_clipped += 1
+        spf = int(r["sr_hz"]) * frame_ms // 1000
+        n_frames = n // spf if spf else 0
+        ts = te = 0
+        if n_frames:
+            energies = []
+            for f in range(n_frames):
+                ss = 0
+                for v in x[f * spf:(f + 1) * spf]:
+                    ss += v * v
+                energies.append(ss)
+            thresh = 0.5 * float(max(energies))
+            voiced = [i for i, e in enumerate(energies)
+                      if float(e) > thresh]
+            if voiced:
+                ts = voiced[0] * frame_ms
+                te = (voiced[-1] + 1) * frame_ms
+        out["clip_id"].append(r["clip_id"])
+        out["n_samples"].append(n)
+        out["peak"].append(peak)
+        out["n_clipped"].append(n_clipped)
+        out["clip_frac"].append(round(n_clipped / n, 6) if n else 0.0)
+        out["trim_start_ms"].append(ts)
+        out["trim_end_ms"].append(te)
+        out["trimmed_dur_ms"].append(te - ts)
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"]),
+        "n_samples": pa.array(out["n_samples"], pa.int64()),
+        "peak": pa.array(out["peak"], pa.int64()),
+        "n_clipped": pa.array(out["n_clipped"], pa.int64()),
+        "clip_frac": pa.array(out["clip_frac"], pa.float64()),
+        "trim_start_ms": pa.array(out["trim_start_ms"], pa.int64()),
+        "trim_end_ms": pa.array(out["trim_end_ms"], pa.int64()),
+        "trimmed_dur_ms": pa.array(out["trimmed_dur_ms"], pa.int64()),
+    })
+
+
 def gen_q70(sf_dir: str) -> pa.Table:
     """INDEPENDENT sequential k-means oracle: same contract as
     functions/kmeans.py (init = k smallest vec_ids, 5 iterations,
@@ -569,6 +665,10 @@ def main():
         pq.write_table(gen_q70(sf_dir),
                        f"{fdir}/q70_kmeans_embeddings.parquet")
         print(f"{name}: q70 written")
+        pq.write_table(gen_q85(audio), f"{fdir}/q85_loudness_normalize.parquet")
+        print(f"{name}: q85 written")
+        pq.write_table(gen_q86(audio), f"{fdir}/q86_audio_qc.parquet")
+        print(f"{name}: q86 written")
 
 
 if __name__ == "__main__":

@@ -794,3 +794,96 @@ def test_weighted_source_sample_null_source_uses_default():
     out = weighted_source_sample(ds, {"a": 0.0}, default_rate=1.0) \
         .to_pandas()
     assert sorted(out["doc_id"]) == list(range(20, 40))
+
+
+def test_cube_aggregate_matches_duckdb():
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.agg import cube_aggregate
+
+    df = pd.DataFrame({
+        "a": ["x", "x", "y", "y", "y"],
+        "b": ["p", "q", "p", "p", "q"],
+        "v": [1.0, 2.0, 3.0, 4.0, 5.0],
+    })
+    out = cube_aggregate(ray.data.from_pandas(df).repartition(3),
+                         ["a", "b"], [
+        {"target": "sv", "source": "v", "aggregate": "sum"},
+        {"target": "n", "source": "v", "aggregate": "count"},
+    ]).to_pandas()
+    want = duckdb.sql(
+        "SELECT a, b, sum(v) AS sv, count(*) AS n FROM df "
+        "GROUP BY CUBE(a, b)").df()
+    key = lambda d: d.fillna("~").sort_values(["a", "b"]).reset_index(drop=True)
+    o, w = key(out), key(want)
+    assert o[["a", "b"]].equals(w[["a", "b"]])
+    assert (o["sv"] == w["sv"]).all() and (o["n"] == w["n"]).all()
+
+
+def test_grouping_sets_subset_and_validation():
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data
+    from dataflows_ray.stages.agg import grouping_sets_aggregate
+
+    df = pd.DataFrame({"a": ["x", "y"], "b": ["p", "p"], "v": [1, 2]})
+    ds = ray.data.from_pandas(df)
+    out = grouping_sets_aggregate(ds, ["a", "b"], [["a"], []], [
+        {"target": "sv", "source": "v", "aggregate": "sum"}]).to_pandas()
+    assert len(out) == 3  # 2 'a' groups + grand total
+    total = out[out["a"].isna() & out["b"].isna()]
+    assert total["sv"].iloc[0] == 3
+    with _pytest.raises(ValueError):
+        grouping_sets_aggregate(ds, ["a"], [["zz"]], [
+            {"target": "sv", "source": "v", "aggregate": "sum"}])
+    with _pytest.raises(ValueError):
+        grouping_sets_aggregate(ds, ["a"], [["a"]], [
+            {"target": "sv", "source": "v", "aggregate": "avg"}])
+
+
+def test_quantile_bucket_stats_partition_invariant():
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.quantiles import quantile_bucket_stats
+
+    vals = list(range(1, 101))
+    df = pd.DataFrame({"dur": vals})
+    outs = []
+    for parts in (1, 7):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        o = quantile_bucket_stats(ds, "dur", [0.25, 0.5, 0.75]) \
+            .to_pandas().sort_values("bucket").reset_index(drop=True)
+        outs.append(o)
+    assert outs[0].equals(outs[1])
+    o = outs[0]
+    assert o["n_rows"].tolist() == [25, 25, 25, 25]
+    # bucket 0 = 1..25 (quantile_disc(0.25) of 1..100 is 25)
+    assert o.loc[0, "max_val"] == 25
+    assert o.loc[0, "padding"] == 25 * 25 - sum(range(1, 26))
+
+
+def test_loudness_normalize_and_qc_kernels():
+    import numpy as np
+    from dataflows_ray.functions.audio_ops import (loudness_normalize,
+                                                   audio_qc)
+
+    x = np.array([1000, -2000, 3000, -4000] * 100, dtype=np.int16)
+    y, rms_in, gain, rms_out = loudness_normalize(x, 3000.0)
+    assert abs(rms_in - np.sqrt((x.astype(np.float64) ** 2).mean())) < 1e-9
+    # normalized RMS lands near the target (quantization error only)
+    assert abs(rms_out - 3000.0) < 1.0
+    assert y.dtype == np.int16
+    # silent clip: identity gain
+    z = np.zeros(10, dtype=np.int16)
+    _, ri, g, ro = loudness_normalize(z, 3000.0)
+    assert (ri, g, ro) == (0.0, 1.0, 0.0)
+    # QC: peak of -32768 counts as 32768 and as clipped
+    q = np.array([0, 5, -32768, 32767], dtype=np.int16)
+    peak, ncl, ts, te = audio_qc(q, 16000)
+    assert peak == 32768 and ncl == 2
+    # trim: 16k sr, 20ms frames = 320 samples; silence, loud, silence
+    sig = np.zeros(320 * 5, dtype=np.int16)
+    sig[320:640] = 10000
+    peak, ncl, ts, te = audio_qc(sig, 16000)
+    assert (ts, te) == (20, 40)
