@@ -2512,6 +2512,41 @@ def q89_cube_pricing(sf_dir: str):
     return cube.map_batches(rnd, batch_format="pyarrow", batch_size=None)
 
 
+def q90_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer learning (functions.bpe.learn_bpe):
+    ONE streaming corpus scan for word counts (explode + combining
+    grouped count), top-V truncation (explicit bound), then the classic
+    Sennrich merge loop over the bounded dict — merge cost independent
+    of corpus size. Ties break to the smallest (left, right) pair, so
+    the result is deterministic at any parallelism. Oracle: an
+    INDEPENDENT sequential pure-Python trainer (fixture)."""
+    import pandas as pd
+    import ray.data
+    from ..functions.bpe import learn_bpe
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    merges = learn_bpe(ds, n_merges=40)
+    return pd.DataFrame({"rank": range(len(merges)),
+                         "left": [m[0] for m in merges],
+                         "right": [m[1] for m in merges]})
+
+
+def q91_bpe_token_counts(sf_dir: str):
+    """BPE encoding with broadcast merges (functions.bpe.
+    bpe_encode_stage): the q90 merge ranks ride the task closure; each
+    task memoizes word -> token-count over distinct words, so the merge
+    walk runs once per distinct word. Per-doc token counts — the
+    sequence-length accounting pass of a pretraining pipeline. Oracle:
+    the INDEPENDENT sequential trainer + encoder (fixture)."""
+    import ray.data
+    from ..functions.bpe import bpe_encode_stage, learn_bpe
+    corpus = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"])
+    merges = learn_bpe(ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]), n_merges=40)
+    return bpe_encode_stage(corpus, merges)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2602,6 +2637,8 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q87_duration_buckets": q87_duration_buckets,
     "q88_streaming_enrich_join": q88_streaming_enrich_join,
     "q89_cube_pricing": q89_cube_pricing,
+    "q90_bpe_merges": q90_bpe_merges,
+    "q91_bpe_token_counts": q91_bpe_token_counts,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2858,5 +2895,15 @@ SELECT l_returnflag, l_linestatus,
        count(*) AS n_rows
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+    "q90_bpe_merges": f"""
+SELECT rank, "left", "right"
+FROM read_parquet('{_FIX}/q90_bpe_merges.parquet')
+ORDER BY rank
+""",
+    "q91_bpe_token_counts": f"""
+SELECT doc_id, n_bpe_tokens
+FROM read_parquet('{_FIX}/q91_bpe_token_counts.parquet')
+ORDER BY doc_id
 """,
 }

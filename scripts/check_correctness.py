@@ -41,8 +41,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main():
     args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
     only = set(a for a in args if not os.path.isdir(a))
+    record = {}
 
     import ray
     if not ray.is_initialized():
@@ -71,17 +77,22 @@ def main():
             res = to_pandas(fn(sf_dir))
         except Exception as e:
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            record[name] = {"status": "fail",
+                            "error": f"{type(e).__name__}: {e}"}
             n_fail += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows={len(res)} (rows-only, {dt:.1f}s)")
+            record[name] = {"status": "rows_only", "rows": len(res),
+                            "sec": round(dt, 2)}
             n_pass += 1
             continue
         try:
             exp = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            record[name] = {"status": "fail", "error": f"oracle SQL: {e}"}
             n_fail += 1
             continue
         problems = []
@@ -91,7 +102,15 @@ def main():
             problems.append(f"cols {sorted(res.columns)} != {sorted(exp.columns)}")
         if not problems and value_hash(res) != value_hash(exp):
             problems.append("value hash mismatch")
+        record[name] = {
+            "status": "fail" if problems else "pass",
+            "rows_match": len(res) == len(exp),
+            "schema_match": sorted(res.columns) == sorted(exp.columns),
+            "hash_match": not problems,
+            "rows": len(res), "sec": round(dt, 2),
+        }
         if problems:
+            record[name]["problems"] = problems
             print(f"FAIL {name}: {'; '.join(problems)} ({dt:.1f}s)")
             if "value hash mismatch" in problems:
                 merged = res.reindex(sorted(res.columns), axis=1)
@@ -105,6 +124,12 @@ def main():
             print(f"PASS {name}: rows={len(res)} ({dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if json_out:
+        import json
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n_pass": n_pass, "n_fail": n_fail,
+                       "queries": record}, f, indent=1, default=str)
+        print(f"wrote {json_out}")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 

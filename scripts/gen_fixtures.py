@@ -583,6 +583,92 @@ def gen_q86(audio_path: str) -> pa.Table:
     })
 
 
+def _bpe_train_py(sf_dir: str, n_merges: int = 40):
+    """INDEPENDENT sequential BPE trainer: collections.Counter word
+    counts over Python-re split (same explicit ASCII class), dict-based
+    pair counting, min((-count, pair)) tie rule — no code shared with
+    functions/bpe.py (different data structures: tuple-keyed word dict
+    rebuilt per merge vs the engine's in-place symbol lists)."""
+    import re as _re
+    from collections import Counter
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    wc = Counter()
+    for r in docs:
+        for w in _re.split(r"[ \t\n\r\f\v]+", r["text"] or ""):
+            if w:
+                wc[w] += 1
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return docs, merges
+
+
+def gen_q90(sf_dir: str) -> pa.Table:
+    _, merges = _bpe_train_py(sf_dir)
+    return pa.table({"rank": pa.array(range(len(merges)), pa.int64()),
+                     "left": pa.array([m[0] for m in merges]),
+                     "right": pa.array([m[1] for m in merges])})
+
+
+def gen_q91(sf_dir: str) -> pa.Table:
+    """Sequential encode with the trained ranks: repeatedly apply the
+    LOWEST-rank applicable merge (standard BPE encode order)."""
+    import re as _re
+    docs, merges = _bpe_train_py(sf_dir)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def enc(word):
+        syms = list(word) + ["</w>"]
+        while len(syms) > 1:
+            cand = [(ranks[(a, b)], i) for i, (a, b)
+                    in enumerate(zip(syms, syms[1:])) if (a, b) in ranks]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        return len(syms)
+
+    memo = {}
+    ids, counts = [], []
+    for r in docs:
+        n = 0
+        for w in _re.split(r"[ \t\n\r\f\v]+", r["text"] or ""):
+            if not w:
+                continue
+            if w not in memo:
+                memo[w] = enc(w)
+            n += memo[w]
+        ids.append(r["doc_id"])
+        counts.append(n)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "n_bpe_tokens": pa.array(counts, pa.int64())})
+
+
 def gen_q70(sf_dir: str) -> pa.Table:
     """INDEPENDENT sequential k-means oracle: same contract as
     functions/kmeans.py (init = k smallest vec_ids, 5 iterations,
@@ -669,6 +755,10 @@ def main():
         print(f"{name}: q85 written")
         pq.write_table(gen_q86(audio), f"{fdir}/q86_audio_qc.parquet")
         print(f"{name}: q86 written")
+        pq.write_table(gen_q90(sf_dir), f"{fdir}/q90_bpe_merges.parquet")
+        print(f"{name}: q90 written")
+        pq.write_table(gen_q91(sf_dir), f"{fdir}/q91_bpe_token_counts.parquet")
+        print(f"{name}: q91 written")
 
 
 if __name__ == "__main__":

@@ -887,3 +887,36 @@ def test_loudness_normalize_and_qc_kernels():
     sig[320:640] = 10000
     peak, ncl, ts, te = audio_qc(sig, 16000)
     assert (ts, te) == (20, 40)
+
+
+def test_bpe_learn_partition_invariant_and_classic():
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.bpe import (learn_bpe, merge_loop,
+                                             bpe_encode_stage)
+
+    # classic Sennrich example: 'es' merges first (9 occurrences)
+    m = merge_loop([("low", 5), ("lower", 2), ("newest", 6),
+                    ("widest", 3)], 3)
+    assert m[0] == ("e", "s") and m[1] == ("es", "t")
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["the cat sat", "the bat", "the cat", "sat mat",
+                 "the the the", ""]})
+    merges_1 = learn_bpe(ray.data.from_pandas(docs), n_merges=10)
+    merges_4 = learn_bpe(ray.data.from_pandas(docs).repartition(4),
+                         n_merges=10)
+    assert merges_1 == merges_4  # deterministic at any parallelism
+
+    out = bpe_encode_stage(ray.data.from_pandas(docs).repartition(3),
+                           merges_1).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[5, "n_bpe_tokens"] == 0  # empty doc
+    assert (out["n_bpe_tokens"][:5] > 0).all()
+    # 'the' appears 7 times and must be fully merged into one token
+    the_only = bpe_encode_stage(
+        ray.data.from_pandas(pd.DataFrame({"doc_id": [0],
+                                           "text": ["the"]})),
+        merges_1).to_pandas()
+    assert the_only["n_bpe_tokens"].iloc[0] == 1
