@@ -41,7 +41,8 @@ def run_benchmarks() -> dict:
         q16_token_counts, q17_exact_dedup, q18_knn_cosine,
         q20_minhash_dedup, q45_exact_quantiles, q48_keyed_window_funcs,
         q49_term_doc_frequency, q61_ngram_jaccard_dedup,
-        q79_normalize_text, q82_sequence_packing, _audio_path)
+        q79_normalize_text, q82_sequence_packing, q87_duration_buckets,
+        q91_bpe_token_counts, _audio_path)
     from dataflows_ray.pipelines.audio import decode_stage, windowed_speaker_aggregate
     from dataflows_ray.streaming.engine import StreamingJoinEngine
     from dataflows_ray.streaming.sink import ExactlyOnceSink
@@ -76,6 +77,10 @@ def run_benchmarks() -> dict:
     timed("q79_normalize_text", lambda: q79_normalize_text(SF_DIR).count())
     timed("q82_sequence_packing",
           lambda: q82_sequence_packing(SF_DIR).count())
+    timed("q87_duration_buckets",
+          lambda: q87_duration_buckets(SF_DIR).to_pandas())
+    timed("q91_bpe_token_counts",
+          lambda: q91_bpe_token_counts(SF_DIR).count())
 
     # streaming windowed-aggregate engine (micro-batch epochs, watermark
     # emission, 2PC sink) over the same audio table — the engine-form

@@ -2547,6 +2547,22 @@ def q91_bpe_token_counts(sf_dir: str):
     return bpe_encode_stage(corpus, merges)
 
 
+def q92_pca_projection(sf_dir: str):
+    """Distributed PCA (functions.pca): fit top-4 components from ONE
+    streaming pass of EXACT integer moment partials (inputs quantized to
+    1e-6; int64 per block, big-int across blocks — the reduction is
+    order-independent, so any parallelism yields the identical
+    covariance), then project every embedding with the components in
+    the task closure. Oracle: an INDEPENDENT sequential per-row
+    accumulator (fixture) over the same integer contract."""
+    import ray.data
+    from ..functions.pca import pca_fit, pca_project
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    mean, comps, _ = pca_fit(ds, k=4)
+    return pca_project(ds, mean, comps)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2639,6 +2655,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q89_cube_pricing": q89_cube_pricing,
     "q90_bpe_merges": q90_bpe_merges,
     "q91_bpe_token_counts": q91_bpe_token_counts,
+    "q92_pca_projection": q92_pca_projection,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2905,5 +2922,10 @@ ORDER BY rank
 SELECT doc_id, n_bpe_tokens
 FROM read_parquet('{_FIX}/q91_bpe_token_counts.parquet')
 ORDER BY doc_id
+""",
+    "q92_pca_projection": f"""
+SELECT vec_id, pc1, pc2, pc3, pc4
+FROM read_parquet('{_FIX}/q92_pca_projection.parquet')
+ORDER BY vec_id
 """,
 }

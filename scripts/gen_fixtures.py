@@ -669,6 +669,58 @@ def gen_q91(sf_dir: str) -> pa.Table:
                      "n_bpe_tokens": pa.array(counts, pa.int64())})
 
 
+def gen_q92(sf_dir: str) -> pa.Table:
+    """INDEPENDENT sequential PCA oracle: per-row Python-int moment
+    accumulation over the same 1e-6 quantization contract as
+    functions/pca.py (no shared code, no vectorized partials), identical
+    covariance by exact-integer construction, numpy eigh + the same
+    sign canonicalization, per-row projection loop."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    rows = tbl.to_pylist()
+    rows.sort(key=lambda r: r["vec_id"])
+    d = len(rows[0]["embedding"])
+    S = 1_000_000
+    n = 0
+    s = [0] * d
+    xtx = [[0] * d for _ in range(d)]
+    qs = []
+    for r in rows:
+        q = [int(round(float(v) * S)) for v in r["embedding"]]
+        qs.append((r["vec_id"], q))
+        n += 1
+        for i in range(d):
+            s[i] += q[i]
+            qi = q[i]
+            ri = xtx[i]
+            for j in range(d):
+                ri[j] += qi * q[j]
+    denom = n * (n - 1) * S * S
+    cov = np.empty((d, d))
+    for i in range(d):
+        for j in range(d):
+            cov[i, j] = (n * xtx[i][j] - s[i] * s[j]) / denom
+    mean = np.array([v / (n * S) for v in s])
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    comps = v[:, order]
+    for c in range(comps.shape[1]):
+        idx = int(np.argmax(np.abs(comps[:, c])))
+        if comps[idx, c] < 0:
+            comps[:, c] = -comps[:, c]
+    ids, pcs = [], [[] for _ in range(4)]
+    for vid, q in qs:
+        x = np.array(q, dtype=np.float64) / S
+        y = np.round((x - mean) @ comps, 6)
+        ids.append(vid)
+        for c in range(4):
+            pcs[c].append(float(y[c]))
+    cols = {"vec_id": pa.array(ids, pa.int64())}
+    for c in range(4):
+        cols[f"pc{c + 1}"] = pa.array(pcs[c], pa.float64())
+    return pa.table(cols)
+
+
 def gen_q70(sf_dir: str) -> pa.Table:
     """INDEPENDENT sequential k-means oracle: same contract as
     functions/kmeans.py (init = k smallest vec_ids, 5 iterations,
@@ -759,6 +811,8 @@ def main():
         print(f"{name}: q90 written")
         pq.write_table(gen_q91(sf_dir), f"{fdir}/q91_bpe_token_counts.parquet")
         print(f"{name}: q91 written")
+        pq.write_table(gen_q92(sf_dir), f"{fdir}/q92_pca_projection.parquet")
+        print(f"{name}: q92 written")
 
 
 if __name__ == "__main__":

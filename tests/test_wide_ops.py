@@ -920,3 +920,31 @@ def test_bpe_learn_partition_invariant_and_classic():
                                            "text": ["the"]})),
         merges_1).to_pandas()
     assert the_only["n_bpe_tokens"].iloc[0] == 1
+
+
+def test_pca_partition_invariant_and_orthonormal():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.pca import pca_fit, pca_project
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(80, 6)) @ np.diag([3, 2, 1, .5, .2, .1])
+    df = pd.DataFrame({"vec_id": range(80),
+                       "embedding": [r.astype(np.float32).tolist()
+                                     for r in base]})
+    fits = []
+    for parts in (1, 5):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        mean, comps, vals = pca_fit(ds, k=3)
+        fits.append((mean, comps, vals))
+    # EXACT integer partials: identical at any parallelism, bit-for-bit
+    assert (fits[0][0] == fits[1][0]).all()
+    assert (fits[0][1] == fits[1][1]).all()
+    mean, comps, vals = fits[0]
+    assert np.allclose(comps.T @ comps, np.eye(3), atol=1e-10)
+    assert vals[0] >= vals[1] >= vals[2] > 0
+    # variance along pc1 ~ the largest planted scale (3^2-ish)
+    proj = pca_project(ray.data.from_pandas(df).repartition(3),
+                       mean, comps).to_pandas().sort_values("vec_id")
+    assert proj["pc1"].var() > proj["pc2"].var() > proj["pc3"].var()
