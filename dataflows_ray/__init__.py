@@ -68,7 +68,7 @@ from .stages.sampling import hash_stratified_sample, weighted_source_sample
 from .functions.editdist import edit_distance
 from .functions.kmeans import kmeans_fit, kmeans_predict, kmeans_fit_predict
 from .functions.bpe import learn_bpe, bpe_encode_stage
-from .functions.pca import pca_fit, pca_project
+from .functions.pca import pca_fit, pca_project, grouped_embedding_mean
 from .functions.audio_ops import (resample_stage, vad_stage,
                                   loudness_normalize_stage,
                                   audio_qc_stage)
@@ -99,7 +99,7 @@ __all__ = [
     "dedup_by_components", "rollup_aggregate",
     "grouping_sets_aggregate", "cube_aggregate",
     "quantile_bucket_stats", "loudness_normalize_stage",
-    "learn_bpe", "bpe_encode_stage", "pca_fit", "pca_project",
+    "learn_bpe", "bpe_encode_stage", "pca_fit", "pca_project", "grouped_embedding_mean",
     "audio_qc_stage",
     "exact_dedup", "minhash_dedup", "ngram_jaccard_dedup",
     "simhash_signatures",

@@ -9,7 +9,7 @@ bigger than a (d, d) matrix moves or lives anywhere, and the corpus is
 scanned exactly twice (fit pass + project pass).
 
 Determinism contract (what lets a sequential oracle match bit-for-bit):
-inputs are quantized to integers ``q = round(x * 1e6)`` and the moment
+inputs are quantized to integers ``q = floor(x * 1e6 + 0.5)`` and the moment
 partials (``n``, ``sum q``, ``sum q qᵀ``) are accumulated in INTEGER
 arithmetic — int64 inside a batch, arbitrary-precision Python ints
 across partials — so the distributed reduction is EXACT and
@@ -30,17 +30,21 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-_SCALE = 1_000_000  # input quantization: q = round(x * 1e6)
+_SCALE = 1_000_000  # input quantization: q = floor(x * 1e6 + 0.5)
 
 
 def _quantized(batch: pa.Table, col: str) -> np.ndarray:
+    """q = floor(x * 1e6 + 0.5) — the round-half-up tie rule used
+    engine-wide (resample/loudness use the same form) because any SQL
+    engine reproduces it verbatim (``CAST(floor(x*1e6 + 0.5) AS
+    BIGINT)``), unlike banker's rounding."""
     emb = batch[col]
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
     flat = emb.flatten().to_numpy(zero_copy_only=False)
     d = len(emb[0])
     x = flat.astype(np.float64).reshape(-1, d)
-    return np.round(x * _SCALE).astype(np.int64)
+    return np.floor(x * _SCALE + 0.5).astype(np.int64)
 
 
 def pca_fit(ds: ray.data.Dataset, col: str = "embedding",
@@ -134,3 +138,69 @@ def pca_project(ds: ray.data.Dataset, mean: np.ndarray, comps: np.ndarray,
     """Project every embedding onto the fitted components."""
     return ds.map_batches(PcaProjector(mean, comps, col, id_col),
                           batch_format="pyarrow", batch_size=None)
+
+
+def grouped_embedding_mean(ds: ray.data.Dataset, label_col: str = "label",
+                           col: str = "embedding") -> ray.data.Dataset:
+    """Per-label embedding centroid, EXACTLY: one row per (label, dim)
+    with the mean of the 1e-6-quantized coordinates — the class-centroid
+    profile of an embedding table (cluster inspection, nearest-centroid
+    classification, drift monitoring).
+
+    Scale shape: each block reduces to (labels-in-block x d) integer
+    partial rows inside ``map_batches`` (np.add.reduceat over a
+    label-sorted view — no Python per row), then ONE combining keyed
+    exchange of partials sums them per (label, dim). Integer sums make
+    the result independent of partitioning and bit-equal to the SQL
+    oracle, which reproduces the quantizer as
+    ``CAST(floor(x*1e6 + 0.5) AS BIGINT)``."""
+    import pyarrow.compute as pc
+
+    from ..stages.agg import grouped_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = _quantized(batch, col)
+        d = q.shape[1]
+        labels = batch[label_col]
+        if isinstance(labels, pa.ChunkedArray):
+            labels = labels.combine_chunks()
+        lab = labels.to_numpy(zero_copy_only=False)
+        order = np.argsort(lab, kind="stable")
+        lab_sorted = lab[order]
+        q_sorted = q[order]
+        uniq, starts = np.unique(lab_sorted, return_index=True)
+        sums = np.add.reduceat(q_sorted, starts, axis=0)
+        counts = np.diff(np.append(starts, len(lab_sorted)))
+        n_lab = len(uniq)
+        return pa.table({
+            label_col: pa.array(np.repeat(uniq, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1), n_lab),
+                            pa.int64()),
+            "s": pa.array(sums.reshape(-1), pa.int64()),
+            "n": pa.array(np.repeat(counts, d).astype(np.int64)),
+        })
+
+    partials = ds.select_columns([label_col, col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    agg = grouped_aggregate(partials, [label_col, "dim"], [
+        {"target": "s", "source": "s", "aggregate": "sum"},
+        {"target": "n", "source": "n", "aggregate": "sum"},
+    ])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # mean is the UNROUNDED float ratio of exact integers: one
+        # correctly-rounded division that any engine reproduces
+        # bit-for-bit (np.round-vs-SQL-round half-even/half-away
+        # dialects would diverge on grid boundaries).
+        s = batch["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / (n * _SCALE)
+        return pa.table({
+            label_col: batch[label_col],
+            "dim": batch["dim"],
+            "n_vecs": pc.cast(batch["n"], pa.int64()),
+            "mean_val": pa.array(mean, pa.float64()),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow",
+                           batch_size=None)

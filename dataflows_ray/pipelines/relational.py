@@ -2563,6 +2563,20 @@ def q92_pca_projection(sf_dir: str):
     return pca_project(ds, mean, comps)
 
 
+def q93_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (functions.pca.
+    grouped_embedding_mean): each block reduces to (labels x dims)
+    integer partial sums via np.add.reduceat, one combining keyed
+    exchange merges them, and the quantized-integer arithmetic makes the
+    result bit-equal to the SQL oracle (which spells the same
+    floor(x*1e6+0.5) quantizer) at any parallelism."""
+    import ray.data
+    from ..functions.pca import grouped_embedding_mean
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+    return grouped_embedding_mean(ds)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2656,6 +2670,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q90_bpe_merges": q90_bpe_merges,
     "q91_bpe_token_counts": q91_bpe_token_counts,
     "q92_pca_projection": q92_pca_projection,
+    "q93_label_centroids": q93_label_centroids,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2927,5 +2942,17 @@ ORDER BY doc_id
 SELECT vec_id, pc1, pc2, pc3, pc4
 FROM read_parquet('{_FIX}/q92_pca_projection.parquet')
 ORDER BY vec_id
+""",
+    "q93_label_centroids": """
+WITH e AS (
+  SELECT label,
+         unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+)
+SELECT label, dim, count(*) AS n_vecs,
+       CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0) AS mean_val
+FROM e GROUP BY label, dim
 """,
 }

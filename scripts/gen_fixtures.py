@@ -686,7 +686,8 @@ def gen_q92(sf_dir: str) -> pa.Table:
     xtx = [[0] * d for _ in range(d)]
     qs = []
     for r in rows:
-        q = [int(round(float(v) * S)) for v in r["embedding"]]
+        import math as _math
+        q = [int(_math.floor(float(v) * S + 0.5)) for v in r["embedding"]]
         qs.append((r["vec_id"], q))
         n += 1
         for i in range(d):

@@ -948,3 +948,35 @@ def test_pca_partition_invariant_and_orthonormal():
     proj = pca_project(ray.data.from_pandas(df).repartition(3),
                        mean, comps).to_pandas().sort_values("vec_id")
     assert proj["pc1"].var() > proj["pc2"].var() > proj["pc3"].var()
+
+
+def test_grouped_embedding_mean_partition_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.pca import grouped_embedding_mean
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "label": [i % 3 for i in range(60)],
+        "embedding": [rng.normal(size=4).astype(np.float32).tolist()
+                      for _ in range(60)],
+    })
+    outs = []
+    for parts in (1, 6):
+        o = grouped_embedding_mean(
+            ray.data.from_pandas(df).repartition(parts)) \
+            .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+        outs.append(o)
+    assert outs[0].equals(outs[1])  # bit-equal at any parallelism
+    o = outs[0]
+    assert len(o) == 12 and (o["n_vecs"] == 20).all()
+    # exact definition check against a per-row python loop
+    import math
+    s = {}
+    for _, r in df.iterrows():
+        for d, v in enumerate(r["embedding"], start=1):
+            k = (r["label"], d)
+            s[k] = s.get(k, 0) + int(math.floor(float(v) * 1e6 + 0.5))
+    for _, r in o.iterrows():
+        assert r["mean_val"] == s[(r["label"], r["dim"])] / (20 * 1e6)
