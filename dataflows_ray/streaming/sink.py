@@ -75,6 +75,23 @@ class ExactlyOnceSink:
         return {"partition": partition, "rows": len(table),
                 "bytes": os.path.getsize(path)}
 
+    def stage_side(self, epoch: int, partition: int, table: pa.Table,
+                   channel: str = "late") -> Dict:
+        """Stage a SIDE-channel table (e.g. the late-data dead-letter
+        stream) into the same epoch dir as the main output — it rides
+        the identical two-phase commit, so side output is exactly-once
+        too (skipped epochs on resume never re-emit it). Side files are
+        named ``<channel>-part-*`` and excluded from ``read_output``;
+        read them with :meth:`read_side`."""
+        epoch_dir = os.path.join(self.staged_dir, f"epoch={epoch}")
+        os.makedirs(epoch_dir, exist_ok=True)
+        path = os.path.join(epoch_dir,
+                            f"{channel}-part-{partition:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+        return {"partition": partition, f"{channel}_rows": len(table)}
+
     # -- phase 2: commit ---------------------------------------------------
     def commit(self, epoch: int, partition_stats: List[Dict],
                watermark_ms: int,
@@ -125,19 +142,35 @@ class ExactlyOnceSink:
     def committed_row_count(self) -> int:
         return sum(e["rows"] for e in self.read_manifest()["epochs"])
 
-    def read_output(self):
-        """All committed output as one lazy Dataset (skips staged data)."""
-        import ray.data
+    def _committed_files(self, prefix: str) -> List[str]:
         files = []
         for d in sorted(os.listdir(self.data_dir)):
             full = os.path.join(self.data_dir, d)
             if os.path.isdir(full):
-                files.extend(os.path.join(full, f) for f in sorted(os.listdir(full))
-                             if f.endswith(".parquet"))
+                files.extend(os.path.join(full, f)
+                             for f in sorted(os.listdir(full))
+                             if f.startswith(prefix)
+                             and f.endswith(".parquet"))
+        return files
+
+    def read_output(self):
+        """All committed MAIN output as one lazy Dataset (skips staged
+        data and side channels)."""
+        import ray.data
+        files = self._committed_files("part-")
         if not files:
             return ray.data.from_items([])
         # partitioning=None: the hive-style `epoch=<e>` directory names are
         # lineage bookkeeping, not data — without this, Ray's partition
         # inference attaches an `epoch` column to SOME read tasks only,
         # yielding a mixed-schema stream (RefBundle schema warnings).
+        return ray.data.read_parquet(files, partitioning=None)
+
+    def read_side(self, channel: str = "late"):
+        """All committed SIDE-channel output (e.g. the late-data
+        dead-letter stream) as one lazy Dataset."""
+        import ray.data
+        files = self._committed_files(f"{channel}-part-")
+        if not files:
+            return ray.data.from_items([])
         return ray.data.read_parquet(files, partitioning=None)

@@ -290,11 +290,13 @@ class WindowStateActor:
                          <= watermark_ms) if watermark_ms >= 0 else \
                 pd.Series(False, index=df.index)
             n_late = int(df.loc[late_mask, "n_clips"].sum())
+            late_df = df[late_mask].reset_index(drop=True)
             df = df[~late_mask]
             if len(df):
                 self._fold(df)
         else:
             n_late = 0
+            late_df = pd.DataFrame()
 
         emitted = pd.DataFrame()
         if self.state is not None and len(self.state):
@@ -310,6 +312,14 @@ class WindowStateActor:
                                                     preserve_index=False))
         else:
             stats = {"partition": self.partition, "rows": 0, "bytes": 0}
+        if len(late_df):
+            # dead-letter side output: late partials ride the SAME 2PC
+            # commit as the main stream (exactly-once, resume-safe) so a
+            # downstream backfill/audit can consume them — dropped rows
+            # are counted AND kept, never silently lost
+            sink.stage_side(epoch, self.partition,
+                            pa.Table.from_pandas(late_df,
+                                                 preserve_index=False))
         stats.update({"max_event_ms": max_ms,
                       "late_dropped": n_late,
                       "open_windows": 0 if self.state is None

@@ -1068,3 +1068,51 @@ def test_streaming_normalize_crash_resume_matches_batch(tmp_path):
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["norm_text"].tolist() == exp["norm_text"].tolist()
     assert got["norm_len"].tolist() == exp["norm_len"].tolist()
+
+
+def test_late_data_side_output_exactly_once(tmp_path):
+    """Late partials are counted AND preserved on the dead-letter side
+    channel, which rides the same 2PC commit: re-running over the
+    committed sink adds nothing to either stream."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from dataflows_ray.streaming.window_engine import StreamingWindowEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    src = str(tmp_path / "in.parquet")
+    out = str(tmp_path / "sink")
+    # row group 0: fresh data at t=10M; row group 1: ancient data at t=0
+    # whose window is closed by the watermark 10M - 60k by the time it
+    # arrives -> late
+    tbl = pa.Table.from_pandas(pd.DataFrame({
+        "speaker": ["a", "a", "b", "b"],
+        "event_ms": [10_000_000, 10_000_100, 0, 100],
+        "dur_ms": [500, 600, 700, 800],
+    }), preserve_index=False)
+    pq.write_table(tbl, src, row_group_size=2)
+
+    eng = StreamingWindowEngine(src, out, num_partitions=1,
+                                rowgroups_per_epoch=1)
+    r1 = eng.run()
+    sink = ExactlyOnceSink(out)
+    main = sink.read_output().to_pandas()
+    late = sink.read_side("late").to_pandas()
+    # main: only speaker a's window (b's rows were late partials)
+    assert set(main["speaker"]) == {"a"}
+    assert main["n_clips"].sum() == 2
+    # side: b's dropped partial, content preserved
+    assert set(late["speaker"]) == {"b"}
+    assert late["n_clips"].sum() == 2 and late["total_dur_ms"].sum() == 1500
+    # metric agrees with the side channel
+    man = sink.read_manifest()
+    n_late = sum(p.get("late_dropped", 0) for e in man["epochs"]
+                 for p in e["partitions"])
+    assert n_late == 2
+
+    # exactly-once: a re-run over the committed sink is a no-op for BOTH
+    r2 = StreamingWindowEngine(src, out, num_partitions=1,
+                               rowgroups_per_epoch=1).run()
+    assert r2["epochs_processed"] == 0
+    assert len(sink.read_output().to_pandas()) == len(main)
+    assert len(sink.read_side("late").to_pandas()) == len(late)
