@@ -2577,6 +2577,43 @@ def q93_label_centroids(sf_dir: str):
     return grouped_embedding_mean(ds)
 
 
+class _First250Loudness:
+    """q94 transform: clip-index filter + loudness normalization inside
+    the streaming engine's split tasks (picklable module-level class)."""
+
+    def __init__(self):
+        from ..functions.audio_ops import LoudnessNormalizeTransform
+        self._norm = LoudnessNormalizeTransform(3000.0)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(
+            t["clip_id"], start=-12, stop=99), pa.int64())
+        return self._norm(t.filter(pc.less(idx, 250)))
+
+
+def q94_streaming_loudness(sf_dir: str):
+    """STREAMING exactly-once loudness normalization ETL
+    (streaming.map_engine): the q85 gain kernel runs inside micro-batch
+    split tasks with per-partition idempotent staging, 2PC commit and
+    crash resume — verified against the SAME independent sequential
+    fixture as batch q85 (streaming and batch must agree row-for-row)."""
+    import shutil
+    from ..streaming.map_engine import StreamingMapEngine
+    from ..streaming.sink import ExactlyOnceSink
+
+    path = _audio_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_loudness_sink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingMapEngine(path, out, transform=_First250Loudness(),
+                             key="clip_id", ts_col="event_ms",
+                             num_partitions=4, rowgroups_per_epoch=2)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["clip_id", "n_samples", "rms_in", "gain", "rms_out"])
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2671,6 +2708,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q91_bpe_token_counts": q91_bpe_token_counts,
     "q92_pca_projection": q92_pca_projection,
     "q93_label_centroids": q93_label_centroids,
+    "q94_streaming_loudness": q94_streaming_loudness,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2954,5 +2992,11 @@ WITH e AS (
 SELECT label, dim, count(*) AS n_vecs,
        CAST(sum(q) AS DOUBLE) / (count(*) * 1000000.0) AS mean_val
 FROM e GROUP BY label, dim
+""",
+    # streaming ≡ batch: same independent fixture as q85
+    "q94_streaming_loudness": f"""
+SELECT clip_id, n_samples, rms_in, gain, rms_out
+FROM read_parquet('{_FIX}/q85_loudness_normalize.parquet')
+ORDER BY clip_id
 """,
 }
