@@ -2614,6 +2614,35 @@ def q94_streaming_loudness(sf_dir: str):
         ["clip_id", "n_samples", "rms_in", "gain", "rms_out"])
 
 
+def q95_changelog_compaction(sf_dir: str):
+    """CDC changelog compaction — the upsert-materialization step of an
+    incremental pipeline: events form a per-user changelog (version =
+    (ts, event_id)); the compacted table keeps each key's LATEST row
+    (last-version-wins) and drops keys whose latest row is a tombstone
+    (synthetic mapping: event_type 'error' = delete). One composition:
+    grouped_top_k(k=1) — per-block partial top-1 then a keyed exchange
+    shipping O(keys), not O(rows) — plus a stateless tombstone filter."""
+    import ray.data
+    from ..stages.setops import grouped_top_k
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type", "value"])
+    latest = grouped_top_k(ds, ["user_id"], ["ts", "event_id"], 1,
+                           descending=True)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["event_type"], "error"))
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_type": t["event_type"],
+            "last_value": t["value"],
+            "last_ts": t["ts"],
+        })
+
+    return latest.map_batches(finalize, batch_format="pyarrow",
+                              batch_size=None)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2709,6 +2738,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q92_pca_projection": q92_pca_projection,
     "q93_label_centroids": q93_label_centroids,
     "q94_streaming_loudness": q94_streaming_loudness,
+    "q95_changelog_compaction": q95_changelog_compaction,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -2998,5 +3028,15 @@ FROM e GROUP BY label, dim
 SELECT clip_id, n_samples, rms_in, gain, rms_out
 FROM read_parquet('{_FIX}/q85_loudness_normalize.parquet')
 ORDER BY clip_id
+""",
+    "q95_changelog_compaction": """
+WITH latest AS (
+  SELECT user_id, event_type, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
+FROM latest WHERE rn = 1 AND event_type <> 'error'
 """,
 }
