@@ -240,7 +240,8 @@ def run_scaling() -> None:
             env=env, capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SCALE_LO", "8"))
+    hi = int(os.environ.get("SCALE_HI", "32"))
     r_lo = run(lo)
     r_hi = run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]

@@ -654,7 +654,8 @@ def bottomk_candidates(ds: ray.data.Dataset, b: int = 8, k: int = 5
     probability >= t; b block keys amplify recall to ~1-(1-t)^b.
     Same bucketed-pairs shuffle shape as the LSH path: explode ->
     hash-repartition on block_hash -> bounded per-bucket pair generation
-    (mega-buckets skipped) — nothing driver-side."""
+    (mega-buckets salted-rebucketed, counted and logged) — nothing
+    driver-side."""
     from ..stages.agg import keyed_merge
 
     def explode(batch: pa.Table) -> pa.Table:
