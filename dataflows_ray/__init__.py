@@ -71,7 +71,7 @@ from .functions.bpe import learn_bpe, bpe_encode_stage
 from .functions.pca import pca_fit, pca_project, grouped_embedding_mean
 from .functions.audio_ops import (resample_stage, vad_stage,
                                   loudness_normalize_stage,
-                                  audio_qc_stage)
+                                  audio_qc_stage, mixdown_stage)
 from .stages.bloomjoin import bloom_semi_join
 from .functions.histq import hist_quantiles, histogram_counts
 from .functions.lmscore import unigram_logprob, term_counts
@@ -100,6 +100,7 @@ __all__ = [
     "grouping_sets_aggregate", "cube_aggregate",
     "quantile_bucket_stats", "loudness_normalize_stage",
     "learn_bpe", "bpe_encode_stage", "pca_fit", "pca_project", "grouped_embedding_mean",
+    "mixdown_stage",
     "audio_qc_stage",
     "exact_dedup", "minhash_dedup", "ngram_jaccard_dedup",
     "simhash_signatures",

@@ -300,3 +300,76 @@ def audio_qc_stage(ds: ray.data.Dataset, frame_ms: int = 20,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def synth_stereo(x: np.ndarray) -> bytes:
+    """Deterministic stereo payload from a mono int16 clip: L = x,
+    R = floor(3x/4) (int32 intermediate, exact), interleaved LRLR...
+    as little-endian int16 bytes — the fixture generator for the
+    multichannel plumbing (a real corpus would carry stereo natively)."""
+    r = ((x.astype(np.int32) * 3) // 4).astype(np.int16)
+    inter = np.empty(2 * len(x), dtype=np.int16)
+    inter[0::2] = x
+    inter[1::2] = r
+    return inter.tobytes()
+
+
+class StereoSynthTransform:
+    """Batch stage emitting a stereo interleaved ``bytes_stereo`` column
+    from mono pcm16 clips (picklable)."""
+
+    def __init__(self, bytes_col: str = "bytes", codec_col: str = "codec"):
+        self.bytes_col = bytes_col
+        self.codec_col = codec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raws = batch[self.bytes_col].to_pylist()
+        codecs = batch[self.codec_col].to_pylist() if self.codec_col in \
+            batch.column_names else ["pcm16"] * len(raws)
+        out = [synth_stereo(_decode_int16(raw, c or "pcm16"))
+               for raw, c in zip(raws, codecs)]
+        batch = batch.drop_columns([self.bytes_col])
+        return batch.append_column("bytes_stereo",
+                                   pa.array(out, pa.large_binary()))
+
+
+def mixdown(inter: np.ndarray) -> tuple:
+    """Stereo interleaved int16 -> (mono, L, R): mono frame =
+    floor((L+R)/2) (int32 sum, floor division — exact and
+    sign-consistent in any implementation)."""
+    L = inter[0::2]
+    R = inter[1::2]
+    mono = ((L.astype(np.int32) + R.astype(np.int32)) // 2).astype(np.int16)
+    return mono, L, R
+
+
+def mixdown_stage(ds: ray.data.Dataset, id_col: str = "clip_id",
+                  stereo_col: str = "bytes_stereo") -> ray.data.Dataset:
+    """Channel mixdown over a stereo interleaved binary column — the
+    multichannel-ingestion stage (deinterleave, downmix, per-channel
+    QC stats). Stateless map_batches; per-clip numpy slicing (stride
+    views, no copy until the int32 sum). Emits n_frames and the
+    rms of mono/L/R (round 6, exact integer sums of squares)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        raws = batch[stereo_col].to_pylist()
+        cols = {k: [] for k in ("n_frames", "rms_mono", "rms_l", "rms_r")}
+        for raw in raws:
+            inter = np.frombuffer(raw, dtype="<i2")
+            mono, L, R = mixdown(inter)
+            n = len(mono)
+            cols["n_frames"].append(n)
+            for key, sig in (("rms_mono", mono), ("rms_l", L),
+                             ("rms_r", R)):
+                ss = float((sig.astype(np.int64) ** 2).sum())
+                cols[key].append(round(float(np.sqrt(ss / max(1, n))), 6))
+        return pa.table({
+            id_col: pa.array(ids, pa.string()),
+            "n_frames": pa.array(cols["n_frames"], pa.int64()),
+            "rms_mono": pa.array(cols["rms_mono"], pa.float64()),
+            "rms_l": pa.array(cols["rms_l"], pa.float64()),
+            "rms_r": pa.array(cols["rms_r"], pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

@@ -2643,6 +2643,24 @@ def q95_changelog_compaction(sf_dir: str):
                               batch_size=None)
 
 
+def q96_stereo_mixdown(sf_dir: str):
+    """Multichannel plumbing (functions.audio_ops.StereoSynthTransform +
+    mixdown_stage): build a deterministic stereo interleaved payload
+    from each mono clip (L = x, R = floor(3x/4)), then deinterleave,
+    downmix floor((L+R)/2) and report per-channel RMS — the
+    channel-ops stage of an audio ingestion. Two stateless map_batches
+    stages over binary columns. Oracle: an INDEPENDENT sequential
+    pure-Python interleave/downmix loop (fixture)."""
+    import ray.data
+    from ..functions.audio_ops import StereoSynthTransform, mixdown_stage
+    ds = _first_clips(ray.data.read_parquet(
+        _audio_path(sf_dir),
+        columns=["clip_id", "bytes", "sr_hz", "codec"]), 250)
+    stereo = ds.map_batches(StereoSynthTransform(), batch_format="pyarrow",
+                            batch_size=None)
+    return mixdown_stage(stereo)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2739,6 +2757,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q93_label_centroids": q93_label_centroids,
     "q94_streaming_loudness": q94_streaming_loudness,
     "q95_changelog_compaction": q95_changelog_compaction,
+    "q96_stereo_mixdown": q96_stereo_mixdown,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3038,5 +3057,10 @@ WITH latest AS (
 )
 SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts
 FROM latest WHERE rn = 1 AND event_type <> 'error'
+""",
+    "q96_stereo_mixdown": f"""
+SELECT clip_id, n_frames, rms_mono, rms_l, rms_r
+FROM read_parquet('{_FIX}/q96_stereo_mixdown.parquet')
+ORDER BY clip_id
 """,
 }

@@ -722,6 +722,37 @@ def gen_q92(sf_dir: str) -> pa.Table:
     return pa.table(cols)
 
 
+def gen_q96(audio_path: str) -> pa.Table:
+    """INDEPENDENT sequential oracle for q96: pure-Python stereo
+    interleave (L = x, R = (3x)//4) and downmix ((L+R)//2) loops over
+    struct-unpacked PCM, exact integer sums of squares."""
+    import math
+    out = {k: [] for k in ("clip_id", "n_frames", "rms_mono", "rms_l",
+                           "rms_r")}
+    for r in _first_clip_rows(audio_path, 250):
+        x = _decode_pcm16_py(r["bytes"])
+        n = len(x)
+        ss_m = ss_l = ss_r = 0
+        for v in x:
+            rch = (3 * v) // 4
+            m = (v + rch) // 2
+            ss_m += m * m
+            ss_l += v * v
+            ss_r += rch * rch
+        out["clip_id"].append(r["clip_id"])
+        out["n_frames"].append(n)
+        out["rms_mono"].append(round(math.sqrt(ss_m / max(1, n)), 6))
+        out["rms_l"].append(round(math.sqrt(ss_l / max(1, n)), 6))
+        out["rms_r"].append(round(math.sqrt(ss_r / max(1, n)), 6))
+    return pa.table({
+        "clip_id": pa.array(out["clip_id"]),
+        "n_frames": pa.array(out["n_frames"], pa.int64()),
+        "rms_mono": pa.array(out["rms_mono"], pa.float64()),
+        "rms_l": pa.array(out["rms_l"], pa.float64()),
+        "rms_r": pa.array(out["rms_r"], pa.float64()),
+    })
+
+
 def gen_q70(sf_dir: str) -> pa.Table:
     """INDEPENDENT sequential k-means oracle: same contract as
     functions/kmeans.py (init = k smallest vec_ids, 5 iterations,
@@ -814,6 +845,8 @@ def main():
         print(f"{name}: q91 written")
         pq.write_table(gen_q92(sf_dir), f"{fdir}/q92_pca_projection.parquet")
         print(f"{name}: q92 written")
+        pq.write_table(gen_q96(audio), f"{fdir}/q96_stereo_mixdown.parquet")
+        print(f"{name}: q96 written")
 
 
 if __name__ == "__main__":
