@@ -50,7 +50,7 @@ from .stages.setops import (
     detect_sequence)
 from .stages.agg import (grouped_aggregate, rollup_aggregate,
                          grouping_sets_aggregate, cube_aggregate)
-from .stages.analytic import keyed_window
+from .stages.analytic import ordered_prefix_sum, keyed_window
 from .stages.sampling import (hash_sample, stratified_sample,
     train_val_test_split)
 from .stages.semijoin import semi_join_ids
@@ -100,7 +100,7 @@ __all__ = [
     "grouping_sets_aggregate", "cube_aggregate",
     "quantile_bucket_stats", "loudness_normalize_stage",
     "learn_bpe", "bpe_encode_stage", "pca_fit", "pca_project", "grouped_embedding_mean",
-    "mixdown_stage",
+    "mixdown_stage", "ordered_prefix_sum",
     "audio_qc_stage",
     "exact_dedup", "minhash_dedup", "ngram_jaccard_dedup",
     "simhash_signatures",

@@ -2661,6 +2661,51 @@ def q96_stereo_mixdown(sf_dir: str):
     return mixdown_stage(stereo)
 
 
+def q97_token_budget_shards(sf_dir: str):
+    """Token-budget corpus sharding — assign docs (in doc_id order) to
+    training shards of ~4096 tokens each: per-doc token counts (the
+    engine-wide explicit whitespace class), then the EXACT distributed
+    exclusive prefix sum (stages.analytic.ordered_prefix_sum: bucket
+    totals -> driver scan of #buckets ints -> one keyed exchange), and
+    shard = cum_before // budget. The composition a pretraining data
+    loader runs to cut a corpus into fixed-budget chunks without a
+    global sort. Integer arithmetic end-to-end: bit-equal to the SQL
+    window-frame oracle at any parallelism."""
+    import ray.data
+    from ..stages.analytic import ordered_prefix_sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        words = pc.split_pattern_regex(pc.fill_null(text, ""),
+                                       pattern="[ \\t\\n\\r\\f\\v]+")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = words.flatten()
+        empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        rows = np.repeat(np.arange(len(lens)), lens)
+        n_empty = np.bincount(rows[empty], minlength=len(lens))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(lens - n_empty, pa.int64()),
+        })
+
+    counted = docs.map_batches(count_tokens, batch_format="pyarrow",
+                               batch_size=None)
+    pref = ordered_prefix_sum(counted, "doc_id", "n_tokens",
+                              bucket_width=64)
+
+    def shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shard", pc.cast(pc.divide(t["cum_before"], 4096), pa.int64()))
+
+    return pref.map_batches(shard, batch_format="pyarrow", batch_size=None)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2758,6 +2803,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q94_streaming_loudness": q94_streaming_loudness,
     "q95_changelog_compaction": q95_changelog_compaction,
     "q96_stereo_mixdown": q96_stereo_mixdown,
+    "q97_token_budget_shards": q97_token_budget_shards,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3062,5 +3108,23 @@ FROM latest WHERE rn = 1 AND event_type <> 'error'
 SELECT clip_id, n_frames, rms_mono, rms_l, rms_r
 FROM read_parquet('{_FIX}/q96_stereo_mixdown.parquet')
 ORDER BY clip_id
+""",
+    "q97_token_budget_shards": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(COALESCE(sum(n_tokens) OVER (
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum_before,
+       CAST(COALESCE(sum(n_tokens) OVER (
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 4096
+           AS BIGINT) AS shard
+FROM t
 """,
 }

@@ -134,3 +134,69 @@ def keyed_window(ds: ray.data.Dataset, keys: List[str],
     prepped = ds.map_batches(lambda t: t, batch_format="pyarrow",
                              batch_size=None)
     return keyed_merge(prepped, list(keys), merge)
+
+
+def ordered_prefix_sum(ds: ray.data.Dataset, order_col: str, val_col: str,
+                       bucket_width: int = 1024,
+                       out_col: str = "cum_before") -> ray.data.Dataset:
+    """EXCLUSIVE prefix sum over a globally ordered dataset — SQL
+    ``sum(val) OVER (ORDER BY order_col ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` — without a global sort:
+
+    1. bucket = ``order_col // bucket_width``; one combining
+       ``grouped_aggregate`` computes per-bucket totals (a
+       bucket-count-sized result),
+    2. the driver exclusive-scans the bucket totals in bucket order
+       (#buckets integers — the only driver-side state) and broadcasts
+       the offsets in the task closure,
+    3. ONE keyed exchange on bucket co-locates each bucket's rows;
+       each partition sorts (bucket, order_col) once and computes the
+       within-bucket exclusive cumsum + bucket offset vectorized.
+
+    ``order_col`` must be a unique integer key (SQL needs the same for
+    a deterministic frame). Integer ``val_col`` sums are exact, so the
+    result is bit-identical at any parallelism and to any SQL engine.
+    ``bucket_width`` is the parallelism knob: #buckets ≈ key-range /
+    width must fit the driver (ints only), each bucket's rows must fit
+    a partition."""
+    import pyarrow.compute as pc
+
+    from .agg import grouped_aggregate
+
+    B = "__psum_bucket__"
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        b = pc.divide(t[order_col], bucket_width)
+        return t.append_column(B, pc.cast(b, pa.int64()))
+
+    proj = ds.select_columns([order_col, val_col]).map_batches(
+        with_bucket, batch_format="pyarrow", batch_size=None)
+    totals = grouped_aggregate(proj, [B], [
+        {"target": "__t__", "source": val_col, "aggregate": "sum"}])
+    pairs = []
+    for b in totals.iter_batches(batch_format="pyarrow", batch_size=None):
+        pairs.extend(zip(b[B].to_pylist(), b["__t__"].to_pylist()))
+    pairs.sort()
+    offsets = {}
+    run = 0
+    for bk, tot in pairs:
+        offsets[bk] = run
+        run += int(tot)
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.table({
+                order_col: pa.array([], pa.int64()),
+                val_col: pa.array([], pa.int64()),
+                out_col: pa.array([], pa.int64()),
+            })
+        df = df.sort_values([B, order_col], kind="mergesort")
+        within = df.groupby(B, sort=False)[val_col].cumsum() - df[val_col]
+        cum = within.to_numpy() + df[B].map(offsets).to_numpy()
+        return pa.table({
+            order_col: pa.array(df[order_col].to_numpy(), pa.int64()),
+            val_col: pa.array(df[val_col].to_numpy(), pa.int64()),
+            out_col: pa.array(cum.astype(np.int64)),
+        })
+
+    return keyed_merge(proj, [B], merge)

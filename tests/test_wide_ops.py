@@ -980,3 +980,24 @@ def test_grouped_embedding_mean_partition_invariant():
             s[k] = s.get(k, 0) + int(math.floor(float(v) * 1e6 + 0.5))
     for _, r in o.iterrows():
         assert r["mean_val"] == s[(r["label"], r["dim"])] / (20 * 1e6)
+
+
+def test_ordered_prefix_sum_matches_pandas_and_partition_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.stages.analytic import ordered_prefix_sum
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": np.arange(500),
+                       "v": rng.integers(0, 100, size=500)})
+    want = (df["v"].cumsum() - df["v"]).to_numpy()
+    outs = []
+    for parts in (1, 9):
+        ds = ray.data.from_pandas(
+            df.sample(frac=1.0, random_state=1)).repartition(parts)
+        o = ordered_prefix_sum(ds, "k", "v", bucket_width=37) \
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        outs.append(o)
+    assert outs[0].equals(outs[1])
+    assert (outs[0]["cum_before"].to_numpy() == want).all()
