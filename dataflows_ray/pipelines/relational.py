@@ -2706,6 +2706,40 @@ def q97_token_budget_shards(sf_dir: str):
     return pref.map_batches(shard, batch_format="pyarrow", batch_size=None)
 
 
+def q98_streaming_upsert(sf_dir: str):
+    """STREAMING changelog compaction (streaming.upsert_engine): the
+    q95 materialized view maintained incrementally — epochs of the
+    events changelog hash-exchange on user_id (split-task combiner
+    keeps one row per key per chunk), per-partition state holds each
+    key's latest version, and the compacted snapshot commits
+    exactly-once at stream flush. Keep-max is order-independent, so
+    streaming ≡ batch and the oracle is the SAME SQL as q95."""
+    import shutil
+    from ..streaming.sink import ExactlyOnceSink
+    from ..streaming.upsert_engine import StreamingUpsertEngine
+
+    out = (f"/tmp/dataflows_ray_upsert_sink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingUpsertEngine(f"{sf_dir}/events.parquet", out,
+                                num_partitions=4, rowgroups_per_epoch=2,
+                                payload_cols=["value"])
+    eng.run()
+    res = ExactlyOnceSink(out).read_output()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "last_type": t["event_type"],
+            "last_value": t["value"],
+            "last_ts": t["ts"],
+        })
+
+    return res.map_batches(rename, batch_format="pyarrow",
+                           batch_size=None)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2804,6 +2838,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q95_changelog_compaction": q95_changelog_compaction,
     "q96_stereo_mixdown": q96_stereo_mixdown,
     "q97_token_budget_shards": q97_token_budget_shards,
+    "q98_streaming_upsert": q98_streaming_upsert,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3128,3 +3163,4 @@ SELECT doc_id, n_tokens,
 FROM t
 """,
 }
+ORACLES["q98_streaming_upsert"] = ORACLES["q95_changelog_compaction"]  # streaming ≡ batch

@@ -153,8 +153,9 @@ def ordered_prefix_sum(ds: ray.data.Dataset, order_col: str, val_col: str,
        each partition sorts (bucket, order_col) once and computes the
        within-bucket exclusive cumsum + bucket offset vectorized.
 
-    ``order_col`` must be a unique integer key (SQL needs the same for
-    a deterministic frame). Integer ``val_col`` sums are exact, so the
+    ``order_col`` must be a unique NON-NEGATIVE integer key (SQL needs
+    uniqueness for a deterministic frame; non-negative keeps the
+    truncating bucket division order-preserving). Integer ``val_col`` sums are exact, so the
     result is bit-identical at any parallelism and to any SQL engine.
     ``bucket_width`` is the parallelism knob: #buckets ≈ key-range /
     width must fit the driver (ints only), each bucket's rows must fit

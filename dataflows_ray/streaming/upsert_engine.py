@@ -1,0 +1,144 @@
+"""Streaming changelog compaction (materialized-view maintenance):
+micro-batch epochs of a keyed changelog -> per-partition latest-row
+state -> the compacted snapshot emitted exactly-once at stream flush.
+
+The streaming counterpart of the batch q95 composition: each key's
+LATEST version (max (ts, version_id)) wins and tombstoned keys vanish.
+Keep-max is ORDER-INDEPENDENT, so the committed snapshot equals the
+batch result for any epoch arrival order — one SQL oracle covers both
+(streaming ≡ batch).
+
+Scale shape (on the shared ``MicroBatchEngine`` skeleton):
+- rows hash-exchange on the key, so a key's versions always meet the
+  same state partition;
+- the split-task combiner keeps ONE row per key per chunk (vectorized
+  sort + drop_duplicates), so shuffle volume is O(distinct keys per
+  chunk), not O(rows) — the hot-key mitigation;
+- per-partition state is one row per LIVE key (the compacted view
+  itself), folded per epoch with the same vectorized keep-max kernel;
+- intermediate epochs stage nothing (a later version may override), so
+  emission happens once, in the flush epoch, through the same 2PC
+  commit — crash/resume restores the state snapshot and never
+  double-emits.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from .sink import ExactlyOnceSink
+from .window_engine import MicroBatchEngine
+
+_FLUSH_WM = 2 ** 61  # watermark at/above this means "stream drained"
+
+
+def _keep_latest(df: pd.DataFrame, key: str, order: List[str]
+                 ) -> pd.DataFrame:
+    """One row per key: the max-(order) row (vectorized; stable sort
+    makes ties impossible when ``order`` ends in a unique version id)."""
+    return df.sort_values(order, kind="mergesort") \
+             .drop_duplicates([key], keep="last")
+
+
+@ray.remote
+class UpsertStateActor:
+    """Per-partition latest-row state = the live compacted view."""
+
+    def __init__(self, partition: int, key: str, order: List[str],
+                 tombstone_col: str, tombstone_value):
+        self.partition = partition
+        self.key = key
+        self.order = list(order)
+        self.tombstone_col = tombstone_col
+        self.tombstone_value = tombstone_value
+        self.state: Optional[pd.DataFrame] = None
+
+    def ingest_and_stage(self, epoch: int, refs: List, watermark_ms: int,
+                         sink_dir: str) -> Dict:
+        tuples = ray.get(list(refs)) if refs else []
+        tables = [t[0] for t in tuples if t[0] is not None and len(t[0])]
+        max_ms = max([t[1] for t in tuples], default=-1)
+        if tables:
+            df = pa.concat_tables(tables).to_pandas()
+            frames = [df] if self.state is None else [self.state, df]
+            self.state = _keep_latest(pd.concat(frames, ignore_index=True),
+                                      self.key, self.order)
+
+        sink = ExactlyOnceSink(sink_dir)
+        if watermark_ms >= _FLUSH_WM and self.state is not None \
+                and len(self.state):
+            live = self.state[
+                self.state[self.tombstone_col] != self.tombstone_value]
+            live = live.drop(columns=["__ts_int__"], errors="ignore")
+            out = pa.Table.from_pandas(live.reset_index(drop=True),
+                                       preserve_index=False)
+            stats = sink.stage(epoch, self.partition, out)
+        else:
+            stats = {"partition": self.partition, "rows": 0, "bytes": 0}
+        stats.update({"max_event_ms": max_ms,
+                      "live_keys": 0 if self.state is None
+                      else len(self.state)})
+        return stats
+
+    def snapshot(self) -> Dict:
+        from .join_state import _serialize
+        return {"state": _serialize(self.state)}
+
+    def restore(self, snap: Dict) -> None:
+        from .join_state import _deserialize
+        self.state = _deserialize(snap.get("state"))
+
+
+class StreamingUpsertEngine(MicroBatchEngine):
+    """Changelog stream -> exactly-once compacted snapshot."""
+
+    def __init__(self, input_path: str, out_dir: str,
+                 num_partitions: int = 4, rowgroups_per_epoch: int = 2,
+                 key: str = "user_id", ts_col: str = "ts",
+                 version_col: str = "event_id",
+                 payload_cols: Optional[List[str]] = None,
+                 tombstone_col: str = "event_type",
+                 tombstone_value="error"):
+        super().__init__(input_path, out_dir, num_partitions,
+                         rowgroups_per_epoch, allowed_lateness_ms=0,
+                         key=key, ts_col="__ts_int__")
+        self.raw_ts_col = ts_col
+        self.version_col = version_col
+        self.payload_cols = payload_cols or []
+        self.tombstone_col = tombstone_col
+        self.tombstone_value = tombstone_value
+
+    def columns(self) -> List[str]:
+        cols = [self.key, self.raw_ts_col, self.version_col,
+                self.tombstone_col] + self.payload_cols
+        return list(dict.fromkeys(cols))
+
+    def derive(self):
+        raw = self.raw_ts_col
+
+        def fn(tbl: pa.Table) -> pa.Table:
+            ts = tbl[raw]
+            # timestamp columns watermark as int64 epoch-us
+            as_int = pa.compute.cast(ts, pa.int64()) if \
+                pa.types.is_timestamp(ts.type) else \
+                pa.compute.cast(ts, pa.int64())
+            return tbl.append_column("__ts_int__", as_int)
+        return fn
+
+    def precombine(self):
+        key, order = self.key, ["__ts_int__", self.version_col]
+
+        def fn(tbl: pa.Table) -> pa.Table:
+            df = _keep_latest(tbl.to_pandas(), key, order)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return fn
+
+    def make_actor(self, partition: int):
+        return UpsertStateActor.remote(
+            partition, self.key, ["__ts_int__", self.version_col],
+            self.tombstone_col, self.tombstone_value)

@@ -1116,3 +1116,55 @@ def test_late_data_side_output_exactly_once(tmp_path):
     assert r2["epochs_processed"] == 0
     assert len(sink.read_output().to_pandas()) == len(main)
     assert len(sink.read_side("late").to_pandas()) == len(late)
+
+
+def test_streaming_upsert_crash_resume_and_exactly_once(tmp_path):
+    """The upsert snapshot after a crash+resume equals a clean run's,
+    and re-running over the committed sink is a no-op."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+    from dataflows_ray.streaming.upsert_engine import StreamingUpsertEngine
+
+    src = str(tmp_path / "chg.parquet")
+    df = pd.DataFrame({
+        "user_id": [1, 2, 3, 1, 2, 1, 3, 2],
+        "ts": pd.to_datetime([10, 20, 30, 40, 50, 60, 70, 80], unit="s"),
+        "event_id": range(8),
+        "event_type": ["click", "click", "click", "error", "view",
+                       "view", "view", "error"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src,
+                   row_group_size=2)  # 4 row groups -> 4 epochs at rg=1
+
+    def snap(out):
+        t = ExactlyOnceSink(out).read_output().to_pandas()
+        return t.sort_values("user_id").reset_index(drop=True)[
+            ["user_id", "event_type", "value"]]
+
+    def make(out):
+        return StreamingUpsertEngine(src, out, num_partitions=2,
+                                     rowgroups_per_epoch=1,
+                                     payload_cols=["value"])
+
+    clean_out = str(tmp_path / "clean")
+    make(clean_out).run()
+    clean = snap(clean_out)
+    # user 1: last=view@60 (value 6); user 2: last=error@80 -> tombstoned;
+    # user 3: last=view@70 (value 7)
+    assert clean["user_id"].tolist() == [1, 3]
+    assert clean["value"].tolist() == [6.0, 7.0]
+
+    crashed_out = str(tmp_path / "crashed")
+    with _pytest.raises(RuntimeError):
+        make(crashed_out).run(crash_after_stage_of_epoch=2)
+    make(crashed_out).run()
+    assert snap(crashed_out).equals(clean)
+
+    # committed sink: a further run is a no-op
+    r = make(crashed_out).run()
+    assert r["epochs_processed"] == 0
+    assert snap(crashed_out).equals(clean)
