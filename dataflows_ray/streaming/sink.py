@@ -54,7 +54,13 @@ class ExactlyOnceSink:
             return json.load(f)
 
     def committed_epochs(self) -> List[int]:
-        return sorted(e["epoch"] for e in self.read_manifest()["epochs"])
+        # compacted manifest entries cover a RANGE of original epochs
+        # ("compacted_from") — expand them so a resumed engine still
+        # skips every committed epoch after a compact()
+        out: List[int] = []
+        for e in self.read_manifest()["epochs"]:
+            out.extend(e.get("compacted_from", [e["epoch"]]))
+        return sorted(out)
 
     def _write_manifest(self, manifest: Dict) -> None:
         tmp = self.manifest_path + ".tmp"
@@ -165,6 +171,78 @@ class ExactlyOnceSink:
         # inference attaches an `epoch` column to SOME read tasks only,
         # yielding a mixed-schema stream (RefBundle schema warnings).
         return ray.data.read_parquet(files, partitioning=None)
+
+    def compact(self, target_epochs_per_file: int = 64) -> Dict:
+        """Operational compaction: merge committed epoch directories into
+        consolidated ``compacted=<i>`` directories of
+        ``target_epochs_per_file`` epochs each, then rewrite the manifest
+        in one atomic replace. Two-phase like everything else: the
+        consolidated files are fully written under ``.staged/`` first, so
+        a crash mid-compaction leaves the original epoch dirs and
+        manifest untouched (re-running restarts cleanly). Preserves
+        side-channel files per channel. Returns {files_before,
+        files_after, epochs}. Run it OFFLINE (not concurrent with a
+        writer)."""
+        manifest = self.read_manifest()
+        epochs = sorted(manifest["epochs"], key=lambda e: e["epoch"])
+        if not epochs:
+            return {"files_before": 0, "files_after": 0, "epochs": 0}
+        files_before = len(self._committed_files(""))
+        groups = [epochs[i:i + target_epochs_per_file]
+                  for i in range(0, len(epochs), target_epochs_per_file)]
+        staged_new = os.path.join(self.staged_dir, "__compact__")
+        if os.path.exists(staged_new):
+            shutil.rmtree(staged_new)
+        os.makedirs(staged_new)
+        import pyarrow.parquet as _pq
+        channels = set()
+        for d in sorted(os.listdir(self.data_dir)):
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full):
+                for f in os.listdir(full):
+                    if f.endswith(".parquet"):
+                        pre = f.rsplit("part-", 1)[0].rstrip("-")
+                        channels.add(pre)  # "" for main, else channel
+        for gi, grp in enumerate(groups):
+            gdir = os.path.join(staged_new, f"epoch={grp[0]['epoch']}")
+            os.makedirs(gdir)
+            for ch in channels:
+                prefix = f"{ch}-part-" if ch else "part-"
+                tables = []
+                for e in grp:
+                    edir = os.path.join(self.data_dir, f"epoch={e['epoch']}")
+                    if not os.path.isdir(edir):
+                        continue
+                    for f in sorted(os.listdir(edir)):
+                        if f.startswith(prefix) and f.endswith(".parquet"):
+                            tables.append(_pq.read_table(
+                                os.path.join(edir, f)))
+                if tables:
+                    _pq.write_table(pa.concat_tables(tables),
+                                    os.path.join(gdir, f"{prefix}00000.parquet"))
+        # commit: swap data dirs + rewrite manifest atomically
+        new_epochs = []
+        for grp in groups:
+            new_epochs.append({
+                "epoch": grp[0]["epoch"],
+                "watermark_ms": max(e["watermark_ms"] for e in grp),
+                "partitions": [{"partition": 0,
+                                "rows": sum(e["rows"] for e in grp)}],
+                "rows": sum(e["rows"] for e in grp),
+                "state_snapshot": grp[-1].get("state_snapshot"),
+                "compacted_from": [e["epoch"] for e in grp],
+            })
+        old_data = self.data_dir + ".old"
+        if os.path.exists(old_data):
+            shutil.rmtree(old_data)
+        os.replace(self.data_dir, old_data)
+        os.replace(staged_new, self.data_dir)
+        manifest["epochs"] = new_epochs
+        self._write_manifest(manifest)
+        shutil.rmtree(old_data)
+        return {"files_before": files_before,
+                "files_after": len(self._committed_files("")),
+                "epochs": len(epochs)}
 
     def read_side(self, channel: str = "late"):
         """All committed SIDE-channel output (e.g. the late-data

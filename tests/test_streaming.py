@@ -1168,3 +1168,48 @@ def test_streaming_upsert_crash_resume_and_exactly_once(tmp_path):
     r = make(crashed_out).run()
     assert r["epochs_processed"] == 0
     assert snap(crashed_out).equals(clean)
+
+
+def test_sink_compaction_preserves_output_and_resume(tmp_path):
+    """compact() merges committed epoch files, keeps main + side output
+    byte-identical, and a resumed engine still sees every original
+    epoch as committed (no reprocessing after compaction)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+    from dataflows_ray.streaming.upsert_engine import StreamingUpsertEngine
+
+    src = str(tmp_path / "chg.parquet")
+    df = pd.DataFrame({
+        "user_id": list(range(8)) * 2,
+        "ts": pd.to_datetime(range(16), unit="s"),
+        "event_id": range(16),
+        "event_type": ["click"] * 16,
+        "value": [float(i) for i in range(16)],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src,
+                   row_group_size=2)
+    out = str(tmp_path / "sink")
+    eng = StreamingUpsertEngine(src, out, num_partitions=2,
+                                rowgroups_per_epoch=1,
+                                payload_cols=["value"])
+    eng.run()
+    sink = ExactlyOnceSink(out)
+    before = sink.read_output().to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    epochs_before = sink.committed_epochs()
+    stats = sink.compact(target_epochs_per_file=4)
+    assert stats["files_after"] < stats["files_before"]
+    after = sink.read_output().to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    assert after.equals(before)
+    assert sink.committed_epochs() == epochs_before
+    # engine re-run over the compacted sink: still a no-op
+    r = StreamingUpsertEngine(src, out, num_partitions=2,
+                              rowgroups_per_epoch=1,
+                              payload_cols=["value"]).run()
+    assert r["epochs_processed"] == 0
+    final = sink.read_output().to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    assert final.equals(before)
