@@ -69,6 +69,7 @@ from .functions.editdist import edit_distance
 from .functions.kmeans import kmeans_fit, kmeans_predict, kmeans_fit_predict
 from .functions.bpe import learn_bpe, bpe_encode_stage
 from .functions.pca import pca_fit, pca_project, grouped_embedding_mean
+from .functions.retrieval import bm25_topk
 from .functions.audio_ops import (resample_stage, vad_stage,
                                   loudness_normalize_stage,
                                   audio_qc_stage, mixdown_stage)
@@ -100,7 +101,7 @@ __all__ = [
     "grouping_sets_aggregate", "cube_aggregate",
     "quantile_bucket_stats", "loudness_normalize_stage",
     "learn_bpe", "bpe_encode_stage", "pca_fit", "pca_project", "grouped_embedding_mean",
-    "mixdown_stage", "ordered_prefix_sum",
+    "mixdown_stage", "ordered_prefix_sum", "bm25_topk",
     "audio_qc_stage",
     "exact_dedup", "minhash_dedup", "ngram_jaccard_dedup",
     "simhash_signatures",

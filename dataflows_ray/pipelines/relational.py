@@ -2740,6 +2740,40 @@ def q98_streaming_upsert(sf_dir: str):
                            batch_size=None)
 
 
+def q99_bm25_retrieval(sf_dir: str):
+    """BM25 top-5 retrieval (functions.retrieval.bm25_topk): the eval
+    slice (doc_id % 23 == 0) queries the rest of the corpus. Corpus
+    stats (N, avgdl, query-term document frequencies) come from one
+    combining exchange; idf and the query-term table broadcast in the
+    closure; each batch emits COMPLETE (query, doc) scores (a doc's
+    words never split across batches), and grouped_top_k ranks.
+    Scores floor to integer micro-units before ranking so the result
+    is dialect-free; the SQL oracle mirrors the BM25 arithmetic
+    parenthesis-for-parenthesis."""
+    import ray.data
+    from ..functions.retrieval import bm25_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def split(pred):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.equal(
+                pc.subtract(t["doc_id"],
+                            pc.multiply(pc.divide(t["doc_id"], 23), 23)), 0)
+            t = t.filter(mask if pred else pc.invert(mask))
+            if pred:
+                t = t.rename_columns(["query_id", "text"])
+            return t
+        return fn
+
+    queries = docs.map_batches(split(True), batch_format="pyarrow",
+                               batch_size=None)
+    corpus = docs.map_batches(split(False), batch_format="pyarrow",
+                              batch_size=None)
+    return bm25_topk(corpus, queries, top_k=5)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2839,6 +2873,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q96_stereo_mixdown": q96_stereo_mixdown,
     "q97_token_budget_shards": q97_token_budget_shards,
     "q98_streaming_upsert": q98_streaming_upsert,
+    "q99_bm25_retrieval": q99_bm25_retrieval,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3164,3 +3199,47 @@ FROM t
 """,
 }
 ORACLES["q98_streaming_upsert"] = ORACLES["q95_changelog_compaction"]  # streaming ≡ batch
+ORACLES["q99_bm25_retrieval"] = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), corpus AS (
+  SELECT * FROM words WHERE doc_id % 23 <> 0
+), doc_stats AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '[ \t\n\r\f\v]+'),
+                              x -> x <> '')) AS BIGINT) AS dl
+  FROM documents WHERE doc_id % 23 <> 0
+), s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl
+  FROM doc_stats
+), qterm AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM words WHERE doc_id % 23 = 0
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM corpus WHERE term IN (SELECT term FROM qterm) GROUP BY term
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM corpus GROUP BY doc_id, term
+), scores AS (
+  SELECT qt.query_id, t.doc_id,
+         sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+             (tf * (1.5 + 1.0) /
+              (tf + 1.5 * (1.0 - 0.75 +
+                           0.75 * d.dl / (CAST(sdl AS DOUBLE) / n)))))
+             AS score
+  FROM tf t
+  JOIN qterm qt USING (term)
+  JOIN dfreq USING (term)
+  JOIN doc_stats d ON d.doc_id = t.doc_id, s
+  GROUP BY qt.query_id, t.doc_id
+)
+SELECT query_id, doc_id,
+       CAST(floor(score * 1000000) AS BIGINT) AS score_u
+FROM scores
+QUALIFY row_number() OVER (
+    PARTITION BY query_id
+    ORDER BY CAST(floor(score * 1000000) AS BIGINT) DESC, doc_id) <= 5
+"""

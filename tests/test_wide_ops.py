@@ -1001,3 +1001,61 @@ def test_ordered_prefix_sum_matches_pandas_and_partition_invariant():
         outs.append(o)
     assert outs[0].equals(outs[1])
     assert (outs[0]["cum_before"].to_numpy() == want).all()
+
+
+def test_bm25_topk_matches_duckdb():
+    import duckdb
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.retrieval import bm25_topk
+
+    corpus = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["fast join engine", "slow scan table join",
+                 "join join join speed", "vector index scan",
+                 "table scan engine fast fast"],
+    })
+    queries = pd.DataFrame({"query_id": [0, 1],
+                            "text": ["fast join", "scan"]})
+    out = bm25_topk(ray.data.from_pandas(corpus).repartition(3),
+                    ray.data.from_pandas(queries), top_k=3) \
+        .to_pandas().sort_values(["query_id", "score_u", "doc_id"],
+                                 ascending=[True, False, True]) \
+        .reset_index(drop=True)
+    want = duckdb.sql(r"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+), doc_stats AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+  FROM corpus
+), s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(dl) AS BIGINT) AS sdl FROM doc_stats),
+qterm AS (
+  SELECT query_id, unnest(string_split(text, ' ')) AS term FROM queries
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM words WHERE term IN (SELECT term FROM qterm) GROUP BY term
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY doc_id, term
+), scores AS (
+  SELECT qt.query_id, t.doc_id,
+         sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+             (tf * 2.5 / (tf + 1.5 * (0.25 +
+                 0.75 * d.dl / (CAST(sdl AS DOUBLE) / n))))) AS score
+  FROM tf t JOIN qterm qt USING (term) JOIN dfreq USING (term)
+       JOIN doc_stats d ON d.doc_id = t.doc_id, s
+  GROUP BY qt.query_id, t.doc_id
+)
+SELECT query_id, doc_id, CAST(floor(score * 1000000) AS BIGINT) AS score_u
+FROM scores
+QUALIFY row_number() OVER (PARTITION BY query_id
+    ORDER BY CAST(floor(score*1000000) AS BIGINT) DESC, doc_id) <= 3
+ORDER BY query_id, score_u DESC, doc_id
+""").df()
+    assert out["query_id"].tolist() == want["query_id"].tolist()
+    assert out["doc_id"].tolist() == want["doc_id"].tolist()
+    assert out["score_u"].tolist() == want["score_u"].tolist()
+    # doc 3 (join join join) must top the 'fast join' query's join term
+    q0 = out[out["query_id"] == 0]
+    assert 3 in q0["doc_id"].tolist()
