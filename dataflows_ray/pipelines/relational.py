@@ -2774,6 +2774,73 @@ def q99_bm25_retrieval(sf_dir: str):
     return bm25_topk(corpus, queries, top_k=5)
 
 
+def q100_dup_rate_report(sf_dir: str):
+    """Curation health report: exact-duplicate rate per (source, lang) —
+    the per-domain contamination dashboard every corpus curation run
+    produces. Composes the exact-dedup machinery (vectorized 128-bit
+    content hash -> combining min-id-per-hash exchange -> adaptive
+    anti-join marks the dups) with two group-count aggregates merged by
+    a tiny hash join; dup_rate is the unrounded ratio of exact integer
+    counts (bit-equal to SQL)."""
+    import ray.data
+    from ..functions.dedup import _content_hash_table
+    from ..stages.agg import grouped_aggregate
+    from ..stages.semijoin import semi_join_ids
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source",
+                                          "lang"])
+    hashed = docs.map_batches(
+        lambda t: _content_hash_table(t, "text", "doc_id"),
+        batch_format="pyarrow", batch_size=None)
+    keep = grouped_aggregate(hashed, ["__ch_a__", "__ch_b__"], [
+        {"target": "__keep_id__", "source": "doc_id", "aggregate": "min"}])
+    meta = docs.select_columns(["doc_id", "source", "lang"])
+    dups = semi_join_ids(meta, keep, "doc_id", id_col="__keep_id__",
+                         anti=True)
+    dup_counts = grouped_aggregate(dups, ["source", "lang"], [
+        {"target": "n_dups", "source": "doc_id", "aggregate": "count"}])
+    totals = grouped_aggregate(meta, ["source", "lang"], [
+        {"target": "n_docs", "source": "doc_id", "aggregate": "count"}])
+
+    # merge the two tiny aggregates by tag-union + one more combining
+    # sum (a Dataset.join chokes on a zero-block side when the corpus
+    # has no duplicates; the union is empty-side-proof by construction)
+    def tag(n_docs_side: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            zeros = pa.array(np.zeros(n, dtype=np.int64))
+            src = t["n_docs"] if n_docs_side else t["n_dups"]
+            return pa.table({
+                "source": t["source"], "lang": t["lang"],
+                "n_docs": pc.cast(src, pa.int64()) if n_docs_side
+                else zeros,
+                "n_dups": zeros if n_docs_side
+                else pc.cast(src, pa.int64()),
+            })
+        return fn
+
+    u = totals.map_batches(tag(True), batch_format="pyarrow",
+                           batch_size=None).union(
+        dup_counts.map_batches(tag(False), batch_format="pyarrow",
+                               batch_size=None))
+    both = grouped_aggregate(u, ["source", "lang"], [
+        {"target": "n_docs", "source": "n_docs", "aggregate": "sum"},
+        {"target": "n_dups", "source": "n_dups", "aggregate": "sum"}])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n_docs = pc.cast(t["n_docs"], pa.int64())
+        n_dups = pc.cast(t["n_dups"], pa.int64())
+        rate = pc.divide(pc.cast(n_dups, pa.float64()),
+                         pc.cast(n_docs, pa.float64()))
+        return pa.table({"source": t["source"], "lang": t["lang"],
+                         "n_docs": n_docs, "n_dups": n_dups,
+                         "dup_rate": rate})
+
+    return both.map_batches(finalize, batch_format="pyarrow",
+                            batch_size=None)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2874,6 +2941,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q97_token_budget_shards": q97_token_budget_shards,
     "q98_streaming_upsert": q98_streaming_upsert,
     "q99_bm25_retrieval": q99_bm25_retrieval,
+    "q100_dup_rate_report": q100_dup_rate_report,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3199,6 +3267,16 @@ FROM t
 """,
 }
 ORACLES["q98_streaming_upsert"] = ORACLES["q95_changelog_compaction"]  # streaming ≡ batch
+ORACLES["q100_dup_rate_report"] = """
+WITH k AS (SELECT text, min(doc_id) AS keeper FROM documents GROUP BY text)
+SELECT d.source, d.lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN d.doc_id <> k.keeper THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dups,
+       CAST(sum(CASE WHEN d.doc_id <> k.keeper THEN 1 ELSE 0 END)
+            AS DOUBLE) / count(*) AS dup_rate
+FROM documents d JOIN k ON d.text = k.text
+GROUP BY d.source, d.lang
+"""
 ORACLES["q99_bm25_retrieval"] = r"""
 WITH words AS (
   SELECT doc_id,

@@ -148,8 +148,9 @@ TARGET_PARTITION_BYTES = 512 * 1024 * 1024
 
 
 def keyed_merge(ds: ray.data.Dataset, keys: List[str],
-                merge_fn: Callable[[pd.DataFrame], pa.Table]
-                ) -> ray.data.Dataset:
+                merge_fn: Callable[[pd.DataFrame], pa.Table],
+                empty_prepare: Optional[Callable[[pa.Table], pa.Table]]
+                = None) -> ray.data.Dataset:
     """The engine's keyed-exchange primitive: co-locate equal ``keys`` and
     apply ``merge_fn`` once per partition (vectorized pandas in, Arrow out).
 
@@ -170,8 +171,25 @@ def keyed_merge(ds: ray.data.Dataset, keys: List[str],
     def _empty_result() -> ray.data.Dataset:
         if first_ref is None:
             return ds
-        empty_in = _to_arrow(ray.get(first_ref))
-        return ray.data.from_arrow(merge_fn(empty_in.to_pandas()))
+        raw = _to_arrow(ray.get(first_ref))
+        # Ray Data may SKIP map tasks on zero-row blocks, so the first
+        # (empty) ref can still carry the RAW upstream schema rather
+        # than the prepped one; ``empty_prepare`` (e.g. the aggregate's
+        # combiner) re-derives the schema merge_fn expects.
+        empty_in = empty_prepare(raw) if empty_prepare is not None else raw
+        merged = merge_fn(empty_in.to_pandas())
+        # a 0-row pandas round-trip types object columns as Arrow NULL,
+        # which poisons downstream joins/unions — restore the raw input's
+        # type for any column it also carries
+        fields = []
+        for f in merged.schema:
+            if pa.types.is_null(f.type) and \
+                    raw.schema.get_field_index(f.name) != -1:
+                fields.append(pa.field(
+                    f.name, raw.schema.field(f.name).type))
+            else:
+                fields.append(f)
+        return ray.data.from_arrow(merged.cast(pa.schema(fields)))
 
     if not refs:
         return _empty_result()
@@ -285,7 +303,11 @@ def _make_combiner(keys: List[str], plan):
         # aggregation reduces nothing but pays pandas per-group overhead
         # (object-dtype min over 100k groups is seconds per batch). Each
         # row is then its own partial — a vectorized column transform.
-        if g.ngroups > 0.5 * len(df):
+        # The empty batch MUST take this branch too: it emits the partial
+        # SCHEMA (keyed_merge's empty-input path replays the merge over
+        # the first empty block, which therefore needs the partial
+        # columns, not the raw input ones).
+        if len(df) == 0 or g.ngroups > 0.5 * len(df):
             parts = {k: df[k] for k in keys}
             for col, src, how, _t, _kind in plan:
                 if how == "size":
@@ -510,7 +532,18 @@ def grouped_aggregate(
         prepped = ds.select_columns(need).map_batches(
             lambda t: t, batch_format="pyarrow", batch_size=None)
 
-    out = keyed_merge(prepped, keys, merge_fn)
+    if distributive:
+        combiner = _make_combiner(keys, plan)
+
+        def _prep_empty(t: pa.Table) -> pa.Table:
+            names = set(t.column_names)
+            if all(col in names for col, *_rest in plan):
+                return t  # already combined (the map did run)
+            return combiner(t.to_pandas().head(0))
+        out = keyed_merge(prepped, keys, merge_fn,
+                          empty_prepare=_prep_empty)
+    else:
+        out = keyed_merge(prepped, keys, merge_fn)
 
     if aliases:
         def post(batch: pa.Table) -> pa.Table:

@@ -1059,3 +1059,29 @@ ORDER BY query_id, score_u DESC, doc_id
     # doc 3 (join join join) must top the 'fast join' query's join term
     q0 = out[out["query_id"] == 0]
     assert 3 in q0["doc_id"].tolist()
+
+
+def test_grouped_aggregate_all_empty_input_keeps_schema():
+    # Ray may skip map tasks on zero-row blocks; the aggregate's
+    # empty-result path must still emit the FINAL schema with the raw
+    # key types (NULL-typed keys poison downstream joins/unions).
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from dataflows_ray.stages.agg import grouped_aggregate
+
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"s": ["a"], "l": ["x"], "v": [1]}))
+    empty = ds.map_batches(lambda t: t.slice(0, 0),
+                           batch_format="pyarrow", batch_size=None)
+    for spec in ({"target": "n", "source": "v", "aggregate": "count"},
+                 {"target": "m", "source": "v", "aggregate": "min"},
+                 {"target": "md", "source": "v", "aggregate": "median"}):
+        out = grouped_aggregate(empty, ["s", "l"], [spec])
+        sch = out.schema()
+        assert sch.names == ["s", "l", spec["target"]]
+        # key types must NOT collapse to null
+        str_fields = [t for n, t in zip(sch.names, sch.types)
+                      if n in ("s", "l")]
+        assert all(not pa.types.is_null(t) for t in str_fields), sch
+        assert out.count() == 0
