@@ -245,7 +245,7 @@ def audio_qc(x: np.ndarray, sr_hz: int, frame_ms: int = 20,
     peak = int(ax.max())
     n_clipped = int((ax >= 32767).sum())
     spf = sr_hz * frame_ms // 1000
-    n_frames = n // spf
+    n_frames = n // spf if spf > 0 else 0
     if n_frames == 0:
         return peak, n_clipped, 0, 0
     frames = x[:n_frames * spf].astype(np.int64).reshape(n_frames, spf)

@@ -20,10 +20,13 @@ tokenizer-training step of an LLM data pipeline:
   distinct word, not once per occurrence.
 
 Determinism contract: word split is the engine-wide explicit ASCII class
-``[ \\t\\n\\r\\f\\v]+``; merge ties (equal pair count) break to the
-lexicographically smallest (left, right); merging stops when the best
-pair count < 2. Any sequential implementation of the same contract is
-bit-identical — the q90/q91 fixtures rely on this.
+``[ \\t\\n\\r\\f\\v]+``; the word-count table truncates to the top
+``vocab_limit`` words by (count desc, word asc) BEFORE any merge (an
+oracle must apply the same truncation — it only bites past the limit);
+merge ties (equal pair count) break to the lexicographically smallest
+(left, right); merging stops when the best pair count < 2. Any
+sequential implementation of the same contract is bit-identical — the
+q90/q91 fixtures rely on this.
 """
 
 from __future__ import annotations

@@ -41,6 +41,10 @@ def _quantized(batch: pa.Table, col: str) -> np.ndarray:
     emb = batch[col]
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
+    if len(emb) == 0:
+        # Ray delivers zero-row blocks to map tasks too; callers treat a
+        # (0, 0) matrix as "no contribution"
+        return np.empty((0, 0), dtype=np.int64)
     flat = emb.flatten().to_numpy(zero_copy_only=False)
     d = len(emb[0])
     x = flat.astype(np.float64).reshape(-1, d)
@@ -57,6 +61,10 @@ def pca_fit(ds: ray.data.Dataset, col: str = "embedding",
 
     def moments(batch: pa.Table) -> pa.Table:
         q = _quantized(batch, col)
+        if q.size == 0:  # empty block: no contribution
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.binary()),
+                             "xtx": pa.array([], pa.binary())})
         s = q.sum(axis=0, dtype=np.int64)
         xtx = (q.T @ q).astype(np.int64)
         return pa.table({
@@ -122,6 +130,11 @@ class PcaProjector:
         self.round_to = round_to
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            cols = {self.id_col: batch[self.id_col]}
+            for c in range(self.comps.shape[1]):
+                cols[f"pc{c + 1}"] = pa.array([], pa.float64())
+            return pa.table(cols)
         q = _quantized(batch, self.col)
         x = q.astype(np.float64) / _SCALE
         y = (x - self.mean) @ self.comps
@@ -160,6 +173,14 @@ def grouped_embedding_mean(ds: ray.data.Dataset, label_col: str = "label",
 
     def partial(batch: pa.Table) -> pa.Table:
         q = _quantized(batch, col)
+        if q.size == 0:  # empty block: emit the partial schema, no rows
+            lab = batch[label_col]
+            if isinstance(lab, pa.ChunkedArray):
+                lab = lab.combine_chunks()
+            return pa.table({label_col: lab.slice(0, 0),
+                             "dim": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
         d = q.shape[1]
         labels = batch[label_col]
         if isinstance(labels, pa.ChunkedArray):

@@ -192,8 +192,10 @@ def quantile_bucket_stats(ds: "ray.data.Dataset", col: str,
     length so per-batch padding waste stays small): bucket edges are the
     exact ``quantile_disc`` values of ``col`` at ``qs`` (computed by the
     shuffle-free :func:`exact_quantiles` refinement), each row lands in
-    ``bucket = #edges < value`` (ties go DOWN: value == edge stays in
-    the lower bucket, matching SQL ``value <= edge``), and per bucket we
+    ``bucket = first edge index with value <= edge`` (ties go DOWN,
+    matching the SQL ``CASE WHEN value <= q1 ... `` chain — coincident
+    edges leave their in-between bucket id empty, identically on both
+    sides), and per bucket we
     emit ``n_rows``, ``sum_val``, ``max_val`` and the padding waste
     ``n_rows * max_val - sum_val`` (the cost of padding every row to the
     bucket max).
@@ -211,8 +213,13 @@ def quantile_bucket_stats(ds: "ray.data.Dataset", col: str,
     vals = qt["value"].to_pylist()
     if any(v is None for v in vals):
         raise ValueError(f"quantile_bucket_stats: empty input column {col}")
-    edges = np.array(sorted(set(int(v) if int_edges else float(v)
-                                for v in vals)))
+    # KEEP coincident edges (skewed data can repeat a quantile): with
+    # duplicates, searchsorted(side='left') lands on the FIRST matching
+    # edge, which is exactly the SQL CASE chain's semantics — the bucket
+    # id between two equal edges is simply unreachable on both sides.
+    # Deduping would renumber buckets and diverge from the oracle.
+    edges = np.array(sorted(int(v) if int_edges else float(v)
+                            for v in vals))
 
     def bucketize(batch: pa.Table) -> pa.Table:
         v = batch[col]

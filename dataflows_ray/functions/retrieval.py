@@ -114,9 +114,11 @@ def bm25_topk(corpus: ray.data.Dataset, queries: ray.data.Dataset,
             elif term is not None:
                 df_map[term] = int(n)
     if N == 0:
+        qid_t = pa.array(qterms["query_id"].tolist()).type \
+            if len(qterms) else pa.int64()
         return ray.data.from_arrow(pa.table({
-            query_id_col: pa.array([], pa.int64()),
-            id_col: pa.array([], pa.int64()),
+            query_id_col: pa.array([], qid_t),
+            id_col: pa.array([], pa.string()),
             "score_u": pa.array([], pa.int64())}))
     avgdl = DL / N
     idf = {t: math.log((N - d + 0.5) / (d + 0.5) + 1.0)
@@ -124,13 +126,21 @@ def bm25_topk(corpus: ray.data.Dataset, queries: ray.data.Dataset,
     qterms = qterms.assign(idf=qterms["term"].map(idf)).dropna(
         subset=["idf"])
 
+    # id columns keep their NATIVE type (int or string ids both occur in
+    # this repo); empty paths derive the type from the query-term frame
+    qid_arr = pa.array(qterms["query_id"].tolist())
+    qid_type = qid_arr.type if len(qid_arr) else pa.int64()
+
     # -- scoring pass: complete (query, doc) scores per batch -------------
     def score(batch: pa.Table) -> pa.Table:
         w, dl = _doc_words(batch, id_col, text_col)
         w = w[w["term"].isin(qset)]
         if not len(w):
-            return pa.table({query_id_col: pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
+            ids_empty = batch[id_col]
+            if isinstance(ids_empty, pa.ChunkedArray):
+                ids_empty = ids_empty.combine_chunks()
+            return pa.table({query_id_col: pa.array([], qid_type),
+                             id_col: ids_empty.slice(0, 0),
                              "score_u": pa.array([], pa.int64())})
         tf = w.groupby(["doc", "term"], sort=False).size() \
             .rename("tf").reset_index()
@@ -145,8 +155,8 @@ def bm25_topk(corpus: ray.data.Dataset, queries: ray.data.Dataset,
                           "c": contrib}).groupby(["q", "d"], sort=False) \
             .sum().reset_index()
         return pa.table({
-            query_id_col: pa.array(s["q"].to_numpy(np.int64)),
-            id_col: pa.array(s["d"].to_numpy(np.int64)),
+            query_id_col: pa.array(s["q"].tolist(), qid_type),
+            id_col: pa.array(s["d"].tolist()),
             "score_u": pa.array(np.floor(s["c"].to_numpy() * 1e6)
                                 .astype(np.int64)),
         })

@@ -1872,16 +1872,22 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
 """
 
 
+def _clip_index_filter(t: pa.Table, n: int) -> pa.Table:
+    """Rows whose clip index (the last 12 chars of clip_id, per the
+    synth contract ``...-clip-{i:012d}``) is < ``n`` — the ONE place
+    that encodes the subset rule; batch q85/q68 and their streaming
+    twins q94/q71 must filter the identical clip set."""
+    idx = pc.cast(pc.utf8_slice_codeunits(
+        t["clip_id"], start=-12, stop=99), pa.int64())
+    return t.filter(pc.less(idx, n))
+
+
 def _first_clips(ds, n: int):
     """Deterministic clip-index subset (limit() takes whichever blocks
     finish first under parallel reads — not reproducible)."""
-
-    def flt(batch: pa.Table) -> pa.Table:
-        idx = pc.cast(pc.utf8_slice_codeunits(
-            batch["clip_id"], start=-12, stop=99), pa.int64())
-        return batch.filter(pc.less(idx, n))
-
-    return ds.map_batches(flt, batch_format="pyarrow")
+    from functools import partial
+    return ds.map_batches(partial(_clip_index_filter, n=n),
+                          batch_format="pyarrow")
 
 
 def q68_audio_resample(sf_dir: str):
@@ -1939,9 +1945,7 @@ class _First250Resample:
         self._resample = ResampleTransform(11025)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        idx = pc.cast(pc.utf8_slice_codeunits(
-            t["clip_id"], start=-12, stop=99), pa.int64())
-        return self._resample(t.filter(pc.less(idx, 250)))
+        return self._resample(_clip_index_filter(t, 250))
 
 
 def q71_streaming_audio_resample(sf_dir: str):
@@ -2586,9 +2590,7 @@ class _First250Loudness:
         self._norm = LoudnessNormalizeTransform(3000.0)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        idx = pc.cast(pc.utf8_slice_codeunits(
-            t["clip_id"], start=-12, stop=99), pa.int64())
-        return self._norm(t.filter(pc.less(idx, 250)))
+        return self._norm(_clip_index_filter(t, 250))
 
 
 def q94_streaming_loudness(sf_dir: str):

@@ -136,8 +136,11 @@ def weighted_source_sample(ds, rates: dict, source_col: str = "source",
             dtype=np.float64)
         idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
         null_idx = idx < 0  # null sources fill to -1
-        r = by_code[np.where(null_idx, 0, idx)]
-        r[null_idx] = rates.get(None, default_rate)
+        if len(by_code) == 0:  # every source in the batch is null
+            r = np.full(len(idx), rates.get(None, default_rate))
+        else:
+            r = by_code[np.where(null_idx, 0, idx)]
+            r[null_idx] = rates.get(None, default_rate)
         return batch.filter(pa.array(u < r))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)

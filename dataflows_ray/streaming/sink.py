@@ -43,8 +43,28 @@ class ExactlyOnceSink:
         self.data_dir = os.path.join(out_dir, "data")
         self.state_dir = os.path.join(out_dir, "state")
         self.manifest_path = os.path.join(out_dir, "manifest.json")
+        self._recover_compaction()
         for d in (self.staged_dir, self.data_dir, self.state_dir):
             os.makedirs(d, exist_ok=True)
+
+    def _recover_compaction(self) -> None:
+        """Roll a compact() interrupted mid-swap forward or back BEFORE
+        the empty data dir would be recreated: a crash can only leave
+        (a) ``data.new`` fully written and ``data`` renamed away — roll
+        FORWARD by promoting data.new; or (b) ``data`` renamed to
+        ``data.old`` with no data.new promoted — roll BACK by restoring
+        data.old. Either way no committed row is ever lost."""
+        data_new = self.data_dir + ".new"
+        data_old = self.data_dir + ".old"
+        if not os.path.isdir(self.data_dir):
+            if os.path.isdir(data_new):
+                os.replace(data_new, self.data_dir)
+            elif os.path.isdir(data_old):
+                os.replace(data_old, self.data_dir)
+        if os.path.isdir(self.data_dir):
+            for leftover in (data_new, data_old):
+                if os.path.isdir(leftover):
+                    shutil.rmtree(leftover)
 
     # -- manifest ----------------------------------------------------------
     def read_manifest(self) -> Dict:
@@ -232,11 +252,19 @@ class ExactlyOnceSink:
                 "state_snapshot": grp[-1].get("state_snapshot"),
                 "compacted_from": [e["epoch"] for e in grp],
             })
+        # crash-safe swap: promote via data.new so every intermediate
+        # state is recoverable by _recover_compaction (roll forward when
+        # data.new is complete, roll back otherwise) — at no point is
+        # the only copy of committed data in a directory the next
+        # startup would delete
+        new_data = self.data_dir + ".new"
         old_data = self.data_dir + ".old"
-        if os.path.exists(old_data):
-            shutil.rmtree(old_data)
+        for leftover in (new_data, old_data):
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
+        os.replace(staged_new, new_data)
         os.replace(self.data_dir, old_data)
-        os.replace(staged_new, self.data_dir)
+        os.replace(new_data, self.data_dir)
         manifest["epochs"] = new_epochs
         self._write_manifest(manifest)
         shutil.rmtree(old_data)

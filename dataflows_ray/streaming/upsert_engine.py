@@ -122,11 +122,10 @@ class StreamingUpsertEngine(MicroBatchEngine):
         raw = self.raw_ts_col
 
         def fn(tbl: pa.Table) -> pa.Table:
-            ts = tbl[raw]
-            # timestamp columns watermark as int64 epoch-us
-            as_int = pa.compute.cast(ts, pa.int64()) if \
-                pa.types.is_timestamp(ts.type) else \
-                pa.compute.cast(ts, pa.int64())
+            # timestamp columns cast to their epoch integer (unit
+            # preserved: us stays us); plain ints pass through — only
+            # ORDER matters for keep-max, not the unit
+            as_int = pa.compute.cast(tbl[raw], pa.int64())
             return tbl.append_column("__ts_int__", as_int)
         return fn
 

@@ -583,12 +583,16 @@ def gen_q86(audio_path: str) -> pa.Table:
     })
 
 
-def _bpe_train_py(sf_dir: str, n_merges: int = 40):
+def _bpe_train_py(sf_dir: str, n_merges: int = 40,
+                  vocab_limit: int = 50_000):
     """INDEPENDENT sequential BPE trainer: collections.Counter word
     counts over Python-re split (same explicit ASCII class), dict-based
     pair counting, min((-count, pair)) tie rule — no code shared with
     functions/bpe.py (different data structures: tuple-keyed word dict
-    rebuilt per merge vs the engine's in-place symbol lists)."""
+    rebuilt per merge vs the engine's in-place symbol lists). The
+    top-``vocab_limit`` truncation by (count desc, word asc) is PART of
+    the learn_bpe contract and must be reproduced here (it only bites
+    on corpora with more distinct words than the limit)."""
     import re as _re
     from collections import Counter
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
@@ -598,7 +602,8 @@ def _bpe_train_py(sf_dir: str, n_merges: int = 40):
         for w in _re.split(r"[ \t\n\r\f\v]+", r["text"] or ""):
             if w:
                 wc[w] += 1
-    vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_limit]
+    vocab = {tuple(list(w) + ["</w>"]): c for w, c in top}
     merges = []
     for _ in range(n_merges):
         pairs = Counter()

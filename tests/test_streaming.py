@@ -1213,3 +1213,45 @@ def test_sink_compaction_preserves_output_and_resume(tmp_path):
     final = sink.read_output().to_pandas().sort_values("user_id") \
         .reset_index(drop=True)
     assert final.equals(before)
+
+
+def test_sink_compaction_crash_recovery(tmp_path):
+    """A compact() interrupted mid-swap must be recoverable: whichever
+    intermediate directory state a crash leaves, the next
+    ExactlyOnceSink() rolls forward or back without losing a row."""
+    import os
+    import shutil
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+
+    def build(out):
+        s = ExactlyOnceSink(out)
+        for e in range(4):
+            t = pa.table({"k": [e], "v": [e * 10]})
+            st = s.stage(e, 0, t)
+            s.commit(e, [st], watermark_ms=e)
+        return s
+
+    # simulate crash AFTER data -> data.old, BEFORE data.new -> data
+    out = str(tmp_path / "s1")
+    s = build(out)
+    rows_before = s.read_output().to_pandas().sort_values("k")
+    # hand-build the crash state: data.new complete, data renamed away
+    shutil.copytree(s.data_dir, s.data_dir + ".new")
+    os.replace(s.data_dir, s.data_dir + ".old")
+    s2 = ExactlyOnceSink(out)  # recovery rolls FORWARD
+    after = s2.read_output().to_pandas().sort_values("k")
+    assert after.equals(rows_before)
+    assert not os.path.exists(s.data_dir + ".old")
+    assert not os.path.exists(s.data_dir + ".new")
+
+    # simulate crash BEFORE promotion: only data.old exists
+    out2 = str(tmp_path / "s2")
+    s = build(out2)
+    rows_before = s.read_output().to_pandas().sort_values("k")
+    os.replace(s.data_dir, s.data_dir + ".old")
+    s2 = ExactlyOnceSink(out2)  # recovery rolls BACK
+    after = s2.read_output().to_pandas().sort_values("k")
+    assert after.equals(rows_before)

@@ -1085,3 +1085,62 @@ def test_grouped_aggregate_all_empty_input_keeps_schema():
                       if n in ("s", "l")]
         assert all(not pa.types.is_null(t) for t in str_fields), sch
         assert out.count() == 0
+
+
+def test_review_fix_edge_cases():
+    """Round-4 review fixes: all-null source sampling, empty-block PCA,
+    duplicate quantile edges, spf=0 audio QC."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from dataflows_ray.functions.audio_ops import audio_qc
+    from dataflows_ray.functions.pca import pca_fit, pca_project, \
+        grouped_embedding_mean
+    from dataflows_ray.functions.quantiles import quantile_bucket_stats
+    from dataflows_ray.stages.sampling import weighted_source_sample
+
+    # all-null source batch: every row keeps default_rate semantics
+    df = pd.DataFrame({"doc_id": range(10),
+                       "source": pd.array([None] * 10, dtype=object)})
+    out = weighted_source_sample(ray.data.from_pandas(df), {"a": 0.0},
+                                 default_rate=1.0).to_pandas()
+    assert len(out) == 10
+
+    # PCA over a dataset containing empty blocks (filter wipes a block)
+    rng = np.random.default_rng(2)
+    edf = pd.DataFrame({
+        "vec_id": range(40), "label": [i % 2 for i in range(40)],
+        "embedding": [rng.normal(size=4).astype(np.float32).tolist()
+                      for _ in range(40)]})
+    ds = ray.data.from_pandas(edf).repartition(4).filter(
+        lambda r: r["vec_id"] < 20)  # half the blocks end up empty
+    mean, comps, _ = pca_fit(ds, k=2)
+    assert len(pca_project(ds, mean, comps).to_pandas()) == 20
+    assert len(grouped_embedding_mean(ds).to_pandas()) == 8
+
+    # duplicate quantile edges keep SQL CASE bucket ids (gap, not renumber)
+    skew = pd.DataFrame({"v": [10] * 60 + list(range(11, 51))})
+    b = quantile_bucket_stats(ray.data.from_pandas(skew), "v",
+                              [0.25, 0.5, 0.75]).to_pandas()
+    assert 1 not in set(b["bucket"])  # q1 == q2 == 10 -> bucket 1 empty
+    assert int(b.loc[b["bucket"] == 0, "n_rows"].iloc[0]) == 60
+
+    # spf == 0 (sr*frame < 1000): no crash, trim collapses to 0/0
+    peak, ncl, ts, te = audio_qc(np.array([5, -5], dtype=np.int16),
+                                 sr_hz=8, frame_ms=20)
+    assert (ts, te) == (0, 0) and peak == 5
+
+
+def test_bm25_string_ids():
+    import pandas as pd
+    import ray.data
+    from dataflows_ray.functions.retrieval import bm25_topk
+
+    corpus = pd.DataFrame({"doc_id": ["d1", "d2"],
+                           "text": ["alpha beta", "beta gamma"]})
+    queries = pd.DataFrame({"query_id": ["q1"], "text": ["beta"]})
+    out = bm25_topk(ray.data.from_pandas(corpus).repartition(2),
+                    ray.data.from_pandas(queries), top_k=2).to_pandas()
+    assert sorted(out["doc_id"]) == ["d1", "d2"]
+    assert set(out["query_id"]) == {"q1"}
