@@ -223,3 +223,73 @@ def test_bloom_no_false_negatives_property(data):
         hit &= (((byte >> (pos2[i] & np.uint64(7)).astype(np.uint8))
                  & np.uint8(1)) == 1)
     assert hit.all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.data())
+def test_bpe_encode_reconstruction_invariant(data):
+    """BPE merging only concatenates adjacent symbols: for any corpus
+    and any word, the encoded symbol sequence always re-joins to the
+    original word + the end marker, and the token count never exceeds
+    len(word) + 1."""
+    from dataflows_ray.functions.bpe import merge_loop, _EOW
+
+    words = data.draw(st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=8),
+        min_size=1, max_size=12))
+    counts = data.draw(st.lists(st.integers(min_value=1, max_value=9),
+                                min_size=len(words), max_size=len(words)))
+    wc = list(zip(words, counts))
+    merges = merge_loop(wc, n_merges=data.draw(
+        st.integers(min_value=0, max_value=20)))
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    # re-implement encode returning the SYMBOLS (engine returns count)
+    def enc_syms(word):
+        syms = list(word) + [_EOW]
+        while len(syms) > 1:
+            cand = [(ranks[(a, b)], i) for i, (a, b)
+                    in enumerate(zip(syms, syms[1:])) if (a, b) in ranks]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    from dataflows_ray.functions.bpe import encode_word
+    for w, _c in wc:
+        syms = enc_syms(w)
+        assert "".join(syms) == w + _EOW
+        assert encode_word(w, ranks) == len(syms)
+        assert len(syms) <= len(w) + 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_loudness_and_mixdown_bounds(data):
+    """Loudness: output RMS lands within quantization distance of the
+    target for non-silent input and never exceeds int16 range. Mixdown:
+    |mono[i]| <= max(|L[i]|, |R[i]|) + 1 (floor division slack)."""
+    from dataflows_ray.functions.audio_ops import (loudness_normalize,
+                                                   mixdown, synth_stereo)
+
+    n = data.draw(st.integers(min_value=1, max_value=400))
+    x = np.array(data.draw(st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=n, max_size=n)), dtype=np.int16)
+    target = data.draw(st.floats(min_value=100.0, max_value=20000.0))
+    y, rms_in, gain, rms_out = loudness_normalize(x, target)
+    assert y.dtype == np.int16 and len(y) == n
+    if rms_in > 0:
+        # clipping can only LOWER the output RMS below the target;
+        # absent clipping the quantization error is at most 0.5/sample
+        if int(np.abs(y).max()) < 32767:
+            assert abs(rms_out - target) <= 1.0
+        else:
+            assert rms_out <= target + 1.0
+
+    inter = np.frombuffer(synth_stereo(x), dtype="<i2")
+    mono, L, R = mixdown(inter)
+    assert (L == x).all() and len(mono) == n
+    lim = np.maximum(np.abs(L.astype(np.int64)), np.abs(R.astype(np.int64)))
+    assert (np.abs(mono.astype(np.int64)) <= lim + 1).all()
