@@ -324,11 +324,35 @@ class ImageDecoder:
         return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
+def _cached_image_decoder(target_size):
+    return ImageDecoder(target_size=target_size)
+
+
+def _elastic_decode(batch, target_size=None):
+    """Module-level (picklable) stateless decode with a per-process
+    cached decoder."""
+    return _cached_image_decoder(target_size)(batch)
+
+
 def image_feature_stage(ds: ray.data.Dataset,
                         target_size: Optional[Tuple[int, int]] = None,
-                        concurrency: int = 2, batch_size: int = 64
-                        ) -> ray.data.Dataset:
-    """Small batch_size: batch bytes x concurrency must fit worker heaps."""
+                        concurrency: Optional[int] = 2,
+                        batch_size: int = 64) -> ray.data.Dataset:
+    """Small batch_size: batch bytes x concurrency must fit worker heaps.
+    ``concurrency=None`` runs ELASTIC stateless tasks with a per-process
+    cached decoder — the right setting when the decode dominates the
+    pipeline (a pinned pool caps throughput at pool size while the rest
+    of the session idles)."""
+    if concurrency is None:
+        from functools import partial
+        return ds.map_batches(partial(_elastic_decode,
+                                      target_size=target_size),
+                              batch_format="pyarrow",
+                              batch_size=batch_size)
     return ds.map_batches(
         ImageDecoder, fn_constructor_kwargs={"target_size": target_size},
         batch_format="pyarrow", batch_size=batch_size,

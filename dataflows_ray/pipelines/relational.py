@@ -1585,7 +1585,7 @@ def q62_jpeg_image_features(sf_dir: str):
     import ray.data
     from ..functions.multimodal import image_feature_stage
     ds = ray.data.read_parquet(_jpeg_image_path(sf_dir))
-    out = image_feature_stage(ds, concurrency=4, batch_size=32)
+    out = image_feature_stage(ds, concurrency=None, batch_size=32)
     df = out.select_columns(
         ["image_id", "mean_pixel", "mean_r", "mean_g", "mean_b",
          "out_width", "out_height"]).to_pandas()
@@ -1603,7 +1603,7 @@ def q51_image_features(sf_dir: str):
     import ray.data
     from ..functions.multimodal import image_feature_stage
     ds = ray.data.read_parquet(_image_path(sf_dir))
-    out = image_feature_stage(ds, target_size=(16, 16), concurrency=4,
+    out = image_feature_stage(ds, target_size=(16, 16), concurrency=None,
                               batch_size=64)
     df = out.select_columns(
         ["image_id", "mean_pixel", "mean_r", "mean_g", "mean_b",
@@ -1715,7 +1715,11 @@ def q60_multicodec_decode(sf_dir: str):
     from ..stages.agg import grouped_aggregate
 
     ds = ray.data.read_parquet(_multicodec_audio_path(sf_dir))
-    dec = decode_stage(ds, concurrency=2, batch_size=64, validate_snr=True)
+    # elastic stateless decode (per-process cached decoder): the pinned
+    # 2-actor pool this used was the q60 bottleneck at sf0.1 (20k
+    # SNR-validated clips funneled through 2 CPUs while 30 idled);
+    # stateless tasks share the session's CPUs with the read
+    dec = decode_stage(ds, batch_size=64, validate_snr=True)
     out = grouped_aggregate(dec, ["codec"], [
         {"target": "n_clips", "aggregate": "count"},
         {"target": "total_samples", "source": "n_samples",
