@@ -2732,7 +2732,7 @@ def q98_streaming_upsert(sf_dir: str):
                                 num_partitions=4, rowgroups_per_epoch=2,
                                 payload_cols=["value"])
     eng.run()
-    res = ExactlyOnceSink(out).read_output()
+    res = eng.read_snapshot()  # newest flush only (grown-input safe)
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({

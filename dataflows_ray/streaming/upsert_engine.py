@@ -141,3 +141,27 @@ class StreamingUpsertEngine(MicroBatchEngine):
         return UpsertStateActor.remote(
             partition, self.key, ["__ts_int__", self.version_col],
             self.tombstone_col, self.tombstone_value)
+
+    def read_snapshot(self):
+        """The CURRENT compacted view = the newest committed flush
+        epoch's files ONLY. Each run of a GROWN changelog commits a new
+        complete snapshot under a new flush-epoch id (state persists
+        across flushes, so the newest snapshot folds everything);
+        earlier snapshots stay in the sink as history but must not be
+        unioned with the newest — use this reader, not the sink's raw
+        ``read_output``, for the live table."""
+        import os
+
+        import ray.data
+        flushes = [e for e in self.sink.read_manifest()["epochs"]
+                   if e["epoch"] >= self.FLUSH_BASE]
+        if not flushes:
+            return ray.data.from_items([])
+        newest = max(e["epoch"] for e in flushes)
+        d = os.path.join(self.sink.data_dir, f"epoch={newest}")
+        files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                 if f.startswith("part-") and f.endswith(".parquet")] \
+            if os.path.isdir(d) else []
+        if not files:
+            return ray.data.from_items([])
+        return ray.data.read_parquet(files, partitioning=None)

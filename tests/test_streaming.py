@@ -1255,3 +1255,55 @@ def test_sink_compaction_crash_recovery(tmp_path):
     s2 = ExactlyOnceSink(out2)  # recovery rolls BACK
     after = s2.read_output().to_pandas().sort_values("k")
     assert after.equals(rows_before)
+
+
+def test_streaming_upsert_incremental_growth(tmp_path):
+    """Appending new changelog files and re-running must yield a
+    snapshot equal to a clean run over the full input — the newest
+    flush epoch IS the live view; older snapshots never union in."""
+    import os
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from dataflows_ray.streaming.upsert_engine import StreamingUpsertEngine
+
+    src = str(tmp_path / "chg")
+    os.makedirs(src)
+
+    def write(name, rows):
+        df = pd.DataFrame(rows)
+        df["ts"] = pd.to_datetime(df["ts"], unit="s")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       os.path.join(src, name), row_group_size=2)
+
+    write("part-0.parquet", {
+        "user_id": [1, 2, 1, 3], "ts": [10, 20, 30, 40],
+        "event_id": [0, 1, 2, 3],
+        "event_type": ["click", "click", "view", "click"],
+        "value": [1.0, 2.0, 3.0, 4.0]})
+    out = str(tmp_path / "sink")
+
+    def make():
+        return StreamingUpsertEngine(src, out, num_partitions=2,
+                                     rowgroups_per_epoch=1,
+                                     payload_cols=["value"])
+
+    make().run()
+    snap1 = make().read_snapshot().to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    assert snap1["user_id"].tolist() == [1, 2, 3]
+    assert snap1.loc[0, "value"] == 3.0  # user 1's latest = view@30
+
+    # grow the changelog: user 1 tombstoned, user 2 updated, user 4 new
+    write("part-1.parquet", {
+        "user_id": [1, 2, 4], "ts": [50, 60, 70],
+        "event_id": [4, 5, 6],
+        "event_type": ["error", "view", "click"],
+        "value": [9.0, 5.0, 6.0]})
+    make().run()
+    snap2 = make().read_snapshot().to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    assert snap2["user_id"].tolist() == [2, 3, 4]  # 1 tombstoned, no dups
+    assert snap2.loc[0, "value"] == 5.0
+    # duplicate-free: each key appears exactly once
+    assert snap2["user_id"].is_unique
