@@ -2847,6 +2847,68 @@ def q100_dup_rate_report(sf_dir: str):
                             batch_size=None)
 
 
+class _First250QC:
+    """q101 transform: clip-index filter + QC scan inside the streaming
+    engine's split tasks (picklable module-level class)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        from ..functions.audio_ops import _decode_int16, audio_qc
+        t = _clip_index_filter(t, 250)
+        ids = t["clip_id"].to_pylist()
+        raws = t["bytes"].to_pylist()
+        codecs = t["codec"].to_pylist()
+        srs = t["sr_hz"].to_pylist()
+        cols = {k: [] for k in ("n_samples", "peak", "n_clipped",
+                                "clip_frac", "trim_start_ms",
+                                "trim_end_ms")}
+        for raw, codec, sr in zip(raws, codecs, srs):
+            x = _decode_int16(raw, codec or "pcm16")
+            peak, ncl, ts, te = audio_qc(x, int(sr), 20, 0.5)
+            cols["n_samples"].append(len(x))
+            cols["peak"].append(peak)
+            cols["n_clipped"].append(ncl)
+            cols["clip_frac"].append(round(ncl / len(x), 6) if len(x)
+                                     else 0.0)
+            cols["trim_start_ms"].append(ts)
+            cols["trim_end_ms"].append(te)
+        return pa.table({
+            "clip_id": pa.array(ids, pa.string()),
+            "n_samples": pa.array(cols["n_samples"], pa.int64()),
+            "peak": pa.array(cols["peak"], pa.int64()),
+            "n_clipped": pa.array(cols["n_clipped"], pa.int64()),
+            "clip_frac": pa.array(cols["clip_frac"], pa.float64()),
+            "trim_start_ms": pa.array(cols["trim_start_ms"], pa.int64()),
+            "trim_end_ms": pa.array(cols["trim_end_ms"], pa.int64()),
+            "trimmed_dur_ms": pa.array(
+                [e - s for s, e in zip(cols["trim_start_ms"],
+                                       cols["trim_end_ms"])], pa.int64()),
+        })
+
+
+def q101_streaming_audio_qc(sf_dir: str):
+    """STREAMING exactly-once audio QC scan (streaming.map_engine): the
+    q86 peak/clipping/edge-silence kernel runs inside micro-batch split
+    tasks with 2PC commit and crash resume — gated by the SAME
+    independent sequential fixture as batch q86 (streaming ≡ batch)."""
+    import shutil
+    from ..streaming.map_engine import StreamingMapEngine
+    from ..streaming.sink import ExactlyOnceSink
+
+    path = _audio_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_qc_sink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingMapEngine(path, out, transform=_First250QC(),
+                             key="clip_id", ts_col="event_ms",
+                             num_partitions=4, rowgroups_per_epoch=2)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["clip_id", "n_samples", "peak", "n_clipped", "clip_frac",
+         "trim_start_ms", "trim_end_ms", "trimmed_dur_ms"])
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2948,6 +3010,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q98_streaming_upsert": q98_streaming_upsert,
     "q99_bm25_retrieval": q99_bm25_retrieval,
     "q100_dup_rate_report": q100_dup_rate_report,
+    "q101_streaming_audio_qc": q101_streaming_audio_qc,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3273,6 +3336,7 @@ FROM t
 """,
 }
 ORACLES["q98_streaming_upsert"] = ORACLES["q95_changelog_compaction"]  # streaming ≡ batch
+ORACLES["q101_streaming_audio_qc"] = ORACLES["q86_audio_qc"]  # streaming ≡ batch
 ORACLES["q100_dup_rate_report"] = """
 WITH k AS (SELECT text, min(doc_id) AS keeper FROM documents GROUP BY text)
 SELECT d.source, d.lang, count(*) AS n_docs,
