@@ -258,27 +258,35 @@ def audio_qc(x: np.ndarray, sr_hz: int, frame_ms: int = 20,
             (int(voiced[-1]) + 1) * frame_ms)
 
 
-def audio_qc_stage(ds: ray.data.Dataset, frame_ms: int = 20,
-                   rel_threshold: float = 0.5, id_col: str = "clip_id",
-                   bytes_col: str = "bytes", codec_col: str = "codec",
-                   sr_col: str = "sr_hz") -> ray.data.Dataset:
-    """Per-clip QC row: (clip_id, n_samples, peak, n_clipped, clip_frac,
-    trim_start_ms, trim_end_ms, trimmed_dur_ms). Stateless map_batches —
-    the corpus-health scan every audio ingestion runs before training."""
+class AudioQcTransform:
+    """The q86 QC kernel as a picklable batch transform — the ONE
+    implementation shared by the batch stage and the streaming q101
+    ETL (their row-for-row agreement is what the shared fixture
+    oracle gates)."""
 
-    def fn(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        raws = batch[bytes_col].to_pylist()
-        codecs = batch[codec_col].to_pylist() if codec_col in \
+    def __init__(self, frame_ms: int = 20, rel_threshold: float = 0.5,
+                 id_col: str = "clip_id", bytes_col: str = "bytes",
+                 codec_col: str = "codec", sr_col: str = "sr_hz"):
+        self.frame_ms = frame_ms
+        self.rel_threshold = rel_threshold
+        self.id_col = id_col
+        self.bytes_col = bytes_col
+        self.codec_col = codec_col
+        self.sr_col = sr_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        raws = batch[self.bytes_col].to_pylist()
+        codecs = batch[self.codec_col].to_pylist() if self.codec_col in \
             batch.column_names else ["pcm16"] * len(raws)
-        srs = batch[sr_col].to_pylist()
+        srs = batch[self.sr_col].to_pylist()
         cols = {k: [] for k in ("n_samples", "peak", "n_clipped",
                                 "clip_frac", "trim_start_ms",
                                 "trim_end_ms")}
         for raw, codec, sr in zip(raws, codecs, srs):
             x = _decode_int16(raw, codec or "pcm16")
-            peak, ncl, ts, te = audio_qc(x, int(sr), frame_ms,
-                                         rel_threshold)
+            peak, ncl, ts, te = audio_qc(x, int(sr), self.frame_ms,
+                                         self.rel_threshold)
             cols["n_samples"].append(len(x))
             cols["peak"].append(peak)
             cols["n_clipped"].append(ncl)
@@ -287,7 +295,7 @@ def audio_qc_stage(ds: ray.data.Dataset, frame_ms: int = 20,
             cols["trim_start_ms"].append(ts)
             cols["trim_end_ms"].append(te)
         return pa.table({
-            id_col: pa.array(ids, pa.string()),
+            self.id_col: pa.array(ids, pa.string()),
             "n_samples": pa.array(cols["n_samples"], pa.int64()),
             "peak": pa.array(cols["peak"], pa.int64()),
             "n_clipped": pa.array(cols["n_clipped"], pa.int64()),
@@ -299,7 +307,18 @@ def audio_qc_stage(ds: ray.data.Dataset, frame_ms: int = 20,
                                        cols["trim_end_ms"])], pa.int64()),
         })
 
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+def audio_qc_stage(ds: ray.data.Dataset, frame_ms: int = 20,
+                   rel_threshold: float = 0.5, id_col: str = "clip_id",
+                   bytes_col: str = "bytes", codec_col: str = "codec",
+                   sr_col: str = "sr_hz") -> ray.data.Dataset:
+    """Per-clip QC row: (clip_id, n_samples, peak, n_clipped, clip_frac,
+    trim_start_ms, trim_end_ms, trimmed_dur_ms). Stateless map_batches —
+    the corpus-health scan every audio ingestion runs before training."""
+    return ds.map_batches(
+        AudioQcTransform(frame_ms, rel_threshold, id_col, bytes_col,
+                         codec_col, sr_col),
+        batch_format="pyarrow", batch_size=None)
 
 
 def synth_stereo(x: np.ndarray) -> bytes:

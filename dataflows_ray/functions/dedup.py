@@ -311,19 +311,29 @@ def exact_dedup(ds: ray.data.Dataset, text_col: str = "text",
     fit driver memory, distributed hash join beyond that — no scale
     cliff). The documents themselves are never shuffled on the
     broadcast path."""
-    from ..stages.agg import grouped_aggregate
     from ..stages.semijoin import semi_join_ids
+
+    keep = content_keeper_ids(ds, text_col, id_col)
+    return semi_join_ids(ds, keep, id_col, id_col="__keep_id__",
+                         broadcast_limit=broadcast_limit)
+
+
+def content_keeper_ids(ds: ray.data.Dataset, text_col: str = "text",
+                       id_col: str = "doc_id") -> ray.data.Dataset:
+    """The exact-dedup KEEPER set: one ``__keep_id__`` (min id) per
+    distinct 128-bit content hash — the shared core of
+    :func:`exact_dedup` (semi-join keeps) and the q100 duplicate-rate
+    report (anti-join marks the dups)."""
+    from ..stages.agg import grouped_aggregate
 
     def add_hash(batch: pa.Table) -> pa.Table:
         return _content_hash_table(batch, text_col, id_col)
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-    keep = grouped_aggregate(
+    return grouped_aggregate(
         hashed,
         ["__ch_a__", "__ch_b__"],
         [{"target": "__keep_id__", "source": id_col, "aggregate": "min"}])
-    return semi_join_ids(ds, keep, id_col, id_col="__keep_id__",
-                         broadcast_limit=broadcast_limit)
 
 
 def minhash_lsh_candidates(ds: ray.data.Dataset, num_perm: int = 128,

@@ -84,6 +84,11 @@ def bm25_topk(corpus: ray.data.Dataset, queries: ray.data.Dataset,
         if qt_rows else pd.DataFrame({"doc": [], "term": []})
     qterms = qterms.rename(columns={"doc": "query_id"})
     qset = set(qterms["term"])
+    # id columns keep their NATIVE type (int and string ids both occur
+    # in this repo); every path — including empty results — types the
+    # query id from the query-term frame
+    qid_type = pa.array(qterms["query_id"].tolist()).type \
+        if len(qterms) else pa.int64()
 
     # -- corpus stats: N, avgdl, df (restricted to query terms) -----------
     def stats(batch: pa.Table) -> pa.Table:
@@ -114,22 +119,20 @@ def bm25_topk(corpus: ray.data.Dataset, queries: ray.data.Dataset,
             elif term is not None:
                 df_map[term] = int(n)
     if N == 0:
-        qid_t = pa.array(qterms["query_id"].tolist()).type \
-            if len(qterms) else pa.int64()
+        # derive the doc-id type from the corpus schema so the empty
+        # result unions cleanly with any non-empty run
+        sch = corpus.schema()
+        did_t = sch.base_schema.field(id_col).type if sch is not None \
+            else pa.int64()
         return ray.data.from_arrow(pa.table({
-            query_id_col: pa.array([], qid_t),
-            id_col: pa.array([], pa.string()),
+            query_id_col: pa.array([], qid_type),
+            id_col: pa.array([], did_t),
             "score_u": pa.array([], pa.int64())}))
     avgdl = DL / N
     idf = {t: math.log((N - d + 0.5) / (d + 0.5) + 1.0)
            for t, d in df_map.items()}
     qterms = qterms.assign(idf=qterms["term"].map(idf)).dropna(
         subset=["idf"])
-
-    # id columns keep their NATIVE type (int or string ids both occur in
-    # this repo); empty paths derive the type from the query-term frame
-    qid_arr = pa.array(qterms["query_id"].tolist())
-    qid_type = qid_arr.type if len(qid_arr) else pa.int64()
 
     # -- scoring pass: complete (query, doc) scores per batch -------------
     def score(batch: pa.Table) -> pa.Table:

@@ -2789,19 +2789,18 @@ def q100_dup_rate_report(sf_dir: str):
     a tiny hash join; dup_rate is the unrounded ratio of exact integer
     counts (bit-equal to SQL)."""
     import ray.data
-    from ..functions.dedup import _content_hash_table
+    from ..functions.dedup import content_keeper_ids
     from ..stages.agg import grouped_aggregate
     from ..stages.semijoin import semi_join_ids
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "source",
                                           "lang"])
-    hashed = docs.map_batches(
-        lambda t: _content_hash_table(t, "text", "doc_id"),
-        batch_format="pyarrow", batch_size=None)
-    keep = grouped_aggregate(hashed, ["__ch_a__", "__ch_b__"], [
-        {"target": "__keep_id__", "source": "doc_id", "aggregate": "min"}])
-    meta = docs.select_columns(["doc_id", "source", "lang"])
+    keep = content_keeper_ids(docs, "text", "doc_id")
+    # materialize the tiny (id, source, lang) projection ONCE: both the
+    # anti-join and the totals consume it, and without this each
+    # consumer would re-scan the parquet (text column included upstream)
+    meta = docs.select_columns(["doc_id", "source", "lang"]).materialize()
     dups = semi_join_ids(meta, keep, "doc_id", id_col="__keep_id__",
                          anti=True)
     dup_counts = grouped_aggregate(dups, ["source", "lang"], [
@@ -2848,42 +2847,16 @@ def q100_dup_rate_report(sf_dir: str):
 
 
 class _First250QC:
-    """q101 transform: clip-index filter + QC scan inside the streaming
+    """q101 transform: clip-index filter + the SHARED q86 QC kernel
+    (functions.audio_ops.AudioQcTransform) inside the streaming
     engine's split tasks (picklable module-level class)."""
 
+    def __init__(self):
+        from ..functions.audio_ops import AudioQcTransform
+        self._qc = AudioQcTransform()
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        import numpy as np
-        from ..functions.audio_ops import _decode_int16, audio_qc
-        t = _clip_index_filter(t, 250)
-        ids = t["clip_id"].to_pylist()
-        raws = t["bytes"].to_pylist()
-        codecs = t["codec"].to_pylist()
-        srs = t["sr_hz"].to_pylist()
-        cols = {k: [] for k in ("n_samples", "peak", "n_clipped",
-                                "clip_frac", "trim_start_ms",
-                                "trim_end_ms")}
-        for raw, codec, sr in zip(raws, codecs, srs):
-            x = _decode_int16(raw, codec or "pcm16")
-            peak, ncl, ts, te = audio_qc(x, int(sr), 20, 0.5)
-            cols["n_samples"].append(len(x))
-            cols["peak"].append(peak)
-            cols["n_clipped"].append(ncl)
-            cols["clip_frac"].append(round(ncl / len(x), 6) if len(x)
-                                     else 0.0)
-            cols["trim_start_ms"].append(ts)
-            cols["trim_end_ms"].append(te)
-        return pa.table({
-            "clip_id": pa.array(ids, pa.string()),
-            "n_samples": pa.array(cols["n_samples"], pa.int64()),
-            "peak": pa.array(cols["peak"], pa.int64()),
-            "n_clipped": pa.array(cols["n_clipped"], pa.int64()),
-            "clip_frac": pa.array(cols["clip_frac"], pa.float64()),
-            "trim_start_ms": pa.array(cols["trim_start_ms"], pa.int64()),
-            "trim_end_ms": pa.array(cols["trim_end_ms"], pa.int64()),
-            "trimmed_dur_ms": pa.array(
-                [e - s for s, e in zip(cols["trim_start_ms"],
-                                       cols["trim_end_ms"])], pa.int64()),
-        })
+        return self._qc(_clip_index_filter(t, 250))
 
 
 def q101_streaming_audio_qc(sf_dir: str):

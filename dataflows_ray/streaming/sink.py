@@ -208,8 +208,17 @@ class ExactlyOnceSink:
         if not epochs:
             return {"files_before": 0, "files_after": 0, "epochs": 0}
         files_before = len(self._committed_files(""))
-        groups = [epochs[i:i + target_epochs_per_file]
-                  for i in range(0, len(epochs), target_epochs_per_file)]
+        # flush-range epochs (snapshot semantics, e.g. the upsert
+        # engine's compacted views) each stay their OWN group: merging
+        # two snapshots into one file would make "newest flush only"
+        # reads impossible, and a group of one keeps its epoch id
+        FLUSH_BASE = 1 << 40
+        data_epochs = [e for e in epochs if e["epoch"] < FLUSH_BASE]
+        flush_epochs = [e for e in epochs if e["epoch"] >= FLUSH_BASE]
+        groups = [data_epochs[i:i + target_epochs_per_file]
+                  for i in range(0, len(data_epochs),
+                                 target_epochs_per_file)]
+        groups += [[e] for e in flush_epochs]
         staged_new = os.path.join(self.staged_dir, "__compact__")
         if os.path.exists(staged_new):
             shutil.rmtree(staged_new)

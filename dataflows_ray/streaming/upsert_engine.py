@@ -153,11 +153,18 @@ class StreamingUpsertEngine(MicroBatchEngine):
         import os
 
         import ray.data
-        flushes = [e for e in self.sink.read_manifest()["epochs"]
-                   if e["epoch"] >= self.FLUSH_BASE]
+        # a compact() re-keys entries but records the covered ids in
+        # "compacted_from" (flush epochs are never merged with others,
+        # so the newest flush's files stay in their own directory whose
+        # key is the flush id itself)
+        flushes = []
+        for e in self.sink.read_manifest()["epochs"]:
+            covered = e.get("compacted_from", [e["epoch"]])
+            if any(c >= self.FLUSH_BASE for c in covered):
+                flushes.append(e["epoch"])
         if not flushes:
             return ray.data.from_items([])
-        newest = max(e["epoch"] for e in flushes)
+        newest = max(flushes)
         d = os.path.join(self.sink.data_dir, f"epoch={newest}")
         files = [os.path.join(d, f) for f in sorted(os.listdir(d))
                  if f.startswith("part-") and f.endswith(".parquet")] \

@@ -1307,3 +1307,11 @@ def test_streaming_upsert_incremental_growth(tmp_path):
     assert snap2.loc[0, "value"] == 5.0
     # duplicate-free: each key appears exactly once
     assert snap2["user_id"].is_unique
+
+    # compaction must not hide the snapshot: flush epochs stay their own
+    # groups and read_snapshot follows compacted_from
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+    ExactlyOnceSink(out).compact(target_epochs_per_file=8)
+    snap3 = make().read_snapshot().to_pandas().sort_values("user_id") \
+        .reset_index(drop=True)
+    assert snap3.equals(snap2)
