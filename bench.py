@@ -40,9 +40,10 @@ def run_benchmarks() -> dict:
         q01_pricing_summary, q05_priority_counts, q12_tumbling_hour,
         q16_token_counts, q17_exact_dedup, q18_knn_cosine,
         q20_minhash_dedup, q45_exact_quantiles, q48_keyed_window_funcs,
-        q49_term_doc_frequency, q61_ngram_jaccard_dedup,
+        q49_term_doc_frequency, q60_multicodec_decode,
+        q61_ngram_jaccard_dedup, q62_jpeg_image_features,
         q79_normalize_text, q82_sequence_packing, q87_duration_buckets,
-        q91_bpe_token_counts, _audio_path)
+        q91_bpe_token_counts, q99_bm25_retrieval, _audio_path)
     from dataflows_ray.pipelines.audio import decode_stage, windowed_speaker_aggregate
     from dataflows_ray.streaming.engine import StreamingJoinEngine
     from dataflows_ray.streaming.sink import ExactlyOnceSink
@@ -81,6 +82,12 @@ def run_benchmarks() -> dict:
           lambda: q87_duration_buckets(SF_DIR).to_pandas())
     timed("q91_bpe_token_counts",
           lambda: q91_bpe_token_counts(SF_DIR).count())
+    timed("q60_multicodec_decode",
+          lambda: q60_multicodec_decode(SF_DIR).count())
+    timed("q62_jpeg_image_features",
+          lambda: len(q62_jpeg_image_features(SF_DIR)))
+    timed("q99_bm25_retrieval",
+          lambda: q99_bm25_retrieval(SF_DIR).count())
 
     # streaming windowed-aggregate engine (micro-batch epochs, watermark
     # emission, 2PC sink) over the same audio table — the engine-form
