@@ -11,8 +11,9 @@ scanned exactly twice (fit pass + project pass).
 Determinism contract (what lets a sequential oracle match bit-for-bit):
 inputs are quantized to integers ``q = floor(x * 1e6 + 0.5)`` and the moment
 partials (``n``, ``sum q``, ``sum q qᵀ``) are accumulated in INTEGER
-arithmetic — int64 inside a batch, arbitrary-precision Python ints
-across partials — so the distributed reduction is EXACT and
+arithmetic — int64 inside a chunk sized so ``rows * max|q|^2 < 2^62``
+(guaranteed overflow-free), arbitrary-precision Python ints across
+partials — so the distributed reduction is EXACT and
 order-independent (float partial sums would differ in the last bits
 between parallelism levels and could flip a rounded digit). The
 covariance is then formed per entry as ``(n*xtx_ij - s_i*s_j) /
@@ -65,12 +66,27 @@ def pca_fit(ds: ray.data.Dataset, col: str = "embedding",
             return pa.table({"n": pa.array([], pa.int64()),
                              "s": pa.array([], pa.binary()),
                              "xtx": pa.array([], pa.binary())})
-        s = q.sum(axis=0, dtype=np.int64)
-        xtx = (q.T @ q).astype(np.int64)
+        # Overflow guard: an int64 dot product over r rows is bounded by
+        # r * max|q|^2, which wraps SILENTLY past 2^63 (a ~1M-row block of
+        # |x|~3 embeddings is enough: 1e6 * (3e6)^2 ~ 1e19 > 9.2e18).
+        # Split the block into chunks where r * max|q|^2 < 2^62 — each
+        # chunk's int64 partial is then provably exact — and emit one
+        # partial row per chunk; the driver merges them in Python ints.
+        max_abs = int(np.abs(q).max())
+        if max_abs == 0:
+            chunk = len(q)
+        else:
+            chunk = max(1, (1 << 62) // (max_abs * max_abs))
+        ns, ss, xs = [], [], []
+        for start in range(0, len(q), chunk):
+            qc = q[start:start + chunk]
+            ns.append(len(qc))
+            ss.append(qc.sum(axis=0, dtype=np.int64).tobytes())
+            xs.append((qc.T @ qc).tobytes())
         return pa.table({
-            "n": pa.array([len(q)], pa.int64()),
-            "s": pa.array([s.tobytes()], pa.binary()),
-            "xtx": pa.array([xtx.tobytes()], pa.binary()),
+            "n": pa.array(ns, pa.int64()),
+            "s": pa.array(ss, pa.binary()),
+            "xtx": pa.array(xs, pa.binary()),
         })
 
     n = 0

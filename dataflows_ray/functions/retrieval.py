@@ -20,12 +20,16 @@ Scale shape:
 - global top-k per query is ``grouped_top_k`` (per-block partials, one
   small exchange).
 
-Determinism contract: scores are floored to integer micro-units
-(``floor(score * 1e6)``) BEFORE ranking, and ranking ties break on
-doc_id — so the result is identical at any parallelism and to the SQL
-oracle, whose expression mirrors this arithmetic parenthesis-for-
-parenthesis (float summation order can differ in the last bits; the
-1e-6 floor absorbs it).
+Determinism contract: each PER-TERM contribution is floored to integer
+micro-units (``floor(contrib * 1e6)``) and a document's score is the
+INTEGER sum of those units (``score_u``); ranking ties break on doc_id.
+Integer summation is order-independent, so the result is bit-identical
+at any parallelism and to the SQL oracle, whose per-term expression
+mirrors this arithmetic parenthesis-for-parenthesis (the inputs tf, df,
+dl, N, sum(dl) are exact integers, so the per-term float64 expression
+is correctly rounded to the same double everywhere; flooring BEFORE the
+sum — rather than after — removes the last-bit summation-order hazard a
+post-sum floor would sit on).
 """
 
 from __future__ import annotations
@@ -70,7 +74,8 @@ def bm25_topk(corpus: ray.data.Dataset, queries: ray.data.Dataset,
     """Top-``top_k`` corpus docs per query by BM25
     (``idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` with
     ``idf = ln((N - df + 0.5)/(df + 0.5) + 1)``). Returns
-    (query_id, doc_id, score_u) with ``score_u = floor(score * 1e6)``."""
+    (query_id, doc_id, score_u) with
+    ``score_u = sum over terms of floor(term_contrib * 1e6)``."""
     from ..stages.agg import grouped_aggregate
     from ..stages.setops import grouped_top_k
 
@@ -153,15 +158,17 @@ def bm25_topk(corpus: ray.data.Dataset, queries: ray.data.Dataset,
         dlv = m["dl"].to_numpy(np.float64)
         contrib = m["idf"].to_numpy() * (
             tfv * (k1 + 1.0) / (tfv + k1 * (1.0 - b + b * dlv / avgdl)))
+        # floor per term, sum integers: order-independent (see module
+        # docstring determinism contract)
+        contrib_u = np.floor(contrib * 1e6).astype(np.int64)
         s = pd.DataFrame({"q": m["query_id"].to_numpy(),
                           "d": m["doc"].to_numpy(),
-                          "c": contrib}).groupby(["q", "d"], sort=False) \
+                          "c": contrib_u}).groupby(["q", "d"], sort=False) \
             .sum().reset_index()
         return pa.table({
             query_id_col: pa.array(s["q"].tolist(), qid_type),
             id_col: pa.array(s["d"].tolist()),
-            "score_u": pa.array(np.floor(s["c"].to_numpy() * 1e6)
-                                .astype(np.int64)),
+            "score_u": pa.array(s["c"].to_numpy(np.int64)),
         })
 
     scored = corpus.select_columns([id_col, text_col]).map_batches(

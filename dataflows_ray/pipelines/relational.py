@@ -2753,9 +2753,10 @@ def q99_bm25_retrieval(sf_dir: str):
     combining exchange; idf and the query-term table broadcast in the
     closure; each batch emits COMPLETE (query, doc) scores (a doc's
     words never split across batches), and grouped_top_k ranks.
-    Scores floor to integer micro-units before ranking so the result
-    is dialect-free; the SQL oracle mirrors the BM25 arithmetic
-    parenthesis-for-parenthesis."""
+    Per-term contributions floor to integer micro-units BEFORE the
+    per-document sum, so the score is an order-independent integer and
+    the result is dialect-free; the SQL oracle mirrors the BM25
+    arithmetic parenthesis-for-parenthesis."""
     import ray.data
     from ..functions.retrieval import bm25_topk
 
@@ -3346,21 +3347,22 @@ WITH words AS (
   FROM corpus GROUP BY doc_id, term
 ), scores AS (
   SELECT qt.query_id, t.doc_id,
-         sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+         CAST(sum(CAST(floor(
+             ln((n - df + 0.5) / (df + 0.5) + 1.0) *
              (tf * (1.5 + 1.0) /
               (tf + 1.5 * (1.0 - 0.75 +
-                           0.75 * d.dl / (CAST(sdl AS DOUBLE) / n)))))
-             AS score
+                           0.75 * d.dl / (CAST(sdl AS DOUBLE) / n))))
+             * 1000000) AS BIGINT)) AS BIGINT)
+             AS score_u
   FROM tf t
   JOIN qterm qt USING (term)
   JOIN dfreq USING (term)
   JOIN doc_stats d ON d.doc_id = t.doc_id, s
   GROUP BY qt.query_id, t.doc_id
 )
-SELECT query_id, doc_id,
-       CAST(floor(score * 1000000) AS BIGINT) AS score_u
+SELECT query_id, doc_id, score_u
 FROM scores
 QUALIFY row_number() OVER (
     PARTITION BY query_id
-    ORDER BY CAST(floor(score * 1000000) AS BIGINT) DESC, doc_id) <= 5
+    ORDER BY score_u DESC, doc_id) <= 5
 """

@@ -560,6 +560,23 @@ def grouped_aggregate(
 _ROLLUP_REAGG = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
+def _grand_total_fallback(count_targets):
+    """``compact_blocks`` fallback for the empty grouping set ``()``:
+    SQL GROUP BY ROLLUP/CUBE/GROUPING SETS emits exactly ONE grand-total
+    row on empty input (count 0, NULL sums/mins/maxes), whereas a keyed
+    aggregate over zero rows emits zero groups — this synthesizes that
+    row with the level's own schema."""
+    def fb(empty: pa.Table) -> pa.Table:
+        arrays = []
+        for f in empty.schema:
+            if f.name in count_targets and not pa.types.is_null(f.type):
+                arrays.append(pa.array([0], f.type))
+            else:
+                arrays.append(pa.nulls(1, f.type))
+        return pa.Table.from_arrays(arrays, schema=empty.schema)
+    return fb
+
+
 def rollup_aggregate(ds: ray.data.Dataset, keys: Sequence[str],
                      specs: Sequence[Dict[str, Any]]) -> ray.data.Dataset:
     """SQL ``GROUP BY ROLLUP(keys)``: one result set per key-prefix level
@@ -612,8 +629,12 @@ def rollup_aggregate(ds: ray.data.Dataset, keys: Sequence[str],
                     "__rollup_all__",
                     pa.array(np.zeros(len(t), dtype=np.int8))),
                 batch_format="pyarrow", batch_size=None)
-            lv = grouped_aggregate(const, ["__rollup_all__"], respecs) \
-                .drop_columns(["__rollup_all__"])
+            lv = compact_blocks(
+                grouped_aggregate(const, ["__rollup_all__"], respecs)
+                .drop_columns(["__rollup_all__"]),
+                empty_fallback=_grand_total_fallback(
+                    {s["target"] for s in specs
+                     if s["aggregate"] == "count"}))
         prev = lv
         levels.append(lv.map_batches(level_fill(lv_keys),
                                      batch_format="pyarrow",
@@ -681,8 +702,12 @@ def grouping_sets_aggregate(ds: ray.data.Dataset, keys: Sequence[str],
                     "__gs_all__",
                     pa.array(np.zeros(len(t), dtype=np.int8))),
                 batch_format="pyarrow", batch_size=None)
-            lv = grouped_aggregate(const, ["__gs_all__"], respecs) \
-                .drop_columns(["__gs_all__"])
+            lv = compact_blocks(
+                grouped_aggregate(const, ["__gs_all__"], respecs)
+                .drop_columns(["__gs_all__"]),
+                empty_fallback=_grand_total_fallback(
+                    {sp["target"] for sp in specs
+                     if sp["aggregate"] == "count"}))
         levels.append(lv.map_batches(level_fill(s), batch_format="pyarrow",
                                      batch_size=None))
     out = levels[0]

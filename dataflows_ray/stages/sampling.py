@@ -37,7 +37,20 @@ _TWO64 = float(2 ** 64)
 def _md5_strings(column) -> List[str]:
     """Stringified column values for the md5 anchor, via one vectorized
     Arrow cast (identical to per-row ``str(v)`` for int/string ids; nulls
-    map to ``"None"`` for parity with the historical ``str(None)``)."""
+    map to ``"None"`` for parity with the historical ``str(None)``).
+
+    The ``md5(str(v))`` reproducibility contract only holds where the
+    Arrow string cast equals Python ``str()`` — integer and string ids.
+    For other types the two diverge silently (bool casts to ``"true"``
+    but ``str(True)`` is ``"True"``; timestamps/decimals have their own
+    formats), so anything else is REJECTED loudly rather than quietly
+    sampling differently from the documented anchor."""
+    t = column.type
+    if not (pa.types.is_integer(t) or pa.types.is_string(t)
+            or pa.types.is_large_string(t)):
+        raise TypeError(
+            f"md5-anchored sampling requires an integer or string id "
+            f"column (Arrow cast == str(v) only there); got {t}")
     casted = pc.fill_null(pc.cast(column, pa.string()), "None")
     return casted.to_pylist()
 

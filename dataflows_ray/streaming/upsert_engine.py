@@ -72,8 +72,12 @@ class UpsertStateActor:
         sink = ExactlyOnceSink(sink_dir)
         if watermark_ms >= _FLUSH_WM and self.state is not None \
                 and len(self.state):
-            live = self.state[
-                self.state[self.tombstone_col] != self.tombstone_value]
+            # Kleene semantics to match the batch path (pc.not_equal ->
+            # null -> filtered) and the SQL oracle (`<> 'error'`): a
+            # NULL tombstone column DROPS the row; pandas `!=` alone
+            # would keep it.
+            tomb = self.state[self.tombstone_col]
+            live = self.state[tomb.ne(self.tombstone_value) & tomb.notna()]
             live = live.drop(columns=["__ts_int__"], errors="ignore")
             out = pa.Table.from_pandas(live.reset_index(drop=True),
                                        preserve_index=False)
