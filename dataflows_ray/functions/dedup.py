@@ -31,7 +31,7 @@ from __future__ import annotations
 import functools
 import logging
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -557,16 +557,46 @@ def distributed_verify_pairs(ds: ray.data.Dataset, cand: ray.data.Dataset,
     return joined.map_batches(verify, batch_format="pyarrow")
 
 
+# the distributed path's default driver-side pair REPORT is capped here:
+# at 100 TB with a high dup rate the verified-pair set is O(duplicates),
+# so an uncapped to_pandas() would be a driver OOM. Callers who need the
+# complete set pass ``pairs_format="dataset"`` and keep it distributed.
+PAIR_REPORT_LIMIT = 1_000_000
+
+
+def _pairs_dataset(verified_df: pd.DataFrame) -> ray.data.Dataset:
+    """Broadcast-path pandas pairs -> a typed pairs Dataset (explicit
+    empty schema: empty object columns would degrade to Arrow null)."""
+    if len(verified_df):
+        df = verified_df.reset_index(drop=True)
+        df = df.astype({"doc_a": "int64", "doc_b": "int64"})
+        return ray.data.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False))
+    return ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([], pa.int64()),
+        "doc_b": pa.array([], pa.int64()),
+        "jaccard": pa.array([], pa.float64())}))
+
+
 def _route_verify(ds: ray.data.Dataset, cand: ray.data.Dataset, k: int,
                   threshold: float, distributed_verify: Optional[bool],
-                  auto_pair_limit: int
-                  ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
+                  auto_pair_limit: int, pairs_format: str = "pandas"
+                  ) -> Tuple[ray.data.Dataset, Any]:
     """Shared near-dup verify routing. ``distributed_verify=None`` (the
     default) counts the candidate pairs with one cheap aggregate over the
     materialized pair Dataset (pairs stay in the object store — two int64
     columns, spillable) and auto-routes: broadcast verify while the set
     is small, fully distributed verify (zero driver materialization)
-    above ``auto_pair_limit``. True/False force a path."""
+    above ``auto_pair_limit``. True/False force a path.
+
+    ``pairs_format``: "pandas" (default, compat) returns the verified
+    pairs as a driver DataFrame — CAPPED at ``PAIR_REPORT_LIMIT`` rows
+    on the distributed path (with a warning when truncated);
+    "dataset" returns them as a ray Dataset on BOTH paths, with zero
+    driver materialization on the distributed one — the 100-TB mode."""
+    if pairs_format not in ("pandas", "dataset"):
+        raise ValueError(f"pairs_format must be 'pandas' or 'dataset', "
+                         f"got {pairs_format!r}")
     if distributed_verify is None:
         cand = cand.materialize()  # reused by whichever path wins
         n_pairs = cand.count()
@@ -577,16 +607,20 @@ def _route_verify(ds: ray.data.Dataset, cand: ray.data.Dataset, k: int,
                 "routing to the distributed verify path", n_pairs,
                 auto_pair_limit)
     if distributed_verify:
-        return _drop_distributed(ds, cand, k, threshold)
+        return _drop_distributed(ds, cand, k, threshold, pairs_format)
     cand_df = cand.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    return _verify_and_drop(ds, cand_df, k, threshold)
+    deduped, verified_df = _verify_and_drop(ds, cand_df, k, threshold)
+    if pairs_format == "dataset":
+        return deduped, _pairs_dataset(verified_df)
+    return deduped, verified_df
 
 
 def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
                   num_perm: int = 128, bands: int = 32, k: int = 5,
                   distributed_verify: Optional[bool] = None,
-                  auto_pair_limit: int = AUTO_DISTRIBUTED_PAIR_LIMIT
-                  ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
+                  auto_pair_limit: int = AUTO_DISTRIBUTED_PAIR_LIMIT,
+                  pairs_format: str = "pandas"
+                  ) -> Tuple[ray.data.Dataset, Any]:
     """Full near-dup pipeline: LSH candidates -> Jaccard verify -> drop the
     higher-id member of each verified pair. Returns (deduped_ds, pairs).
 
@@ -595,17 +629,27 @@ def minhash_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
     ``auto_pair_limit`` go through ``distributed_verify_pairs`` + an
     anti-join — no candidate or text materialization on the driver (the
     100-TB path). Small sets use the faster broadcast verify. Pass
-    True/False to force a path."""
+    True/False to force a path.
+
+    ``pairs_format="dataset"`` returns the verified pairs as a ray
+    Dataset (zero driver materialization on the distributed path); the
+    compat default "pandas" is capped at ``PAIR_REPORT_LIMIT`` rows when
+    routed distributed."""
     cand = minhash_lsh_candidates(ds, num_perm=num_perm, bands=bands, k=k)
     return _route_verify(ds, cand, k, threshold, distributed_verify,
-                         auto_pair_limit)
+                         auto_pair_limit, pairs_format)
 
 
 def _drop_distributed(ds: ray.data.Dataset, cand: ray.data.Dataset,
-                      k: int, threshold: float
-                      ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
-    """Distributed verify + anti-join drop; verified pairs (the SMALL
-    true-duplicate set) are returned as pandas for API parity."""
+                      k: int, threshold: float,
+                      pairs_format: str = "pandas"
+                      ) -> Tuple[ray.data.Dataset, Any]:
+    """Distributed verify + anti-join drop. The DROP is always fully
+    distributed; the verified-pair REPORT is a Dataset
+    (``pairs_format="dataset"``, never touches the driver) or — compat
+    default — a pandas frame CAPPED at ``PAIR_REPORT_LIMIT`` rows, since
+    at scale the pair set is O(duplicates) and must not be pulled to the
+    driver whole."""
     from ..stages.agg import grouped_aggregate
     from ..stages.semijoin import semi_join_ids
 
@@ -616,13 +660,23 @@ def _drop_distributed(ds: ray.data.Dataset, cand: ray.data.Dataset,
         [{"target": "__n__", "source": "doc_a", "aggregate": "count"}]
     ).select_columns(["doc_a", "doc_b"])
     verified = distributed_verify_pairs(ds, cand, k=k, threshold=threshold)
+    verified = verified.materialize()  # consumed by drop + report below
     drop_ids = grouped_aggregate(
         verified, ["doc_b"],
         [{"target": "__n__", "source": "doc_b", "aggregate": "count"}]
     ).select_columns(["doc_b"])
     deduped = semi_join_ids(ds, drop_ids, "doc_id", id_col="doc_b",
                             anti=True)
-    pairs = (verified.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    if pairs_format == "dataset":
+        return deduped, verified  # already pair-distinct (cand was)
+    sample = verified.limit(PAIR_REPORT_LIMIT + 1).to_pandas()
+    if len(sample) > PAIR_REPORT_LIMIT:
+        _log.warning(
+            "near-dup pair report truncated to PAIR_REPORT_LIMIT=%d rows "
+            "on the driver — pass pairs_format='dataset' for the full "
+            "distributed pair set", PAIR_REPORT_LIMIT)
+        sample = sample.iloc[:PAIR_REPORT_LIMIT]
+    pairs = (sample.drop_duplicates(["doc_a", "doc_b"])
              .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
     return deduped, pairs
 
@@ -699,17 +753,18 @@ def bottomk_candidates(ds: ray.data.Dataset, b: int = 8, k: int = 5
 def ngram_jaccard_dedup(ds: ray.data.Dataset, threshold: float = 0.7,
                         k: int = 5, b: int = 8,
                         distributed_verify: Optional[bool] = None,
-                        auto_pair_limit: int = AUTO_DISTRIBUTED_PAIR_LIMIT
-                        ) -> Tuple[ray.data.Dataset, pd.DataFrame]:
+                        auto_pair_limit: int = AUTO_DISTRIBUTED_PAIR_LIMIT,
+                        pairs_format: str = "pandas"
+                        ) -> Tuple[ray.data.Dataset, Any]:
     """n-gram Jaccard near-dedup: bottom-k sketch candidate blocking ->
     EXACT shingle-Jaccard verify -> drop higher-id duplicates. The
     direct-Jaccard sibling of ``minhash_dedup`` (no signature
     approximation in the verify — candidates are checked against the
-    true n-gram sets). Verify routing auto-switches to the distributed
-    path above ``auto_pair_limit`` as in ``minhash_dedup``."""
+    true n-gram sets). Verify routing and the ``pairs_format`` contract
+    (pandas compat / Dataset scale mode) are as in ``minhash_dedup``."""
     cand = bottomk_candidates(ds, b=b, k=k)
     return _route_verify(ds, cand, k, threshold, distributed_verify,
-                         auto_pair_limit)
+                         auto_pair_limit, pairs_format)
 
 
 class SimHasher:

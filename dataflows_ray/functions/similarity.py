@@ -178,7 +178,9 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float = 0.9,
                          corpus_limit: int = 2_000_000,
                          bucketed: Optional[bool] = None,
                          bands: int = 32, bits: int = 12,
-                         seed: int = 99) -> ray.data.Dataset:
+                         seed: int = 99,
+                         row_count_hint: Optional[int] = None
+                         ) -> ray.data.Dataset:
     """Embedding-cosine near-duplicate pairs (id_a < id_b,
     cosine >= threshold).
 
@@ -193,26 +195,50 @@ def cosine_neardup_pairs(ds: ray.data.Dataset, threshold: float = 0.9,
     broadcast or materialized on the driver. The bucketed path's verify
     is exact; its RECALL is probabilistic (>=1 band must collide —
     ~0.996 at cosine 0.9 with the default 32x12 bands). Pass
-    ``bucketed=True/False`` to force a path."""
-    if bucketed is None:
-        bucketed = ds.count() > corpus_limit
+    ``bucketed=True/False`` to force a path, or ``row_count_hint`` (e.g.
+    parquet metadata num_rows) to route without any probe.
+
+    Auto-routing never runs a counting pass: with no hint it starts the
+    broadcast collect and BAILS OUT to the bucketed path the moment the
+    stream exceeds ``corpus_limit`` (dropping the iterator cancels the
+    rest of the streaming execution) — so the small case executes the
+    upstream exactly once, and the large case pays one partial scan of
+    ~``corpus_limit`` rows instead of a full ``count()``."""
+    if bucketed is None and row_count_hint is not None:
+        bucketed = row_count_hint > corpus_limit
+    rows = []
+    ids = []
+    n_seen = 0
+    if not bucketed:  # False or None: try the broadcast collect
+        it = ds.select_columns([id_col, vec_col]).iter_batches(
+            batch_format="pyarrow", batch_size=None)
+        for b in it:
+            rows.append(_batch_matrix(b, vec_col))
+            ids.append(b[id_col].to_numpy(zero_copy_only=False))
+            n_seen += len(b)
+            if n_seen > corpus_limit:
+                if bucketed is False:
+                    raise NotImplementedError(
+                        "corpus exceeds broadcast limit; use bucketed=True")
+                del it  # cancel the rest of the streaming execution
+                rows, ids = [], []
+                bucketed = True
+                break
+        else:
+            bucketed = False
     if bucketed:
         cand = cosine_lsh_candidates(ds, bands=bands, bits=bits,
                                      vec_col=vec_col, id_col=id_col,
                                      seed=seed)
         return cosine_verify_pairs(ds, cand, threshold=threshold,
                                    vec_col=vec_col, id_col=id_col)
-    rows = []
-    ids = []
-    for b in ds.select_columns([id_col, vec_col]).iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        rows.append(_batch_matrix(b, vec_col))
-        ids.append(b[id_col].to_numpy(zero_copy_only=False))
+    if not rows:  # empty corpus: no pairs, typed schema
+        return ray.data.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
     corpus = _normalize(np.vstack(rows)).astype(np.float64)
     corpus_ids = np.concatenate(ids)
-    if len(corpus_ids) > corpus_limit:
-        raise NotImplementedError(
-            "corpus exceeds broadcast limit; use bucketed=True")
     ref = ray.put({"m": corpus, "ids": corpus_ids})
 
     def pairs(batch: pa.Table) -> pa.Table:

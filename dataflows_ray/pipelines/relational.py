@@ -475,7 +475,8 @@ def q20_minhash_dedup(sf_dir: str):
     from ..functions.dedup import minhash_dedup
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    deduped, _pairs = minhash_dedup(ds, threshold=0.7)
+    deduped, _pairs = minhash_dedup(ds, threshold=0.7,
+                                    pairs_format="dataset")
     return deduped.select_columns(["doc_id"])
 
 
@@ -486,7 +487,8 @@ def q61_ngram_jaccard_dedup(sf_dir: str):
     from ..functions.dedup import ngram_jaccard_dedup
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    deduped, _pairs = ngram_jaccard_dedup(ds, threshold=0.7)
+    deduped, _pairs = ngram_jaccard_dedup(ds, threshold=0.7,
+                                          pairs_format="dataset")
     return deduped.select_columns(["doc_id"])
 
 
@@ -723,19 +725,19 @@ def q50_cluster_dedup(sf_dir: str):
     min-id representative per duplicate CLUSTER, so transitive chains
     collapse to one keeper. Oracle: sequential mirror (same kernels +
     union-find) in fixtures/."""
-    import pandas as pd
     import ray.data
     from ..functions.dedup import minhash_dedup
     from ..functions.components import dedup_by_components
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    _pairwise, verified = minhash_dedup(ds, threshold=0.7)
-    if len(verified) == 0:
+    # pairs stay a Dataset end-to-end — the verified-pair set feeds the
+    # distributed component labeling without ever touching the driver
+    _pairwise, verified = minhash_dedup(ds, threshold=0.7,
+                                        pairs_format="dataset")
+    pairs = verified.select_columns(["doc_a", "doc_b"]).materialize()
+    if pairs.count() == 0:
         deduped = ds
     else:
-        pairs = ray.data.from_pandas(
-            pd.DataFrame({"doc_a": verified["doc_a"].astype("int64"),
-                          "doc_b": verified["doc_b"].astype("int64")}))
         deduped, _comp = dedup_by_components(ds, pairs)
     out = deduped.select_columns(["doc_id"]).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -940,12 +942,16 @@ FROM documents
 
 def q26_embedding_neardup(sf_dir: str):
     """Exact embedding-cosine near-duplicate pairs over the embeddings
-    table (broadcast-corpus matmul; see functions.similarity)."""
+    table (broadcast-corpus matmul; see functions.similarity). Routing
+    is decided from parquet METADATA (num_rows — a footer read, no
+    execution), so the upstream pipeline runs exactly once."""
+    import pyarrow.parquet as pq
     import ray.data
     from ..functions.similarity import cosine_neardup_pairs
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                               columns=["vec_id", "embedding"])
-    return cosine_neardup_pairs(ds, threshold=0.4)
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    hint = pq.ParquetFile(path).metadata.num_rows
+    return cosine_neardup_pairs(ds, threshold=0.4, row_count_hint=hint)
 
 
 Q26_SQL = """

@@ -147,3 +147,102 @@ def test_md5_sampling_rejects_nonanchor_types():
     exp = np.array([int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
                     / 2 ** 32 for v in [7, 42, None]])
     assert np.array_equal(got, exp)
+
+
+def test_dedup_pairs_dataset_mode_no_driver_pandas(monkeypatch):
+    """pairs_format='dataset' must return a ray Dataset from BOTH
+    routes, and the distributed route must never call Dataset.to_pandas
+    (no driver materialization of the pair report)."""
+    import ray
+    import ray.data
+    from dataflows_ray.functions.dedup import (minhash_dedup,
+                                               ngram_jaccard_dedup)
+    from tests.test_functions import _docs
+
+    # broadcast route
+    ds = ray.data.from_items(_docs())
+    deduped, pairs = minhash_dedup(ds, threshold=0.5,
+                                   pairs_format="dataset")
+    assert isinstance(pairs, ray.data.Dataset)
+    pdf = pairs.to_pandas()
+    assert (1, 102) in set(zip(pdf["doc_a"], pdf["doc_b"]))
+    assert 102 not in set(deduped.to_pandas()["doc_id"])
+
+    # distributed route (auto_pair_limit=0 forces it): poison to_pandas
+    # for the duration of the pipeline build + drop execution
+    calls = []
+    orig = ray.data.Dataset.to_pandas
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", spy)
+    ds = ray.data.from_items(_docs())
+    deduped, pairs = ngram_jaccard_dedup(ds, threshold=0.5,
+                                         auto_pair_limit=0,
+                                         pairs_format="dataset")
+    assert not calls, "distributed dataset mode materialized pandas"
+    assert isinstance(pairs, ray.data.Dataset)
+    monkeypatch.undo()
+    assert 102 not in set(deduped.to_pandas()["doc_id"])
+    pdf = pairs.to_pandas()
+    assert (1, 102) in set(zip(pdf["doc_a"], pdf["doc_b"]))
+
+
+def test_dedup_distributed_pandas_report_is_capped(monkeypatch):
+    """The compat pandas report on the distributed route pulls at most
+    PAIR_REPORT_LIMIT rows to the driver."""
+    import ray.data
+    import dataflows_ray.functions.dedup as dd
+    from tests.test_functions import _docs
+
+    monkeypatch.setattr(dd, "PAIR_REPORT_LIMIT", 2)
+    ds = ray.data.from_items(_docs())
+    deduped, pairs = dd.minhash_dedup(ds, threshold=0.5, auto_pair_limit=0)
+    assert len(pairs) <= 2                  # capped
+    # the DROP itself is still complete (distributed, uncapped)
+    kept = set(deduped.to_pandas()["doc_id"])
+    assert 100 not in kept and 101 not in kept and 102 not in kept
+
+
+def test_cosine_autoroute_executes_upstream_once(tmp_path):
+    """The auto-router must not run a counting pass: a small corpus is
+    collected in the SAME single execution that feeds the broadcast
+    path (marker file counts map-task invocations across workers)."""
+    import os
+    import ray.data
+    from dataflows_ray.functions.similarity import cosine_neardup_pairs
+
+    marker = str(tmp_path / "execs")
+    rng = np.random.default_rng(5)
+    m = rng.normal(size=(50, 8)).astype(np.float32)
+    m[49] = m[0]  # planted duplicate so the pair set is non-empty
+    tbl = pa.table({"vec_id": pa.array(range(50), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in m])})
+
+    def bump(batch: pa.Table) -> pa.Table:
+        with open(marker, "ab") as f:
+            f.write(b"x")
+        return batch
+
+    ds = ray.data.from_arrow(tbl).map_batches(
+        bump, batch_format="pyarrow", batch_size=None)
+    out = cosine_neardup_pairs(ds, threshold=0.99).to_pandas()
+    # broadcast cosine is inherently two scans (collect the corpus
+    # matrix, then score every batch against it); the old count() PROBE
+    # added a third. Exactly 2 = probe gone.
+    assert os.path.getsize(marker) == 2, \
+        "routing probe executed an extra upstream pass"
+    assert (0, 49) in set(zip(out["id_a"], out["id_b"]))
+
+    # row_count_hint routes without ANY probe (forced bucketed here)
+    os.unlink(marker)
+    ds2 = ray.data.from_arrow(tbl).map_batches(
+        bump, batch_format="pyarrow", batch_size=None)
+    cosine_neardup_pairs(ds2, threshold=0.99, corpus_limit=10,
+                         row_count_hint=50).to_pandas()
+    # bucketed path: explode + verify joins touch the upstream a bounded
+    # number of times, never a dedicated count() pass; with the hint the
+    # broadcast collect is skipped entirely so the marker stays small
+    assert os.path.getsize(marker) >= 1
