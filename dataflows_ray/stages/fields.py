@@ -164,14 +164,21 @@ def _apply_computed(batch: pa.Table, spec: Dict[str, Any]) -> pa.Table:
         else:
             col = pa.array(vals, type=pa.float64())
     elif op == "join":
-        arrays = [batch[s].to_pylist() for s in sources]
-        col = pa.array([
-            with_.join(str(v) for v in vals if v is not None)
-            for vals in zip(*arrays)
-        ] if arrays else [""] * n, type=pa.string())
+        from ..core.strformat import try_vector_join
+        col = try_vector_join(batch, sources, with_)
+        if col is None:  # non-int/string sources: exact row-loop fallback
+            arrays = [batch[s].to_pylist() for s in sources]
+            col = pa.array([
+                with_.join(str(v) for v in vals if v is not None)
+                for vals in zip(*arrays)
+            ] if arrays else [""] * n, type=pa.string())
     elif op == "format":
-        rows = batch.to_pylist()
-        col = pa.array([with_.format(**r) for r in rows], type=pa.string())
+        from ..core.strformat import try_vector_format
+        col = try_vector_format(batch, with_)
+        if col is None:  # format specs / exotic types: row-loop fallback
+            rows = batch.to_pylist()
+            col = pa.array([with_.format(**r) for r in rows],
+                           type=pa.string())
     else:
         raise ValueError(f"Unknown operation: {op}")
     if target in batch.column_names:

@@ -36,6 +36,7 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -101,18 +102,24 @@ class KeyCalc:
         spec, uses_rn = self.key_spec, self.uses_row_number
 
         def fn(batch: pa.Table) -> pa.Table:
-            rows = batch.to_pylist()
-            if uses_rn:
-                if ROW_ID not in batch.column_names:
-                    raise ValueError(
-                        "'{#}' row-number key requires a __row_id__ column "
-                        "(load with row_ids=True)")
-                # {#} is the 1-based row number == __row_id__ + 1
-                keys = [spec.format(**{**r, "#": int(r[ROW_ID]) + 1})
-                        for r in rows]
-            else:
-                keys = [spec.format(**r) for r in rows]
-            return batch.append_column(JOIN_KEY, pa.array(keys, type=pa.string()))
+            from ..core.strformat import try_vector_format
+            if uses_rn and ROW_ID not in batch.column_names:
+                raise ValueError(
+                    "'{#}' row-number key requires a __row_id__ column "
+                    "(load with row_ids=True)")
+            # {#} is the 1-based row number == __row_id__ + 1
+            extra = ({"#": pc.add(batch[ROW_ID], 1)} if uses_rn else None)
+            keys = try_vector_format(batch, spec, extra=extra)
+            if keys is None:  # exotic spec/types: exact row-loop fallback
+                rows = batch.to_pylist()
+                if uses_rn:
+                    keys = pa.array(
+                        [spec.format(**{**r, "#": int(r[ROW_ID]) + 1})
+                         for r in rows], type=pa.string())
+                else:
+                    keys = pa.array([spec.format(**r) for r in rows],
+                                    type=pa.string())
+            return batch.append_column(JOIN_KEY, keys)
 
         return ds.map_batches(fn, batch_format="pyarrow",
                               batch_size=DEFAULT_BATCH_SIZE)

@@ -72,9 +72,14 @@ class sort_rows(Step):
                     computed = True
 
                     def add_key(batch: pa.Table, spec=key) -> pa.Table:
-                        keys = [spec.format(**r) for r in batch.to_pylist()]
-                        return batch.append_column(
-                            SORT_KEY, pa.array(keys, type=pa.string()))
+                        from ..core.strformat import try_vector_format
+                        arr = try_vector_format(batch, spec)
+                        if arr is None:  # exotic spec/types: row loop
+                            arr = pa.array(
+                                [spec.format(**r)
+                                 for r in batch.to_pylist()],
+                                type=pa.string())
+                        return batch.append_column(SORT_KEY, arr)
 
                     ds = ds.map_batches(add_key, batch_format="pyarrow",
                                         batch_size=DEFAULT_BATCH_SIZE)

@@ -246,3 +246,37 @@ def test_cosine_autoroute_executes_upstream_once(tmp_path):
     # number of times, never a dedicated count() pass; with the hint the
     # broadcast collect is skipped entirely so the marker stays small
     assert os.path.getsize(marker) >= 1
+
+
+def test_vector_format_matches_python_format():
+    """try_vector_format must equal the per-row str.format exactly on
+    the vectorizable subset, and decline (None) elsewhere."""
+    from dataflows_ray.core.strformat import (try_vector_format,
+                                              try_vector_join)
+
+    batch = pa.table({
+        "a": pa.array([1, None, -3], pa.int64()),
+        "b": pa.array(["x", "y", None], pa.string()),
+        "f": pa.array([1.5, 2.0, None], pa.float64()),
+    })
+    rows = batch.to_pylist()
+    for spec in ["{a}:{b}", "{b}", "pre {a} mid {b} post", "{a}{a}{b}",
+                 "literal only", "", "esc {{x}} {a}"]:
+        got = try_vector_format(batch, spec)
+        assert got is not None, spec
+        exp = [spec.format(**r) for r in rows]
+        assert got.to_pylist() == exp, spec
+    # declined: format spec, conversion, float column, missing field
+    assert try_vector_format(batch, "{a:>5}") is None
+    assert try_vector_format(batch, "{a!r}") is None
+    assert try_vector_format(batch, "{f}") is None
+    assert try_vector_format(batch, "{zz}") is None
+
+    # join kernel: skip-nulls contract
+    got = try_vector_join(batch, ["a", "b"], "-")
+    exp = ["-".join(str(v) for v in (r["a"], r["b"]) if v is not None)
+           for r in rows]
+    assert got.to_pylist() == exp
+    assert try_vector_join(batch, ["a", "f"], "-") is None
+    assert try_vector_join(batch, ["a"], "-").to_pylist() == \
+        ["1", "", "-3"]
