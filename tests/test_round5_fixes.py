@@ -280,3 +280,53 @@ def test_vector_format_matches_python_format():
     assert try_vector_join(batch, ["a", "f"], "-") is None
     assert try_vector_join(batch, ["a"], "-").to_pylist() == \
         ["1", "", "-3"]
+
+
+def test_dump_to_sql_connection_factory_paths(tmp_path, monkeypatch):
+    """DBAPI-pluggable sink: rewrite/append/update through a connection
+    factory, the generic delete+insert upsert, env:// resolution, and
+    the object/array jsonize fixer."""
+    import sqlite3
+    from dataflows_ray import Flow, iterable_loader, set_primary_key
+    from dataflows_ray.sinks.sql import dump_to_sql
+
+    db = str(tmp_path / "fac.db")
+
+    def factory():
+        return sqlite3.connect(db)
+
+    def write(rows, mode, dialect):
+        Flow(
+            iterable_loader(rows, name="t"),
+            set_primary_key(["k"]),
+            dump_to_sql({"m": {"resource-name": "t", "mode": mode}},
+                        engine=factory, dialect=dialect),
+        ).process()
+
+    # generic dialect upsert = pre-DELETE + INSERT (no OR REPLACE)
+    write([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}], "rewrite", "generic")
+    write([{"k": 1, "v": "B"}, {"k": 3, "v": "c"}], "update", "generic")
+    rows = sqlite3.connect(db).execute(
+        "SELECT k, v FROM m ORDER BY k").fetchall()
+    assert rows == [(1, "B"), (2, "b"), (3, "c")]
+    # append through the factory
+    write([{"k": 9, "v": "z"}], "append", "generic")
+    n = sqlite3.connect(db).execute("SELECT count(*) FROM m").fetchone()[0]
+    assert n == 4
+
+    # env:// indirection (reference to_sql.py:56-62)
+    db2 = str(tmp_path / "env.db")
+    monkeypatch.setenv("TEST_DF_DB", f"sqlite:///{db2}")
+    Flow(
+        iterable_loader([{"k": 1, "tags": ["x", "y"],
+                          "meta": {"a": 1}}], name="t"),
+        dump_to_sql({"m2": {"resource-name": "t"}}, engine="env://TEST_DF_DB"),
+    ).process()
+    got = sqlite3.connect(db2).execute(
+        "SELECT tags, meta FROM m2").fetchone()
+    # sqlite dialect jsonizes arrays/objects (OBJECT_FIXERS parity)
+    assert got == ('["x", "y"]', '{"a": 1}')
+
+    # missing env var is loud
+    with pytest.raises(ValueError):
+        dump_to_sql({"m": {}}, engine="env://NOPE_NOT_SET")
