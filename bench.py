@@ -263,9 +263,143 @@ def run_scaling() -> None:
     }))
 
 
+# ---------------------------------------------------------------------------
+# Compute-bound scaling workload: distributed baseline-JPEG decode.
+# The audio pipeline moves GBs of PCM through the object store, so on a
+# single shared-memory VM the 8->32 pair measures the box's memory
+# bandwidth, not the engine (per-proc bandwidth ~quarters at full
+# occupancy — see SCALING.json analysis). The from-scratch T.81 decoder
+# is the opposite regime: ~44 ms of pure Python/numpy Huffman+IDCT per
+# 64x64 image on 3.7 KB of input — FLOP-bound, embarrassingly parallel,
+# no shuffle — so the same 8->32 pair on this VM isolates the engine's
+# scheduling efficiency the way distinct cluster nodes would.
+# ---------------------------------------------------------------------------
+
+JPEG_SCALE_IMAGES = int(os.environ.get("JPEG_SCALE_IMAGES", "12000"))
+
+
+def _jpeg_scale_path() -> str:
+    """Deterministic 64x64 JPEG corpus (cached build, parallel encode)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from dataflows_ray.functions.jpeg import encode_jpeg
+    from dataflows_ray.functions.multimodal import IMAGE_SCHEMA
+
+    n = JPEG_SCALE_IMAGES
+    path = f"/tmp/dataflows_ray_images_jpeg/scale_{n}"
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+
+    def make(batch) -> pa.Table:
+        rows = {name: [] for name in IMAGE_SCHEMA.names}
+        for i in batch["id"].to_pylist():
+            rng = np.random.Generator(np.random.PCG64(97 * 7919 + i))
+            w = h = 64
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = (xx * 255 // (w - 1)).astype(np.uint8)
+            phase = float(rng.random()) * 2 * np.pi
+            wave = (127 + 120 * np.sin(yy / 3.0 + phase)).astype(np.uint8)
+            noise = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            img = np.stack([base, wave, noise], axis=2)
+            rows["image_id"].append(f"img-{i:08d}")
+            rows["bytes"].append(encode_jpeg(
+                img, quality=90, subsampling=("444", "420")[i % 2]))
+            rows["format"].append("jpeg")
+            rows["width"].append(w)
+            rows["height"].append(h)
+        return pa.Table.from_pydict(rows, schema=IMAGE_SCHEMA)
+
+    tmp = path + ".building"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    ray.data.range(n).map_batches(
+        make, batch_format="pyarrow", batch_size=200).write_parquet(tmp)
+    os.rename(tmp, path)
+    open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+def run_scaling_compute_leg() -> None:
+    import ray
+    import ray.data
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from dataflows_ray.functions.multimodal import image_feature_stage
+
+    path = _jpeg_scale_path()
+    ray.data.read_parquet(path).count()  # warm page cache (untimed)
+
+    def job() -> int:
+        ds = ray.data.read_parquet(path)
+        out = image_feature_stage(ds, concurrency=None, batch_size=64)
+        return out.select_columns(["image_id"]).count()
+
+    # short warmup (starts worker processes, untimed): a 1/20 slice
+    ray.data.read_parquet(path).limit(JPEG_SCALE_IMAGES // 20) \
+        .map_batches(lambda t: t, batch_format="pyarrow").count()
+    repeats = int(os.environ.get("SCALE_REPEATS", "2"))
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        rows = job()
+        dt = time.time() - t0
+        assert rows == JPEG_SCALE_IMAGES, rows
+        best = dt if best is None or dt < best else best
+    print(json.dumps({"value": round(best, 3),
+                      "images_per_sec": round(JPEG_SCALE_IMAGES / best, 1),
+                      "n_images": JPEG_SCALE_IMAGES, "repeats": repeats,
+                      "num_cpus": NUM_CPUS}))
+    ray.shutdown()
+
+
+def run_scaling_compute() -> None:
+    """8->32 on the FLOP-bound JPEG decode pipeline; updates
+    SCALING.json's ``compute_bound`` entry in place."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--scaling-compute-leg"],
+            env=env, capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo = int(os.environ.get("SCALE_LO", "8"))
+    hi = int(os.environ.get("SCALE_HI", "32"))
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    result = {
+        "workload": "jpeg_decode_features (FLOP-bound, shuffle-free)",
+        "pair": f"num_cpus {lo} -> {hi}",
+        f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+        f"images_per_sec_{lo}": r_lo["images_per_sec"],
+        f"images_per_sec_{hi}": r_hi["images_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "n_images": r_hi["n_images"],
+    }
+    print(json.dumps(result))
+    sc_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "SCALING.json")
+    try:
+        doc = json.load(open(sc_path)) if os.path.exists(sc_path) else {}
+    except Exception:
+        doc = {}
+    doc["compute_bound"] = result
+    json.dump(doc, open(sc_path, "w"), indent=1)
+
+
 if __name__ == "__main__":
     if "--scaling-leg" in sys.argv:
         run_scaling_leg()
+    elif "--scaling-compute-leg" in sys.argv:
+        run_scaling_compute_leg()
+    elif "--scaling-compute" in sys.argv:
+        run_scaling_compute()
     elif "--scaling" in sys.argv:
         run_scaling()
     else:

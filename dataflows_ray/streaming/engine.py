@@ -140,45 +140,76 @@ class StreamingJoinEngine:
         epochs = self.plan_epochs()
         total_rows = 0
         n_done = 0
-        for epoch_id, tasks in enumerate(epochs):
-            if epoch_id in committed:
-                continue
-            if max_epochs is not None and n_done >= max_epochs:
-                break
-            wm = ray.get(tracker.watermark.remote())
-            # 1. split (shuffle map) — P returns per task
-            split_refs = [
+
+        # pipelined epoch loop — same overlap + correctness argument as
+        # MicroBatchEngine.run (window_engine.py): split tasks prefetch
+        # PREFETCH_EPOCHS ahead; epoch N's commit is deferred until after
+        # epoch N+1's ingest is submitted (per-caller FIFO actor ordering
+        # keeps snapshot(N) pre-N+1)
+        from .window_engine import MicroBatchEngine
+        prefetch = MicroBatchEngine.PREFETCH_EPOCHS
+        pending = [(eid, tasks) for eid, tasks in enumerate(epochs)
+                   if eid not in committed]
+        if max_epochs is not None:
+            pending = pending[:max_epochs]
+
+        def launch_split(tasks):
+            return [
                 _split_rowgroup.options(num_returns=P if P > 1 else 1).remote(
                     t["path"], t, P, self.include_audio_bytes)
                 for t in tasks]
+
+        def lineage(stats):
+            return [{"partition": s["partition"], "rows": s["rows"],
+                     "bytes": s["bytes"], "matched": s["matched"],
+                     "expired": s["expired"]} for s in stats]
+
+        inflight = {}
+        for j in range(min(prefetch + 1, len(pending))):
+            inflight[j] = launch_split(pending[j][1])
+
+        deferred = None  # (epoch_id, stats, snap_refs, wm_snap_ref, wm)
+        for i, (epoch_id, tasks) in enumerate(pending):
+            split_refs = inflight.pop(i)
+            nxt = i + prefetch + 1
+            if nxt < len(pending):
+                inflight[nxt] = launch_split(pending[nxt][1])
             if P == 1:
                 per_part = [split_refs]
             else:
                 per_part = [[task_refs[p] for task_refs in split_refs]
                             for p in range(P)]
-            # 2. join + stage (phase 1 of 2PC) in each partition actor
+            wm = ray.get(tracker.watermark.remote())
+            # join + stage (phase 1 of 2PC) in each partition actor
             stage_refs = [
                 actors[p].process_and_stage.remote(
                     epoch_id, per_part[p], wm, self.out_dir)
                 for p in range(P)]
+            if deferred is not None:  # commit N-1 while N ingests
+                d_eid, d_stats, d_snaps, d_wm_snap, d_wm = deferred
+                self.sink.commit(
+                    d_eid, lineage(d_stats), d_wm,
+                    state_snapshots={"actors": ray.get(d_snaps),
+                                     "watermark": ray.get(d_wm_snap)})
+                total_rows += sum(s["rows"] for s in d_stats)
+                n_done += 1
+                deferred = None
             stats = ray.get(stage_refs)
-            # 3. watermark advance from per-partition maxima
+            # watermark advance from per-partition maxima
             for s in stats:
                 ray.get(tracker.report.remote(s["partition"], s["max_event_ms"]))
             new_wm = ray.get(tracker.watermark.remote())
             if crash_after_stage_of_epoch == epoch_id:
                 raise RuntimeError(f"injected crash after staging epoch {epoch_id}")
-            # 4. commit (phase 2) with state snapshots for resume
-            snaps = ray.get([a.snapshot.remote() for a in actors])
-            wm_snap = ray.get(tracker.snapshot.remote())
-            self.sink.commit(
-                epoch_id,
-                [{"partition": s["partition"], "rows": s["rows"],
-                  "bytes": s["bytes"], "matched": s["matched"],
-                  "expired": s["expired"]} for s in stats],
-                new_wm,
-                state_snapshots={"actors": snaps, "watermark": wm_snap})
-            total_rows += sum(s["rows"] for s in stats)
+            snap_refs = [a.snapshot.remote() for a in actors]
+            wm_snap_ref = tracker.snapshot.remote()
+            deferred = (epoch_id, stats, snap_refs, wm_snap_ref, new_wm)
+        if deferred is not None:
+            d_eid, d_stats, d_snaps, d_wm_snap, d_wm = deferred
+            self.sink.commit(d_eid, lineage(d_stats), d_wm,
+                             state_snapshots={"actors": ray.get(d_snaps),
+                                              "watermark": ray.get(d_wm_snap)})
+            total_rows += sum(s["rows"] for s in d_stats)
             n_done += 1
 
         # final flush: end-of-stream watermark releases remaining state.

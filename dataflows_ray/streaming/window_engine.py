@@ -160,6 +160,11 @@ class MicroBatchEngine:
         return [{k: v for k, v in s.items() if k != "max_event_ms"}
                 for s in stats]
 
+    # split tasks for this many epochs ahead run concurrently with the
+    # current epoch's ingest + the previous epoch's commit (object-store
+    # footprint: PREFETCH x rowgroups_per_epoch x combined-partial size)
+    PREFETCH_EPOCHS = int(os.environ.get("STREAM_PREFETCH_EPOCHS", "2"))
+
     def run(self, crash_after_stage_of_epoch: Optional[int] = None) -> Dict:
         P = self.num_partitions
         cols = self.columns()
@@ -176,19 +181,55 @@ class MicroBatchEngine:
         epochs = self.plan_epochs()
         total_rows = 0
         n_done = 0
-        for epoch_id, tasks in enumerate(epochs):
-            if epoch_id in committed:
-                continue
-            wm = ray.get(tracker.watermark.remote())
-            split_refs = [
+
+        # ---- pipelined epoch loop -----------------------------------
+        # Overlap without changing exactly-once semantics:
+        # - SPLIT tasks (pure functions of the input files) are launched
+        #   PREFETCH_EPOCHS ahead, so reads/combines run while the state
+        #   actors ingest the current epoch;
+        # - epoch N's COMMIT (driver-side manifest/snapshot write) is
+        #   DEFERRED until after epoch N+1's ingest has been submitted,
+        #   overlapping it with remote compute. Correctness: snapshot(N)
+        #   is submitted to each actor BEFORE ingest(N+1) — per-caller
+        #   FIFO actor ordering guarantees the snapshot captures
+        #   post-N/pre-N+1 state — and a crash between commit(N) and
+        #   commit(N+1) resumes from N's snapshot and replays N+1's
+        #   idempotent staging, exactly as in the serial loop.
+        pending = [(eid, tasks) for eid, tasks in enumerate(epochs)
+                   if eid not in committed]
+
+        def launch_split(tasks):
+            return [
                 _split_by_key.options(num_returns=P if P > 1 else 1).remote(
                     t["path"], t, P, self.key, cols,
                     self.ts_col, self.precombine(), self.derive())
                 for t in tasks]
+
+        inflight: Dict[int, List] = {}
+        for j in range(min(self.PREFETCH_EPOCHS + 1, len(pending))):
+            inflight[j] = launch_split(pending[j][1])
+
+        deferred = None  # (epoch_id, stats, snap_refs, wm_snap_ref, wm)
+        for i, (epoch_id, tasks) in enumerate(pending):
+            split_refs = inflight.pop(i)
+            nxt = i + self.PREFETCH_EPOCHS + 1
+            if nxt < len(pending):
+                inflight[nxt] = launch_split(pending[nxt][1])
             per_part = ([split_refs] if P == 1 else
                         [[r[p] for r in split_refs] for p in range(P)])
-            stats = ray.get([actors[p].ingest_and_stage.remote(
-                epoch_id, per_part[p], wm, self.out_dir) for p in range(P)])
+            wm = ray.get(tracker.watermark.remote())
+            stage_refs = [actors[p].ingest_and_stage.remote(
+                epoch_id, per_part[p], wm, self.out_dir) for p in range(P)]
+            if deferred is not None:  # commit N-1 while N ingests
+                d_eid, d_stats, d_snaps, d_wm_snap, d_wm = deferred
+                self.sink.commit(
+                    d_eid, self._lineage(d_stats), d_wm,
+                    state_snapshots={"actors": ray.get(d_snaps),
+                                     "watermark": ray.get(d_wm_snap)})
+                total_rows += sum(s["rows"] for s in d_stats)
+                n_done += 1
+                deferred = None
+            stats = ray.get(stage_refs)
             for s in stats:
                 ray.get(tracker.report.remote(s["partition"],
                                               s["max_event_ms"]))
@@ -196,12 +237,15 @@ class MicroBatchEngine:
             if crash_after_stage_of_epoch == epoch_id:
                 raise RuntimeError(
                     f"injected crash after staging epoch {epoch_id}")
-            snaps = ray.get([a.snapshot.remote() for a in actors])
-            wm_snap = ray.get(tracker.snapshot.remote())
-            self.sink.commit(epoch_id, self._lineage(stats), new_wm,
-                             state_snapshots={"actors": snaps,
-                                              "watermark": wm_snap})
-            total_rows += sum(s["rows"] for s in stats)
+            snap_refs = [a.snapshot.remote() for a in actors]
+            wm_snap_ref = tracker.snapshot.remote()
+            deferred = (epoch_id, stats, snap_refs, wm_snap_ref, new_wm)
+        if deferred is not None:
+            d_eid, d_stats, d_snaps, d_wm_snap, d_wm = deferred
+            self.sink.commit(d_eid, self._lineage(d_stats), d_wm,
+                             state_snapshots={"actors": ray.get(d_snaps),
+                                              "watermark": ray.get(d_wm_snap)})
+            total_rows += sum(s["rows"] for s in d_stats)
             n_done += 1
 
         # final flush: +inf watermark drains all remaining state. The
