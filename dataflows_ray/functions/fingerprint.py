@@ -1,0 +1,250 @@
+"""Content fingerprinting + committed-output integrity audit.
+
+Two first-class operations a 100 TB ingestion pipeline needs:
+
+1. **Row-level content addressing** (``content_fingerprint_stage``):
+   per-clip cryptographic digests (sha256 + md5) of a binary column —
+   the content-addressable id used for exact dedup across ingestion
+   runs, provenance tracking, and dedup-resistant sample citation.
+   Hashing reads the Arrow binary value buffer through zero-copy
+   ``memoryview`` slices: no per-row ``bytes`` materialization; the
+   per-row Python loop only dispatches into hashlib's C kernels (the
+   same per-item shape as codec decode).
+
+2. **File-level lineage integrity audit** (``build_integrity_manifest``
+   / ``verify_integrity``): the exactly-once sink records each
+   committed part file's sha256+md5 in its lineage manifest
+   (``streaming/sink.py``); this module re-hashes committed bytes and
+   compares — the bit-rot / tamper / replication-fault audit that block
+   stores run continuously (HDFS block scanner, S3 ETag validation).
+   One Ray task per file, embarrassingly parallel, no shuffle: the
+   natural post-ingest background job at any corpus size.
+
+Reference parity: the reference's ``dump_to_path`` records per-resource
+hash counters (dataflows/processors/dumpers/dumper_base.py — hash of
+row stream for change detection); this extends that idea to committed
+FILE bytes so the audit can run without re-parsing rows.
+
+Scale note: sha256+md5 together cost ~0.4 GB/s/core, so a 32-core node
+audits ~12 GB/s when page-cached and ~disk-speed otherwise — compute
+stays the bottleneck, which is why this workload exhibits near-linear
+core scaling (see SCALING.json ``compute_bound``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+_CHUNK = 1 << 20  # 1 MiB read chunks: input stays L2/L3-resident per pass
+
+SUPPORTED_ALGOS = ("sha256", "md5", "sha1", "blake2b")
+
+
+def hash_file(path: str, algos: Tuple[str, ...] = ("sha256", "md5")
+              ) -> Dict[str, str]:
+    """Digest a file's raw bytes in 1 MiB chunks (all algos in one read
+    pass, so the bytes cross DRAM once however many digests are asked
+    for). Returns {algo: hexdigest, "bytes": size}."""
+    hs = [hashlib.new(a) for a in algos]
+    n = 0
+    with open(path, "rb", buffering=0) as f:
+        while True:
+            chunk = f.read(_CHUNK)
+            if not chunk:
+                break
+            n += len(chunk)
+            for h in hs:
+                h.update(chunk)
+    out: Dict[str, str] = {a: h.hexdigest() for a, h in zip(algos, hs)}
+    out["bytes"] = n
+    return out
+
+
+def _binary_offsets(col: pa.Array) -> Tuple[np.ndarray, memoryview]:
+    """(value offsets int64, zero-copy value-buffer memoryview) for a
+    flat binary array."""
+    dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    off = np.frombuffer(col.buffers()[1], dtype=dt)[
+        col.offset:col.offset + len(col) + 1].astype(np.int64)
+    return off, memoryview(col.buffers()[2])
+
+
+def fingerprint_batch(batch: pa.Table, bytes_col: str = "bytes",
+                      algos: Tuple[str, ...] = ("sha256", "md5"),
+                      hex_form: bool = False,
+                      drop_bytes: bool = True) -> pa.Table:
+    """Append one hexdigest column per algo (named ``<algo>_hex``) plus
+    ``n_bytes``. With ``hex_form=True`` the digest is computed over the
+    UPPERCASE-hex encoding of the value instead of the raw bytes — the
+    canonical form an external SQL engine can reproduce (DuckDB's
+    ``md5(hex(col))``), used by the oracle-checked catalog query."""
+    for a in algos:
+        if a not in SUPPORTED_ALGOS:
+            raise ValueError(f"unsupported digest algo {a!r}")
+    col = batch[bytes_col].combine_chunks()
+    off, data = _binary_offsets(col)
+    n = len(col)
+    digests: Dict[str, List[str]] = {a: [] for a in algos}
+    for i in range(n):
+        seg = data[off[i]:off[i + 1]]
+        if hex_form:
+            seg = bytes(seg).hex().upper().encode("ascii")
+        for a in algos:
+            digests[a].append(hashlib.new(a, seg).hexdigest())
+    out = batch.drop_columns([bytes_col]) if drop_bytes else batch
+    for a in algos:
+        out = out.append_column(f"{a}_hex", pa.array(digests[a],
+                                                     type=pa.string()))
+    out = out.append_column("n_bytes", pa.array(np.diff(off)))
+    return out
+
+
+def content_fingerprint_stage(ds, bytes_col: str = "bytes",
+                              algos: Tuple[str, ...] = ("sha256", "md5"),
+                              hex_form: bool = False,
+                              drop_bytes: bool = True,
+                              batch_size: Optional[int] = 512):
+    """Dataset stage: content-address every row of a binary column.
+
+    Stateless tasks (hashlib needs no setup) sharing CPUs elastically
+    with the read — the stage streams, never materializes, and its
+    output drops the payload so downstream shuffles move 72-byte
+    digests, not audio."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return fingerprint_batch(batch, bytes_col=bytes_col, algos=algos,
+                                 hex_form=hex_form, drop_bytes=drop_bytes)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+# ---------------------------------------------------------------------------
+# File-level integrity manifests + distributed audit
+# ---------------------------------------------------------------------------
+
+MANIFEST_NAME = "integrity_manifest.json"
+
+
+def build_integrity_manifest(root: str, suffix: str = ".parquet",
+                             algos: Tuple[str, ...] = ("sha256", "md5"),
+                             out_path: Optional[str] = None) -> str:
+    """Hash every ``<suffix>`` file under ``root`` (one Ray task per
+    file) and write ``integrity_manifest.json`` mapping relative path ->
+    digests. For sink directories this is redundant — the exactly-once
+    sink records digests at commit time — but it lets the audit protect
+    any existing corpus directory."""
+    import ray.data
+
+    files = []
+    for dirpath, _dirs, names in os.walk(root):
+        for f in sorted(names):
+            if f.endswith(suffix):
+                full = os.path.join(dirpath, f)
+                files.append({"path": full,
+                              "rel": os.path.relpath(full, root)})
+    entries = _hash_files_distributed(files, algos)
+    manifest = {"algos": list(algos),
+                "files": {e["rel"]: {**{a: e[a] for a in algos},
+                                     "bytes": e["bytes"]}
+                          for e in entries}}
+    out_path = out_path or os.path.join(root, MANIFEST_NAME)
+    tmp = out_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def _hash_files_distributed(files: List[Dict],
+                            algos: Tuple[str, ...]) -> List[Dict]:
+    """One fine-grained Ray task per file: dynamic scheduling packs
+    uneven file sizes/stragglers (the single-box 8->32 efficiency of
+    this stage is 0.9+ because the kernel is crypto-ALU-bound, not
+    DRAM-bound — see SCALING.json)."""
+    import ray.data
+
+    if not files:
+        return []
+
+    def audit_one(row: Dict) -> Dict:
+        d = hash_file(row["path"], algos)
+        return {**row, **{a: d[a] for a in algos}, "bytes": d["bytes"]}
+
+    ds = ray.data.from_items(files, override_num_blocks=len(files))
+    return list(ds.map(audit_one).take_all())  # O(#files) rows, tiny
+
+
+def verify_integrity(root: str, manifest_path: Optional[str] = None,
+                     algos: Optional[Tuple[str, ...]] = None) -> Dict:
+    """Re-hash every manifested file and compare. Returns
+    {ok, n_files, n_bytes, mismatched: [rel...], missing: [rel...]}.
+
+    The verify is the hot path (it runs repeatedly; the manifest is
+    built once), so it is the distributed leg: one task per file, no
+    shuffle, report aggregated on the driver at O(#files)."""
+    manifest_path = manifest_path or os.path.join(root, MANIFEST_NAME)
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    algos = tuple(algos or manifest["algos"])
+    expected = manifest["files"]
+    files = []
+    missing = []
+    for rel, exp in sorted(expected.items()):
+        full = os.path.join(root, rel)
+        if not os.path.exists(full):
+            missing.append(rel)
+        else:
+            files.append({"path": full, "rel": rel})
+    entries = _hash_files_distributed(files, algos)
+    mismatched = [e["rel"] for e in entries
+                  if any(e[a] != expected[e["rel"]][a] for a in algos)
+                  or e["bytes"] != expected[e["rel"]]["bytes"]]
+    return {"ok": not mismatched and not missing,
+            "n_files": len(files),
+            "n_bytes": sum(e["bytes"] for e in entries),
+            "mismatched": sorted(mismatched),
+            "missing": missing}
+
+
+def audit_sink(out_dir: str) -> Dict:
+    """Verify an exactly-once sink's committed data files against the
+    digests its lineage manifest recorded at commit time. Entries
+    committed before digest recording existed (or rewritten by an old
+    compact()) are reported in ``unverifiable`` rather than failing."""
+    from ..streaming.sink import ExactlyOnceSink
+
+    sink = ExactlyOnceSink(out_dir)
+    manifest = sink.read_manifest()
+    files, expected, unverifiable, missing = [], {}, [], []
+    for e in manifest["epochs"]:
+        edir = os.path.join(sink.data_dir, f"epoch={e['epoch']}")
+        for p in e["partitions"]:
+            fname = p.get("file")
+            if not fname or "sha256" not in p:
+                unverifiable.append(
+                    {"epoch": e["epoch"],
+                     "partition": p.get("partition")})
+                continue
+            full = os.path.join(edir, fname)
+            rel = os.path.relpath(full, out_dir)
+            if not os.path.exists(full):
+                missing.append(rel)
+                continue
+            files.append({"path": full, "rel": rel})
+            expected[rel] = p
+    entries = _hash_files_distributed(files, ("sha256", "md5"))
+    mismatched = [e["rel"] for e in entries
+                  if e["sha256"] != expected[e["rel"]]["sha256"]
+                  or e["md5"] != expected[e["rel"]]["md5"]]
+    return {"ok": not mismatched and not missing,
+            "n_files": len(files),
+            "n_bytes": sum(e["bytes"] for e in entries),
+            "mismatched": sorted(mismatched),
+            "missing": missing,
+            "unverifiable": unverifiable}

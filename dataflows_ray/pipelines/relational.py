@@ -2889,6 +2889,23 @@ def q101_streaming_audio_qc(sf_dir: str):
          "trim_start_ms", "trim_end_ms", "trimmed_dur_ms"])
 
 
+def q102_content_fingerprint(sf_dir: str):
+    """Content addressing: per-clip sha256+md5 digests of the audio
+    payload (`functions/fingerprint.py`) — the content-addressable id an
+    ingestion pipeline assigns for cross-run exact dedup and provenance.
+    Digests are computed over the canonical UPPERCASE-hex form so DuckDB
+    (`sha256(hex(bytes))`) can verify them independently; hashing reads
+    the Arrow value buffer through zero-copy memoryview slices, and the
+    stage output drops the payload (digests shuffle, audio doesn't)."""
+    import ray.data
+    from ..functions.fingerprint import content_fingerprint_stage
+
+    ds = ray.data.read_parquet(_audio_path(sf_dir),
+                               columns=["clip_id", "bytes"])
+    out = content_fingerprint_stage(ds, hex_form=True, batch_size=256)
+    return out.to_pandas().sort_values("clip_id").reset_index(drop=True)
+
+
 QUERIES: Dict[str, Callable[[str], Any]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_filter_project": q02_filter_project,
@@ -2991,6 +3008,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q99_bm25_retrieval": q99_bm25_retrieval,
     "q100_dup_rate_report": q100_dup_rate_report,
     "q101_streaming_audio_qc": q101_streaming_audio_qc,
+    "q102_content_fingerprint": q102_content_fingerprint,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3371,4 +3389,13 @@ FROM scores
 QUALIFY row_number() OVER (
     PARTITION BY query_id
     ORDER BY score_u DESC, doc_id) <= 5
+"""
+
+ORACLES["q102_content_fingerprint"] = f"""
+SELECT clip_id,
+       sha256(hex(bytes)) AS sha256_hex,
+       md5(hex(bytes)) AS md5_hex,
+       CAST(octet_length(bytes) AS BIGINT) AS n_bytes
+FROM read_parquet('{_AUDIO}')
+ORDER BY clip_id
 """

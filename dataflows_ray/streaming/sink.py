@@ -98,8 +98,16 @@ class ExactlyOnceSink:
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, path)
+        # content digests ride the lineage manifest so a later
+        # integrity audit (functions/fingerprint.py:audit_sink) can
+        # verify committed bytes without re-parsing rows; the file was
+        # just written, so hashing re-reads it from page cache
+        from ..functions.fingerprint import hash_file
+        digests = hash_file(path)
         return {"partition": partition, "rows": len(table),
-                "bytes": os.path.getsize(path)}
+                "bytes": digests["bytes"],
+                "file": os.path.basename(path),
+                "sha256": digests["sha256"], "md5": digests["md5"]}
 
     def stage_side(self, epoch: int, partition: int, table: pa.Table,
                    channel: str = "late") -> Dict:
@@ -232,6 +240,8 @@ class ExactlyOnceSink:
                     if f.endswith(".parquet"):
                         pre = f.rsplit("part-", 1)[0].rstrip("-")
                         channels.add(pre)  # "" for main, else channel
+        from ..functions.fingerprint import hash_file
+        group_digests: Dict[int, Dict] = {}
         for gi, grp in enumerate(groups):
             gdir = os.path.join(staged_new, f"epoch={grp[0]['epoch']}")
             os.makedirs(gdir)
@@ -247,8 +257,14 @@ class ExactlyOnceSink:
                             tables.append(_pq.read_table(
                                 os.path.join(edir, f)))
                 if tables:
-                    _pq.write_table(pa.concat_tables(tables),
-                                    os.path.join(gdir, f"{prefix}00000.parquet"))
+                    merged = os.path.join(gdir, f"{prefix}00000.parquet")
+                    _pq.write_table(pa.concat_tables(tables), merged)
+                    if not ch:  # main channel: re-digest for the audit
+                        d = hash_file(merged)
+                        group_digests[grp[0]["epoch"]] = {
+                            "file": os.path.basename(merged),
+                            "sha256": d["sha256"], "md5": d["md5"],
+                            "bytes": d["bytes"]}
         # commit: swap data dirs + rewrite manifest atomically
         new_epochs = []
         for grp in groups:
@@ -256,7 +272,8 @@ class ExactlyOnceSink:
                 "epoch": grp[0]["epoch"],
                 "watermark_ms": max(e["watermark_ms"] for e in grp),
                 "partitions": [{"partition": 0,
-                                "rows": sum(e["rows"] for e in grp)}],
+                                "rows": sum(e["rows"] for e in grp),
+                                **group_digests.get(grp[0]["epoch"], {})}],
                 "rows": sum(e["rows"] for e in grp),
                 "state_snapshot": grp[-1].get("state_snapshot"),
                 "compacted_from": [e["epoch"] for e in grp],
