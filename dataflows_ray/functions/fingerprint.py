@@ -163,20 +163,28 @@ def build_integrity_manifest(root: str, suffix: str = ".parquet",
 
 def _hash_files_distributed(files: List[Dict],
                             algos: Tuple[str, ...]) -> List[Dict]:
-    """One fine-grained Ray task per file: dynamic scheduling packs
-    uneven file sizes/stragglers (the single-box 8->32 efficiency of
-    this stage is 0.9+ because the kernel is crypto-ALU-bound, not
-    DRAM-bound — see SCALING.json)."""
+    """Fine-grained file-hashing tasks with dynamic balancing. Block
+    count is ~3x the session's CPUs, not one per file: Ray Data's
+    driver-side bookkeeping is O(blocks) (~5 ms each), so one-per-file
+    burns seconds at 10k files while 3x-CPUs keeps the straggler tail
+    to a third of a block. The kernel is crypto-ALU-bound, not
+    DRAM-bound, so this stage's single-box 8->32 efficiency is ~0.9
+    (see SCALING.json compute_bound / box_ceiling)."""
+    import ray
     import ray.data
 
     if not files:
         return []
 
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    nblocks = max(1, min(len(files), 3 * cpus))
+
     def audit_one(row: Dict) -> Dict:
         d = hash_file(row["path"], algos)
         return {**row, **{a: d[a] for a in algos}, "bytes": d["bytes"]}
 
-    ds = ray.data.from_items(files, override_num_blocks=len(files))
+    ds = ray.data.from_items(files, override_num_blocks=nblocks)
     return list(ds.map(audit_one).take_all())  # O(#files) rows, tiny
 
 
@@ -188,23 +196,38 @@ def verify_integrity(root: str, manifest_path: Optional[str] = None,
     The verify is the hot path (it runs repeatedly; the manifest is
     built once), so it is the distributed leg: one task per file, no
     shuffle, report aggregated on the driver at O(#files)."""
-    manifest_path = manifest_path or os.path.join(root, MANIFEST_NAME)
-    with open(manifest_path) as f:
-        manifest = json.load(f)
-    algos = tuple(algos or manifest["algos"])
-    expected = manifest["files"]
+    return verify_integrity_many([(root, manifest_path)], algos=algos)
+
+
+def verify_integrity_many(roots: Iterable, algos:
+                          Optional[Tuple[str, ...]] = None) -> Dict:
+    """Verify several manifested directory trees in ONE Dataset
+    execution — an audit sweep over many table/partition roots pays
+    Ray's fixed per-pipeline cost once, not once per root. ``roots``:
+    iterable of root paths or (root, manifest_path) pairs."""
     files = []
     missing = []
-    for rel, exp in sorted(expected.items()):
-        full = os.path.join(root, rel)
-        if not os.path.exists(full):
-            missing.append(rel)
-        else:
-            files.append({"path": full, "rel": rel})
+    expected: Dict[str, Dict] = {}
+    algos_seen: Tuple[str, ...] = ()
+    for item in roots:
+        root, manifest_path = item if isinstance(item, tuple) \
+            else (item, None)
+        manifest_path = manifest_path or os.path.join(root, MANIFEST_NAME)
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        algos_seen = tuple(manifest["algos"])
+        for rel, exp in sorted(manifest["files"].items()):
+            full = os.path.join(root, rel)
+            if not os.path.exists(full):
+                missing.append(rel)
+            else:
+                files.append({"path": full, "rel": rel})
+                expected[full] = exp
+    algos = tuple(algos or algos_seen)
     entries = _hash_files_distributed(files, algos)
     mismatched = [e["rel"] for e in entries
-                  if any(e[a] != expected[e["rel"]][a] for a in algos)
-                  or e["bytes"] != expected[e["rel"]]["bytes"]]
+                  if any(e[a] != expected[e["path"]][a] for a in algos)
+                  or e["bytes"] != expected[e["path"]]["bytes"]]
     return {"ok": not mismatched and not missing,
             "n_files": len(files),
             "n_bytes": sum(e["bytes"] for e in entries),

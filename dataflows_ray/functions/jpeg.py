@@ -11,11 +11,13 @@ sequential DCT JPEG (SOF0) from scratch:
   compresses better), level shift -> 2D DCT-II (one vectorized 8x8
   matrix sandwich across each plane) -> zigzag -> DC-differential +
   run-length AC Huffman coding with byte stuffing;
-- decoder: marker walk (DQT/DHT/SOF0/DRI/SOS, APPn/COM skipped),
+- decoder: marker walk (DQT/DHT/SOF0/SOF2/DRI/SOS, APPn/COM skipped),
   canonical Huffman decode, dequantize -> IDCT -> chroma upsample ->
   YCbCr->RGB (BT.601/JFIF). Restart markers are honored (DC predictors
-  and bit alignment reset per interval). Progressive (SOF2) and
-  12-bit/arithmetic variants raise cleanly.
+  and bit alignment reset per interval). PROGRESSIVE (SOF2) is fully
+  supported — both spectral selection and successive approximation,
+  encode and decode (see the Annex G section below); 12-bit and
+  arithmetic-coded variants raise cleanly.
 
 The per-block entropy loop is Python (bounded by Huffman's 16-bit max
 code length); DCT/IDCT, color transforms, subsampling and upsampling
@@ -279,11 +281,16 @@ def _block_tokens(zz: np.ndarray, dc_prev: int):
 
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
-                subsampling: str = "444") -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes.
+                subsampling: str = "444",
+                progressive: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> JFIF JPEG bytes.
 
     ``subsampling``: '444' (one 8x8 Y/Cb/Cr block per MCU) or '420'
-    (2x2 luma blocks + 2x2-averaged chroma per 16x16 MCU)."""
+    (2x2 luma blocks + 2x2-averaged chroma per 16x16 MCU).
+    ``progressive``: emit SOF2 with the standard 10-scan spectral-
+    selection + successive-approximation script instead of one
+    baseline SOF0 scan. The quantized coefficients are identical
+    either way, so both forms decode to the same pixels."""
     assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
     h, w = img.shape[:2]
     if subsampling not in ("444", "420"):
@@ -315,6 +322,40 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
     mcus_y = y_pl.shape[0] // mcu_h
     yb_w = y_pl.shape[1] // 8        # luma blocks per row
     cb_w = cb_pl.shape[1] // 8
+
+    if progressive:
+        # per-component REAL block dims (non-interleaved scans cover
+        # ceil(comp/8) blocks, not the MCU-padded grid — T.81 A.2.2)
+        cw = -(-w // hy)
+        ch = -(-h // vy)
+        specs = [
+            {"id": 1, "zz": zz_y, "wb_pad": yb_w, "tc": 0,
+             "h": hy, "v": vy, "mcus": (mcus_y, mcus_x),
+             "hb_real": -(-h // 8), "wb_real": -(-w // 8)},
+            {"id": 2, "zz": zz_cb, "wb_pad": cb_w, "tc": 1,
+             "h": 1, "v": 1, "mcus": (mcus_y, mcus_x),
+             "hb_real": -(-ch // 8), "wb_real": -(-cw // 8)},
+            {"id": 3, "zz": zz_cr, "wb_pad": cb_w, "tc": 1,
+             "h": 1, "v": 1, "mcus": (mcus_y, mcus_x),
+             "hb_real": -(-ch // 8), "wb_real": -(-cw // 8)},
+        ]
+        def pseg(marker: int, payload: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+        out = bytearray(b"\xff\xd8")
+        out += pseg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += pseg(0xFFDB, b"\x00"
+                    + bytes(qy.reshape(64)[ZIGZAG].astype(np.uint8)))
+        out += pseg(0xFFDB, b"\x01"
+                    + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8)))
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        sof += bytes([1, (hy << 4) | vy, 0])
+        sof += bytes([2, 0x11, 1])
+        sof += bytes([3, 0x11, 1])
+        out += pseg(0xFFC2, sof)
+        out += _encode_progressive_body(specs)
+        out += b"\xff\xd9"
+        return bytes(out)
 
     def mcu_blocks():
         """(table_class, zz, component) in scan emission order."""
@@ -394,6 +435,8 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     sof = None
     restart_interval = 0
     scan_comps = None
+    scan_params = (0, 63, 0, 0)
+    progressive = False
     while pos < len(raw):
         if raw[pos] != 0xFF:
             raise ValueError(f"JPEG marker expected at {pos}")
@@ -432,40 +475,31 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             sof = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+        elif marker == 0xC2:               # SOF2: progressive DCT
+            depth, h, w, nc = struct.unpack(">BHHB", payload[:6])
+            if depth != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            sof = (h, w, comps)
+            progressive = True
         elif marker == 0xDD:               # DRI
             (restart_interval,) = struct.unpack(">H", payload[:2])
         elif marker == 0xDA:               # SOS
-            ns = payload[0]
-            scan_comps = []
-            for i in range(ns):
-                cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
-                scan_comps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
+            scan_comps, scan_params = _parse_sos(payload)
             break                          # entropy data follows
     if sof is None or scan_comps is None:
         raise ValueError("JPEG missing SOF0/SOS")
+    if progressive:
+        return _decode_progressive(raw, pos, sof, scan_comps, scan_params,
+                                   qtabs, htabs, restart_interval)
     h, w, comps = sof
     by_id = {c["id"]: c for c in comps}
 
-    # entropy segment: unstuff FF00, split at RSTn markers
-    intervals: List[bytearray] = [bytearray()]
-    i = pos
-    while i < len(raw):
-        b = raw[i]
-        if b == 0xFF:
-            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
-            if nxt == 0x00:
-                intervals[-1].append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:        # restart marker
-                intervals.append(bytearray())
-                i += 2
-                continue
-            break                          # EOI or next segment
-        intervals[-1].append(b)
-        i += 1
+    intervals, _pos = _split_entropy(raw, pos)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -534,3 +568,490 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
     cr = np.repeat(np.repeat(cr, hmax // crc["h"], axis=1),
                    vmax // crc["v"], axis=0)
     return _ycbcr_to_rgb(y[:h, :w], cb[:h, :w], cr[:h, :w])
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (SOF2) — ITU-T T.81 Annex G, Huffman entropy coding.
+# Both progressive dimensions are implemented: SPECTRAL SELECTION (each
+# scan carries a zigzag band [Ss, Se] of one component, DC scans may be
+# interleaved) and SUCCESSIVE APPROXIMATION (first scans carry
+# coefficients at reduced precision via the point transform Al; later
+# scans refine one bit at a time, Ah = previous Al). The encoder emits
+# the standard 10-scan script popularized by libjpeg's default
+# (DC Al=1 -> Y AC 1-5 / chroma AC / Y AC 6-63 at reduced precision ->
+# Y AC refine -> DC refine -> per-component AC refine), with per-scan
+# optimal Huffman tables; the decoder accumulates coefficients across
+# scans and reconstructs with one vectorized IDCT per plane.
+# ---------------------------------------------------------------------------
+
+
+def _parse_sos(payload: bytes):
+    """SOS payload -> ([{id, dc, ac}...], (Ss, Se, Ah, Al))."""
+    ns = payload[0]
+    comps = []
+    for i in range(ns):
+        cs, tt = payload[1 + 2 * i], payload[2 + 2 * i]
+        comps.append({"id": cs, "dc": tt >> 4, "ac": tt & 0x0F})
+    ss, se, a = payload[1 + 2 * ns:4 + 2 * ns]
+    return comps, (ss, se, a >> 4, a & 0x0F)
+
+
+def _split_entropy(raw: bytes, pos: int):
+    """Entropy-coded segment starting at ``pos``: unstuff FF00, split at
+    RSTn. Returns (intervals, position of the terminating marker)."""
+    intervals: List[bytearray] = [bytearray()]
+    i = pos
+    while i < len(raw):
+        b = raw[i]
+        if b == 0xFF:
+            nxt = raw[i + 1] if i + 1 < len(raw) else 0xD9
+            if nxt == 0x00:
+                intervals[-1].append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:        # restart marker
+                intervals.append(bytearray())
+                i += 2
+                continue
+            break                          # EOI or next segment
+        intervals[-1].append(b)
+        i += 1
+    return intervals, i
+
+
+def _comp_dims(sof, c) -> Tuple[int, int, int, int, int, int]:
+    """Per-component geometry: (padded block rows, padded block cols,
+    real block rows, real block cols, mcus_y, mcus_x)."""
+    h, w, comps = sof
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    comp_w = -(-w * c["h"] // hmax)
+    comp_h = -(-h * c["v"] // vmax)
+    return (mcus_y * c["v"], mcus_x * c["h"],
+            -(-comp_h // 8), -(-comp_w // 8), mcus_y, mcus_x)
+
+
+def _decode_dc_scan(reader, scan, by_id, htabs, coef, preds, sof,
+                    restart_next, ah, al) -> None:
+    """One restart interval of a DC scan (Ss=Se=0), interleaved or not.
+    First scan (Ah=0): Huffman-coded diffs of coef>>Al. Refinement
+    (Ah>0): one raw bit per block appended at position Al."""
+    h, w, comps = sof
+    _, _, _, _, mcus_y, mcus_x = _comp_dims(sof, comps[0])
+    n_mcus = mcus_y * mcus_x
+    interleaved = len(scan) > 1
+    mcu = restart_next[0]
+    limit = restart_next[1] or n_mcus
+    stop = min(n_mcus, mcu + limit)
+    while mcu < stop:
+        my, mx = divmod(mcu, mcus_x)
+        for sc in scan:
+            c = by_id[sc["id"]]
+            arr = coef[sc["id"]]
+            if interleaved:
+                blocks = [((my * c["v"] + by), (mx * c["h"] + bx))
+                          for by in range(c["v"]) for bx in range(c["h"])]
+            else:
+                _pb, _pw, hb, wb, _, _ = _comp_dims(sof, c)
+                if mcu >= hb * wb:
+                    break
+                blocks = [divmod(mcu, wb)]
+            for (by, bx) in blocks:
+                if ah == 0:
+                    size = reader.read_symbol(htabs[(0, sc["dc"])])
+                    diff = _extend(reader.read_bits(size), size)
+                    preds[sc["id"]] += diff
+                    arr[by, bx, 0] = preds[sc["id"]] << al
+                else:
+                    if reader.read_bit():
+                        arr[by, bx, 0] |= (1 << al)
+        mcu += 1
+    restart_next[0] = mcu
+
+
+def _decode_ac_scan(reader, sc, c, htabs, arr, sof, restart_next,
+                    band, ah, al, state) -> None:
+    """One restart interval of a non-interleaved AC scan over the band
+    [Ss, Se] (T.81 G.2; the successive-approximation refinement follows
+    the public-domain libjpeg decode_mcu_AC_refine logic)."""
+    ss, se = band
+    act = htabs[(1, sc["ac"])]
+    _pb, _pw, hb, wb, _, _ = _comp_dims(sof, c)
+    n_blocks = hb * wb
+    blk = restart_next[0]
+    limit = restart_next[1] or n_blocks
+    stop = min(n_blocks, blk + limit)
+    p1 = 1 << al
+    m1 = -(1 << al)
+    while blk < stop:
+        by, bx = divmod(blk, wb)
+        zz = arr[by, bx]
+        if ah == 0:                        # first scan of this band
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+            else:
+                k = ss
+                while k <= se:
+                    sym = reader.read_symbol(act)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC index overflow")
+                        zz[k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+                    else:
+                        if r != 15:        # EOBn
+                            state["eobrun"] = (1 << r) - 1
+                            if r:
+                                state["eobrun"] += reader.read_bits(r)
+                            break
+                        k += 16            # ZRL
+        else:                              # refinement scan
+            k = ss
+            if state["eobrun"] == 0:
+                while k <= se:
+                    sym = reader.read_symbol(act)
+                    r, s = sym >> 4, sym & 0x0F
+                    if s:
+                        if s != 1:
+                            raise ValueError("bad refinement symbol")
+                        s = p1 if reader.read_bit() else m1
+                    else:
+                        if r != 15:
+                            state["eobrun"] = 1 << r
+                            if r:
+                                state["eobrun"] += reader.read_bits(r)
+                            break
+                        # r == 15: ZRL with s == 0
+                    while k <= se:
+                        if zz[k] != 0:
+                            if reader.read_bit():
+                                if (zz[k] & p1) == 0:
+                                    zz[k] += p1 if zz[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if s and k <= se:
+                        zz[k] = s
+                    k += 1
+            if state["eobrun"] > 0:
+                while k <= se:             # refine the EOB-run tail
+                    if zz[k] != 0 and reader.read_bit():
+                        if (zz[k] & p1) == 0:
+                            zz[k] += p1 if zz[k] >= 0 else m1
+                    k += 1
+                state["eobrun"] -= 1
+        blk += 1
+    restart_next[0] = blk
+
+
+def _decode_progressive(raw: bytes, pos: int, sof, scan_comps, scan_params,
+                        qtabs, htabs, restart_interval) -> np.ndarray:
+    h, w, comps = sof
+    by_id = {c["id"]: c for c in comps}
+    coef: Dict[int, np.ndarray] = {}
+    for c in comps:
+        pb, pw, _, _, _, _ = _comp_dims(sof, c)
+        coef[c["id"]] = np.zeros((pb, pw, 64), dtype=np.int32)
+
+    while True:
+        intervals, pos = _split_entropy(raw, pos)
+        ss, se, ah, al = scan_params
+        preds = {c["id"]: 0 for c in comps}
+        state = {"eobrun": 0}
+        cursor = [0, restart_interval]
+        for seg in intervals:
+            reader = _BitReader(bytes(seg))
+            if ss == 0:
+                if se != 0:
+                    raise ValueError("progressive scan mixes DC and AC")
+                _decode_dc_scan(reader, scan_comps, by_id, htabs, coef,
+                                preds, sof, cursor, ah, al)
+                preds = {c["id"]: 0 for c in comps}
+            else:
+                if len(scan_comps) != 1:
+                    raise ValueError("AC scans must be non-interleaved")
+                sc = scan_comps[0]
+                _decode_ac_scan(reader, sc, by_id[sc["id"]], htabs,
+                                coef[sc["id"]], sof, cursor, (ss, se),
+                                ah, al, state)
+            state["eobrun"] = 0            # restart resets the EOB run
+
+        # marker walk to the next SOS (DHT/DQT/DRI may be redefined)
+        scan_comps = None
+        while pos < len(raw):
+            if raw[pos] != 0xFF:
+                raise ValueError(f"JPEG marker expected at {pos}")
+            marker = raw[pos + 1]
+            if marker == 0xD9:             # EOI
+                break
+            (length,) = struct.unpack(">H", raw[pos + 2:pos + 4])
+            payload = raw[pos + 4:pos + 2 + length]
+            pos += 2 + length
+            if marker == 0xC4:
+                p = 0
+                while p < len(payload):
+                    cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                    bits = list(payload[p + 1:p + 17])
+                    n = sum(bits)
+                    vals = list(payload[p + 17:p + 17 + n])
+                    htabs[(cls, tid)] = _build_decode(bits, vals)
+                    p += 17 + n
+            elif marker == 0xDB:
+                p = 0
+                while p < len(payload):
+                    tq = payload[p] & 0x0F
+                    tab = np.frombuffer(payload[p + 1:p + 65],
+                                        dtype=np.uint8).astype(np.int32)
+                    qtabs[tq] = tab[UNZIGZAG].reshape(8, 8)
+                    p += 65
+            elif marker == 0xDD:
+                (restart_interval,) = struct.unpack(">H", payload[:2])
+            elif marker == 0xDA:
+                scan_comps, scan_params = _parse_sos(payload)
+                break
+        if scan_comps is None:
+            break                          # EOI / end of stream
+
+    # reconstruct: dequantize + one vectorized IDCT per component plane
+    planes = {}
+    for c in comps:
+        arr = coef[c["id"]]
+        pb, pw = arr.shape[:2]
+        q = qtabs[c["tq"]].reshape(64)[ZIGZAG]  # zigzag-order qtable
+        deq = (arr * q.astype(np.int64))[:, :, UNZIGZAG] \
+            .reshape(pb, pw, 8, 8).astype(np.float64)
+        pix = np.einsum("ji,nmjk,kl->nmil", _DCT, deq, _DCT) + 128.0
+        planes[c["id"]] = pix.transpose(0, 2, 1, 3).reshape(pb * 8, pw * 8)
+
+    if len(comps) == 1:
+        y = np.clip(np.round(planes[comps[0]["id"]][:h, :w]),
+                    0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    yc, cbc, crc = comps[0], comps[1], comps[2]
+    y = planes[yc["id"]]
+    cb = np.repeat(np.repeat(planes[cbc["id"]], hmax // cbc["h"], axis=1),
+                   vmax // cbc["v"], axis=0)
+    cr = np.repeat(np.repeat(planes[crc["id"]], hmax // crc["h"], axis=1),
+                   vmax // crc["v"], axis=0)
+    return _ycbcr_to_rgb(y[:h, :w], cb[:h, :w], cr[:h, :w])
+
+
+# --- progressive encoder -----------------------------------------------
+
+
+class _FreqSink:
+    """Counting pass: accumulate Huffman symbol frequencies per table."""
+
+    def __init__(self):
+        self.freq: Dict[Tuple[int, int], np.ndarray] = {}
+
+    def sym(self, cls: int, tid: int, s: int) -> None:
+        self.freq.setdefault((cls, tid),
+                             np.zeros(257, np.int64))[s] += 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+
+class _WriteSink:
+    """Emission pass: write Huffman codes + raw bits."""
+
+    def __init__(self, codes: Dict[Tuple[int, int], Dict[int, Tuple[int, int]]]):
+        self.bw = _BitWriter()
+        self.codes = codes
+
+    def sym(self, cls: int, tid: int, s: int) -> None:
+        code, ln = self.codes[(cls, tid)][s]
+        self.bw.write(code, ln)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+
+def _emit_dc_scan(sink, comps, ah: int, al: int) -> None:
+    """Interleaved DC scan: comps = [{zz, wb_pad, h, v, tc}...] in MCU
+    order over the shared grid (mcus_y, mcus_x)."""
+    mcus_y, mcus_x = comps[0]["mcus"]
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        idx = ((my * c["v"] + by) * c["wb_pad"]
+                               + mx * c["h"] + bx)
+                        dc = int(c["zz"][idx][0])
+                        if ah == 0:
+                            v = dc >> al
+                            size, bits = _magnitude(v - preds[ci])
+                            preds[ci] = v
+                            sink.sym(0, c["tc"], size)
+                            sink.bits(bits, size)
+                        else:
+                            sink.bits((dc >> al) & 1, 1)
+
+
+class _AcScanEmitter:
+    """Non-interleaved AC scan over a zigzag band (T.81 G.1.2.2/G.1.2.3
+    — the public-domain libjpeg encode_mcu_AC_first/refine logic,
+    including EOB-run coding and buffered correction bits)."""
+
+    def __init__(self, sink, ss: int, se: int, ah: int, al: int):
+        self.sink = sink
+        self.ss, self.se, self.ah, self.al = ss, se, ah, al
+        self.eobrun = 0
+        self.pending: List[int] = []       # correction bits owed at EOB
+
+    def _flush_eob(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            self.sink.sym(1, 0, r << 4)
+            self.sink.bits(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending:
+            self.sink.bits(b, 1)
+        self.pending = []
+
+    def block(self, zz: np.ndarray) -> None:
+        if self.ah == 0:
+            self._block_first(zz)
+        else:
+            self._block_refine(zz)
+
+    def _block_first(self, zz: np.ndarray) -> None:
+        run = 0
+        for k in range(self.ss, self.se + 1):
+            v = int(zz[k])
+            t = abs(v) >> self.al          # AC point transform: toward 0
+            if t == 0:
+                run += 1
+                continue
+            self._flush_eob()
+            while run > 15:
+                self.sink.sym(1, 0, 0xF0)  # ZRL
+                run -= 16
+            s = t.bit_length()
+            bits = t if v > 0 else (1 << s) - 1 - t
+            self.sink.sym(1, 0, (run << 4) | s)
+            self.sink.bits(bits, s)
+            run = 0
+        if run > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self._flush_eob()
+
+    def _block_refine(self, zz: np.ndarray) -> None:
+        ss, se, al = self.ss, self.se, self.al
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = -1                           # last newly-significant index
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i
+        r = 0
+        br: List[int] = []
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                self._flush_eob()
+                self.sink.sym(1, 0, 0xF0)
+                r -= 16
+                for b in br:
+                    self.sink.bits(b, 1)
+                br = []
+            if t > 1:                      # history coefficient: 1 bit
+                br.append(t & 1)
+                continue
+            self._flush_eob()              # newly significant (t == 1)
+            self.sink.sym(1, 0, (r << 4) | 1)
+            self.sink.bits(0 if int(zz[ss + i]) < 0 else 1, 1)
+            for b in br:
+                self.sink.bits(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.pending.extend(br)
+            if self.eobrun == 0x7FFF or len(self.pending) > 900:
+                self._flush_eob()
+
+    def finish(self) -> None:
+        self._flush_eob()
+
+
+def _encode_progressive_body(comp_specs: List[Dict]) -> bytes:
+    """Everything after SOF2: per-scan DHT + SOS + entropy data, for the
+    standard 10-scan script (libjpeg's default simple progression).
+    ``comp_specs``: [{id, zz, wb_pad, hb_real, wb_real, h, v, tc, mcus}]."""
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    def dht(cls: int, tid: int, bits: List[int], vals: List[int]) -> bytes:
+        return bytes([cls << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    def sos(scan_comps: List[Tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        payload = bytes([len(scan_comps)])
+        for cid, td, ta in scan_comps:
+            payload += bytes([cid, (td << 4) | ta])
+        payload += bytes([ss, se, (ah << 4) | al])
+        return seg(0xFFDA, payload)
+
+    out = bytearray()
+
+    def run_dc(ah: int, al: int) -> None:
+        sink = _FreqSink()
+        _emit_dc_scan(sink, comp_specs, ah, al)
+        codes = {}
+        for key, freq in sink.freq.items():
+            tab = _optimal_table(freq)
+            out.extend(seg(0xFFC4, dht(key[0], key[1], *tab)))
+            codes[key] = _build_codes(*tab)
+        out.extend(sos([(c["id"], c["tc"], 0) for c in comp_specs],
+                       0, 0, ah, al))
+        ws = _WriteSink(codes)
+        _emit_dc_scan(ws, comp_specs, ah, al)
+        out.extend(ws.bw.flush())
+
+    def run_ac(c: Dict, ss: int, se: int, ah: int, al: int) -> None:
+        def emit(sink) -> None:
+            em = _AcScanEmitter(sink, ss, se, ah, al)
+            for by in range(c["hb_real"]):
+                for bx in range(c["wb_real"]):
+                    em.block(c["zz"][by * c["wb_pad"] + bx])
+            em.finish()
+
+        sink = _FreqSink()
+        emit(sink)
+        codes = {}
+        for key, freq in sink.freq.items():
+            tab = _optimal_table(freq)
+            out.extend(seg(0xFFC4, dht(key[0], key[1], *tab)))
+            codes[key] = _build_codes(*tab)
+        out.extend(sos([(c["id"], 0, 0)], ss, se, ah, al))
+        ws = _WriteSink(codes)
+        emit(ws)
+        out.extend(ws.bw.flush())
+
+    y, cb, cr = comp_specs
+    run_dc(0, 1)                           # 1: DC first, Al=1
+    run_ac(y, 1, 5, 0, 2)                  # 2: Y low AC at Al=2
+    run_ac(cb, 1, 63, 0, 1)                # 3: Cb AC at Al=1
+    run_ac(cr, 1, 63, 0, 1)                # 4: Cr AC at Al=1
+    run_ac(y, 6, 63, 0, 2)                 # 5: Y high AC at Al=2
+    run_ac(y, 1, 63, 2, 1)                 # 6: Y AC refine 2->1
+    run_dc(1, 0)                           # 7: DC refine
+    run_ac(y, 1, 63, 1, 0)                 # 8: Y AC refine 1->0
+    run_ac(cb, 1, 63, 1, 0)                # 9: Cb AC refine
+    run_ac(cr, 1, 63, 1, 0)                # 10: Cr AC refine
+    return bytes(out)

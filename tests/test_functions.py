@@ -733,6 +733,33 @@ def test_jpeg_roundtrip_444_and_420():
     assert np.array_equal(decode_jpeg(encode_jpeg(flat)), flat)
 
 
+def test_jpeg_progressive_matches_baseline():
+    """Progressive (SOF2, 10-scan spectral-selection + successive-
+    approximation script) re-encodes the IDENTICAL quantized
+    coefficients, so its decode must equal the baseline decode
+    bit-for-bit — across subsamplings, qualities, non-MCU-multiple
+    dimensions, and content classes (noise stresses dense AC scans,
+    flat/gradient stress EOB-run coding and refinement bits)."""
+    from dataflows_ray.functions.jpeg import encode_jpeg, decode_jpeg
+    rng = np.random.Generator(np.random.PCG64(23))
+    for (h, w) in [(64, 64), (60, 52), (17, 23), (8, 8), (33, 31)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        grad = np.stack([xx * 255 // max(1, w - 1),
+                         yy * 255 // max(1, h - 1),
+                         np.full((h, w), 128)], axis=2).astype(np.uint8)
+        noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        mixed = grad.copy()
+        mixed[h // 2:] = noise[h // 2:]
+        for img in (grad, noise, mixed):
+            for sub in ("444", "420"):
+                for q in (25, 90):
+                    base = decode_jpeg(encode_jpeg(
+                        img, quality=q, subsampling=sub))
+                    prog = decode_jpeg(encode_jpeg(
+                        img, quality=q, subsampling=sub, progressive=True))
+                    assert np.array_equal(base, prog), (h, w, sub, q)
+
+
 def test_jpeg_quality_ladder_and_errors():
     from dataflows_ray.functions.jpeg import encode_jpeg, decode_jpeg
     rng = np.random.Generator(np.random.PCG64(11))
