@@ -159,10 +159,14 @@ class StreamingJoinEngine:
                     t["path"], t, P, self.include_audio_bytes)
                 for t in tasks]
 
+        DIGESTS = ("file", "sha256", "md5")  # audit lineage, if staged
+
         def lineage(stats):
             return [{"partition": s["partition"], "rows": s["rows"],
                      "bytes": s["bytes"], "matched": s["matched"],
-                     "expired": s["expired"]} for s in stats]
+                     "expired": s["expired"],
+                     **{k: s[k] for k in DIGESTS if k in s}}
+                    for s in stats]
 
         inflight = {}
         for j in range(min(prefetch + 1, len(pending))):
@@ -230,10 +234,7 @@ class StreamingJoinEngine:
                 snaps = ray.get([a.snapshot.remote() for a in actors])
                 wm_snap = ray.get(tracker.snapshot.remote())
                 self.sink.commit(
-                    flush_epoch,
-                    [{"partition": s["partition"], "rows": s["rows"],
-                      "bytes": s["bytes"], "matched": s["matched"],
-                      "expired": s["expired"]} for s in stats],
+                    flush_epoch, lineage(stats),
                     2**62, state_snapshots={"actors": snaps, "watermark": wm_snap})
                 total_rows += sum(s["rows"] for s in stats)
         for a in actors:

@@ -13,11 +13,19 @@ partition/epoch granularity:
 - Phase 2 (commit): the driver promotes the epoch's staged files into
   ``<dir>/data/epoch=<e>/`` and appends one record to ``manifest.json``
   (written tmp-file + atomic ``os.replace``) carrying per-partition
-  lineage + metrics: rows, bytes, watermark, state-snapshot path.
+  lineage + metrics: rows, bytes, content digests, watermark,
+  state-snapshot key.
 - Resume: a restarted run reads the manifest, skips committed epochs,
   restores operator state from the newest committed snapshot, and resumes
   at the first uncommitted epoch. A crash between stage and commit leaves
   only ``.staged`` data, which the retry overwrites — never double-counts.
+
+The sink root may be a plain path or a URI resolved through
+``streaming/storage.py`` (``SinkStorage``): a shared POSIX dir today, an
+object-store prefix on a real cluster — every filesystem touch goes
+through the storage primitives, and the manifest records storage KEYS
+(never absolute paths), so a resumed driver on a different node/mount
+sees the same committed state.
 
 Output format: parquet (the ``lance`` package is unavailable in this
 environment; the manifest/commit layout is format-agnostic and would wrap
@@ -29,23 +37,26 @@ from __future__ import annotations
 import json
 import os
 import pickle
-import shutil
 from typing import Dict, List, Optional
 
 import pyarrow as pa
-import pyarrow.parquet as pq
+
+from .storage import SinkStorage
 
 
 class ExactlyOnceSink:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
-        self.staged_dir = os.path.join(out_dir, ".staged")
-        self.data_dir = os.path.join(out_dir, "data")
-        self.state_dir = os.path.join(out_dir, "state")
-        self.manifest_path = os.path.join(out_dir, "manifest.json")
+        self.st = SinkStorage.resolve(out_dir)
         self._recover_compaction()
-        for d in (self.staged_dir, self.data_dir, self.state_dir):
-            os.makedirs(d, exist_ok=True)
+        for d in (".staged", "data", "state"):
+            self.st.makedirs(d)
+        # concrete-path attributes for external readers (engines, tests,
+        # audits) — resolved through the storage backend
+        self.staged_dir = self.st.local_path(".staged")
+        self.data_dir = self.st.local_path("data")
+        self.state_dir = self.st.local_path("state")
+        self.manifest_path = self.st.local_path("manifest.json")
 
     def _recover_compaction(self) -> None:
         """Roll a compact() interrupted mid-swap forward or back BEFORE
@@ -54,24 +65,21 @@ class ExactlyOnceSink:
         FORWARD by promoting data.new; or (b) ``data`` renamed to
         ``data.old`` with no data.new promoted — roll BACK by restoring
         data.old. Either way no committed row is ever lost."""
-        data_new = self.data_dir + ".new"
-        data_old = self.data_dir + ".old"
-        if not os.path.isdir(self.data_dir):
-            if os.path.isdir(data_new):
-                os.replace(data_new, self.data_dir)
-            elif os.path.isdir(data_old):
-                os.replace(data_old, self.data_dir)
-        if os.path.isdir(self.data_dir):
-            for leftover in (data_new, data_old):
-                if os.path.isdir(leftover):
-                    shutil.rmtree(leftover)
+        if not self.st.isdir("data"):
+            if self.st.isdir("data.new"):
+                self.st.replace("data.new", "data")
+            elif self.st.isdir("data.old"):
+                self.st.replace("data.old", "data")
+        if self.st.isdir("data"):
+            for leftover in ("data.new", "data.old"):
+                if self.st.isdir(leftover):
+                    self.st.rmtree(leftover)
 
     # -- manifest ----------------------------------------------------------
     def read_manifest(self) -> Dict:
-        if not os.path.exists(self.manifest_path):
+        if not self.st.exists("manifest.json"):
             return {"epochs": []}
-        with open(self.manifest_path) as f:
-            return json.load(f)
+        return json.loads(self.st.read_bytes("manifest.json"))
 
     def committed_epochs(self) -> List[int]:
         # compacted manifest entries cover a RANGE of original epochs
@@ -83,30 +91,25 @@ class ExactlyOnceSink:
         return sorted(out)
 
     def _write_manifest(self, manifest: Dict) -> None:
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(manifest, f, indent=1)
-        os.replace(tmp, self.manifest_path)
+        self.st.write_bytes_atomic(
+            "manifest.json", json.dumps(manifest, indent=1).encode())
 
     # -- phase 1: stage ----------------------------------------------------
     def stage(self, epoch: int, partition: int, table: pa.Table) -> Dict:
         """Write one partition's epoch output to the staged area.
         Deterministic path => idempotent under task retry."""
-        epoch_dir = os.path.join(self.staged_dir, f"epoch={epoch}")
-        os.makedirs(epoch_dir, exist_ok=True)
-        path = os.path.join(epoch_dir, f"part-{partition:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        key = SinkStorage.join(".staged", f"epoch={epoch}",
+                               f"part-{partition:05d}.parquet")
+        self.st.write_table_atomic(key, table)
         # content digests ride the lineage manifest so a later
         # integrity audit (functions/fingerprint.py:audit_sink) can
         # verify committed bytes without re-parsing rows; the file was
         # just written, so hashing re-reads it from page cache
         from ..functions.fingerprint import hash_file
-        digests = hash_file(path)
+        digests = hash_file(self.st.local_path(key))
         return {"partition": partition, "rows": len(table),
                 "bytes": digests["bytes"],
-                "file": os.path.basename(path),
+                "file": key.rsplit("/", 1)[-1],
                 "sha256": digests["sha256"], "md5": digests["md5"]}
 
     def stage_side(self, epoch: int, partition: int, table: pa.Table,
@@ -117,13 +120,9 @@ class ExactlyOnceSink:
         too (skipped epochs on resume never re-emit it). Side files are
         named ``<channel>-part-*`` and excluded from ``read_output``;
         read them with :meth:`read_side`."""
-        epoch_dir = os.path.join(self.staged_dir, f"epoch={epoch}")
-        os.makedirs(epoch_dir, exist_ok=True)
-        path = os.path.join(epoch_dir,
-                            f"{channel}-part-{partition:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, path)
+        key = SinkStorage.join(".staged", f"epoch={epoch}",
+                               f"{channel}-part-{partition:05d}.parquet")
+        self.st.write_table_atomic(key, table)
         return {"partition": partition, f"{channel}_rows": len(table)}
 
     # -- phase 2: commit ---------------------------------------------------
@@ -133,27 +132,25 @@ class ExactlyOnceSink:
         manifest = self.read_manifest()
         if any(e["epoch"] == epoch for e in manifest["epochs"]):
             return  # already committed — idempotent
-        staged = os.path.join(self.staged_dir, f"epoch={epoch}")
-        final = os.path.join(self.data_dir, f"epoch={epoch}")
-        state_path = None
+        staged = SinkStorage.join(".staged", f"epoch={epoch}")
+        final = SinkStorage.join("data", f"epoch={epoch}")
+        state_key = None
         if state_snapshots is not None:
-            state_path = os.path.join(self.state_dir, f"epoch={epoch}.state")
-            tmp = state_path + ".tmp"
-            with open(tmp, "wb") as f:
-                pickle.dump(state_snapshots, f)
-            os.replace(tmp, state_path)
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        if os.path.exists(staged):
-            os.replace(staged, final)
+            state_key = SinkStorage.join("state", f"epoch={epoch}.state")
+            self.st.write_bytes_atomic(state_key,
+                                       pickle.dumps(state_snapshots))
+        if self.st.exists(final):
+            self.st.rmtree(final)
+        if self.st.exists(staged):
+            self.st.replace(staged, final)
         else:
-            os.makedirs(final, exist_ok=True)  # empty epoch
+            self.st.makedirs(final)        # empty epoch
         manifest["epochs"].append({
             "epoch": epoch,
             "watermark_ms": watermark_ms,
             "partitions": sorted(partition_stats, key=lambda s: s["partition"]),
             "rows": sum(s["rows"] for s in partition_stats),
-            "state_snapshot": state_path,
+            "state_snapshot": state_key,
         })
         self._write_manifest(manifest)
 
@@ -162,9 +159,16 @@ class ExactlyOnceSink:
         epochs = self.read_manifest()["epochs"]
         for e in sorted(epochs, key=lambda x: -x["epoch"]):
             p = e.get("state_snapshot")
-            if p and os.path.exists(p):
-                with open(p, "rb") as f:
-                    return pickle.load(f)
+            if not p:
+                continue
+            # manifests record storage KEYS; tolerate pre-abstraction
+            # manifests that stored absolute local paths
+            if os.path.isabs(p):
+                if os.path.exists(p):
+                    with open(p, "rb") as f:
+                        return pickle.load(f)
+            elif self.st.exists(p):
+                return pickle.loads(self.st.read_bytes(p))
         return None
 
     def latest_watermark(self) -> int:
@@ -177,14 +181,17 @@ class ExactlyOnceSink:
         return sum(e["rows"] for e in self.read_manifest()["epochs"])
 
     def _committed_files(self, prefix: str) -> List[str]:
+        """Concrete paths of committed files (for Ray reads). Listing
+        goes through the storage backend; on an object store this is
+        one LIST per epoch prefix."""
         files = []
-        for d in sorted(os.listdir(self.data_dir)):
-            full = os.path.join(self.data_dir, d)
-            if os.path.isdir(full):
-                files.extend(os.path.join(full, f)
-                             for f in sorted(os.listdir(full))
-                             if f.startswith(prefix)
-                             and f.endswith(".parquet"))
+        for d in self.st.listdir("data"):
+            key = SinkStorage.join("data", d)
+            if self.st.isdir(key):
+                files.extend(
+                    self.st.local_path(SinkStorage.join(key, f))
+                    for f in self.st.listdir(key)
+                    if f.startswith(prefix) and f.endswith(".parquet"))
         return files
 
     def read_output(self):
@@ -227,42 +234,42 @@ class ExactlyOnceSink:
                   for i in range(0, len(data_epochs),
                                  target_epochs_per_file)]
         groups += [[e] for e in flush_epochs]
-        staged_new = os.path.join(self.staged_dir, "__compact__")
-        if os.path.exists(staged_new):
-            shutil.rmtree(staged_new)
-        os.makedirs(staged_new)
-        import pyarrow.parquet as _pq
+        staged_new = SinkStorage.join(".staged", "__compact__")
+        if self.st.exists(staged_new):
+            self.st.rmtree(staged_new)
+        self.st.makedirs(staged_new)
         channels = set()
-        for d in sorted(os.listdir(self.data_dir)):
-            full = os.path.join(self.data_dir, d)
-            if os.path.isdir(full):
-                for f in os.listdir(full):
+        for d in self.st.listdir("data"):
+            key = SinkStorage.join("data", d)
+            if self.st.isdir(key):
+                for f in self.st.listdir(key):
                     if f.endswith(".parquet"):
                         pre = f.rsplit("part-", 1)[0].rstrip("-")
                         channels.add(pre)  # "" for main, else channel
         from ..functions.fingerprint import hash_file
         group_digests: Dict[int, Dict] = {}
         for gi, grp in enumerate(groups):
-            gdir = os.path.join(staged_new, f"epoch={grp[0]['epoch']}")
-            os.makedirs(gdir)
+            gdir = SinkStorage.join(staged_new, f"epoch={grp[0]['epoch']}")
+            self.st.makedirs(gdir)
             for ch in channels:
                 prefix = f"{ch}-part-" if ch else "part-"
                 tables = []
                 for e in grp:
-                    edir = os.path.join(self.data_dir, f"epoch={e['epoch']}")
-                    if not os.path.isdir(edir):
+                    edir = SinkStorage.join("data", f"epoch={e['epoch']}")
+                    if not self.st.isdir(edir):
                         continue
-                    for f in sorted(os.listdir(edir)):
+                    for f in self.st.listdir(edir):
                         if f.startswith(prefix) and f.endswith(".parquet"):
-                            tables.append(_pq.read_table(
-                                os.path.join(edir, f)))
+                            tables.append(self.st.read_table(
+                                SinkStorage.join(edir, f)))
                 if tables:
-                    merged = os.path.join(gdir, f"{prefix}00000.parquet")
-                    _pq.write_table(pa.concat_tables(tables), merged)
+                    merged = SinkStorage.join(gdir, f"{prefix}00000.parquet")
+                    self.st.write_table_atomic(merged,
+                                               pa.concat_tables(tables))
                     if not ch:  # main channel: re-digest for the audit
-                        d = hash_file(merged)
+                        d = hash_file(self.st.local_path(merged))
                         group_digests[grp[0]["epoch"]] = {
-                            "file": os.path.basename(merged),
+                            "file": f"{prefix}00000.parquet",
                             "sha256": d["sha256"], "md5": d["md5"],
                             "bytes": d["bytes"]}
         # commit: swap data dirs + rewrite manifest atomically
@@ -283,17 +290,15 @@ class ExactlyOnceSink:
         # data.new is complete, roll back otherwise) — at no point is
         # the only copy of committed data in a directory the next
         # startup would delete
-        new_data = self.data_dir + ".new"
-        old_data = self.data_dir + ".old"
-        for leftover in (new_data, old_data):
-            if os.path.exists(leftover):
-                shutil.rmtree(leftover)
-        os.replace(staged_new, new_data)
-        os.replace(self.data_dir, old_data)
-        os.replace(new_data, self.data_dir)
+        for leftover in ("data.new", "data.old"):
+            if self.st.exists(leftover):
+                self.st.rmtree(leftover)
+        self.st.replace(staged_new, "data.new")
+        self.st.replace("data", "data.old")
+        self.st.replace("data.new", "data")
         manifest["epochs"] = new_epochs
         self._write_manifest(manifest)
-        shutil.rmtree(old_data)
+        self.st.rmtree("data.old")
         return {"files_before": files_before,
                 "files_after": len(self._committed_files("")),
                 "epochs": len(epochs)}
