@@ -91,6 +91,10 @@ class PcmDecoder:
                 w = decode_alaw_bytes(seg).astype(np.float32)
             elif codec == "wav":
                 w = parse_wav(seg.tobytes())[0].astype(np.float32)
+            elif codec == "flac":
+                from ..functions.flac import decode_flac
+                samples, _ = decode_flac(seg.tobytes())
+                w = samples.astype(np.float32) / np.float32(32767.0)
             else:
                 raise NotImplementedError(f"codec {codec!r} not available")
             waves.append(w)
@@ -212,3 +216,55 @@ def windowed_speaker_aggregate(ds: ray.data.Dataset, window_ms: int = 60_000
         # known upstream schema: skips the lazy-plan probe that would
         # otherwise execute the decode stage just to look for ROW_ID
     ], input_columns=["speaker", "event_ms", "dur_ms", WINDOW_START])
+
+
+class CodecRoundtripQC:
+    """Per-clip decode + LOSSLESS verification (q103).
+
+    Lossless codecs (pcm16 / wav / flac) must reproduce the reference
+    quantized int16 samples EXACTLY — a stronger bar than the SNR>=30dB
+    invariant the lossy G.711 paths are held to. The reference is
+    regenerated analytically from the clip index (synth_clip_batch is
+    deterministic per (seed, i)), so validation needs no side input —
+    each clip verifies independently inside map_batches, the 100-TB
+    shape. Emits one row per clip: codec, n_samples, enc_bytes, snr_db,
+    exact (1 = bit-exact round-trip).
+    """
+
+    LOSSLESS = frozenset({"pcm16", "wav", "flac"})
+
+    def __init__(self, seed: int = 42):
+        self.seed = seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..streaming.audio import decode_pcm, snr_db, synth_clip_batch
+        n = len(batch)
+        raws = batch["bytes"].to_pylist()
+        codecs = batch["codec"].to_pylist()
+        clip_ids = batch["clip_id"].to_pylist()
+        n_samples = np.empty(n, dtype=np.int64)
+        enc_bytes = np.empty(n, dtype=np.int64)
+        snrs = np.empty(n, dtype=np.float64)
+        exact = np.zeros(n, dtype=np.int64)
+        for i in range(n):
+            w = decode_pcm(raws[i], codecs[i])
+            idx = int(clip_ids[i].rsplit("-", 1)[1])
+            ref = synth_clip_batch(idx, 1, seed=self.seed)
+            ref_i16 = np.frombuffer(ref["bytes"][0].as_py(), dtype="<i2")
+            ref_wave = ref_i16.astype(np.float64) / 32767.0
+            n_samples[i] = len(w)
+            enc_bytes[i] = len(raws[i])
+            snrs[i] = snr_db(ref_wave, w)
+            if codecs[i] in self.LOSSLESS:
+                dec_i16 = np.round(w * 32767.0).astype(np.int64)
+                exact[i] = int(len(w) == len(ref_i16)
+                               and np.array_equal(
+                                   dec_i16, ref_i16.astype(np.int64)))
+        return pa.table({
+            "clip_id": batch["clip_id"],
+            "codec": batch["codec"],
+            "n_samples": pa.array(n_samples),
+            "enc_bytes": pa.array(enc_bytes),
+            "snr_db": pa.array(snrs),
+            "exact": pa.array(exact),
+        })

@@ -1714,6 +1714,57 @@ def _multicodec_audio_path(sf_dir: str) -> str:
     return path
 
 
+def _flac_audio_path(sf_dir: str) -> str:
+    """Synthetic audio table over ALL five implemented codecs including
+    the from-scratch FLAC (functions/flac.py) — same clip content as
+    `_audio_path`, per-clip codec drawn last. Smaller than the q60 table
+    because FLAC encode is ~11ms/clip at synthesis time. Cached in
+    /tmp."""
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n = max(400, int(float(sf) * 40_000))
+    path = f"/tmp/dataflows_ray_audio_flac/sf{sf}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..streaming.audio import write_audio_dataset
+        write_audio_dataset(
+            path, n, rows_per_file=max(100, n // 8),
+            codec_mix=("pcm16", "mulaw", "alaw", "wav", "flac"))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+def q103_flac_lossless_qc(sf_dir: str):
+    """FLAC round-trip conformance over a five-codec table: every clip
+    decodes in one elastic map_batches stage (CodecRoundtripQC); the
+    lossless codecs (pcm16/wav/flac) must reproduce the reference int16
+    samples EXACTLY (`exact` = 1 per clip), the lossy G.711 pair is held
+    to SNR>=30dB. Per-codec aggregate adds the measured compression
+    ratio — FLAC's must be < 1.0 (it actually compresses). All
+    aggregates are order-independent, so the distributed result is
+    bit-identical to the sequential fixture."""
+    import ray.data
+    from .audio import CodecRoundtripQC
+    from ..stages.agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(_flac_audio_path(sf_dir))
+    qc = ds.map_batches(CodecRoundtripQC(), batch_format="pyarrow",
+                        batch_size=32)
+    out = grouped_aggregate(qc, ["codec"], [
+        {"target": "n_clips", "aggregate": "count"},
+        {"target": "n_exact", "source": "exact", "aggregate": "sum"},
+        {"target": "total_samples", "source": "n_samples",
+         "aggregate": "sum"},
+        {"target": "total_enc_bytes", "source": "enc_bytes",
+         "aggregate": "sum"},
+        {"target": "min_snr", "source": "snr_db", "aggregate": "min"},
+    ], input_columns=["codec", "exact", "n_samples", "enc_bytes",
+                      "snr_db"])
+    df = out.to_pandas()
+    df["min_snr"] = df["min_snr"].round(4)
+    df["ratio"] = (df["total_enc_bytes"]
+                   / (2.0 * df["total_samples"])).round(4)
+    return df.sort_values("codec").reset_index(drop=True)
+
+
 def q60_multicodec_decode(sf_dir: str):
     """Mixed-codec decode conformance: PCM16 / G.711 µ-law / G.711 A-law /
     WAV-container clips decoded in ONE actor-pool stage (PcmDecoder
@@ -3015,6 +3066,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q100_dup_rate_report": q100_dup_rate_report,
     "q101_streaming_audio_qc": q101_streaming_audio_qc,
     "q102_content_fingerprint": q102_content_fingerprint,
+    "q103_flac_lossless_qc": q103_flac_lossless_qc,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3404,4 +3456,14 @@ SELECT clip_id,
        CAST(octet_length(bytes) AS BIGINT) AS n_bytes
 FROM read_parquet('{_AUDIO}')
 ORDER BY clip_id
+"""
+
+# q103: sequential single-process mirror (scripts/gen_fixtures.py
+# gen_q103) — decode+verify is per-clip independent and the aggregates
+# are order-independent, so the distributed run must equal it exactly.
+ORACLES["q103_flac_lossless_qc"] = f"""
+SELECT codec, n_clips, n_exact, total_samples, total_enc_bytes,
+       min_snr, ratio
+FROM read_parquet('{_FIX}/q103_flac_lossless_qc.parquet')
+ORDER BY codec
 """

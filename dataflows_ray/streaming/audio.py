@@ -191,7 +191,17 @@ def parse_wav(raw: bytes):
     return wave, sr_hz
 
 
-CODECS = ("pcm16", "mulaw", "alaw", "wav")
+CODECS = ("pcm16", "mulaw", "alaw", "wav", "flac")
+
+
+def encode_flac_clip(wave: np.ndarray, sr_hz: int) -> bytes:
+    """float [-1,1] -> FLAC stream (functions/flac.py, from-scratch RFC
+    9639 subset). Quantization matches encode_pcm16 exactly, so FLAC
+    being lossless means decode_pcm('flac') == decode_pcm('pcm16')
+    bit-for-bit for the same waveform."""
+    from ..functions.flac import encode_flac
+    return encode_flac((wave * 32767.0).astype("<i2").astype(np.int64),
+                       sr_hz)
 
 
 def encode_clip(wave: np.ndarray, codec: str, sr_hz: int = 16000) -> bytes:
@@ -203,16 +213,20 @@ def encode_clip(wave: np.ndarray, codec: str, sr_hz: int = 16000) -> bytes:
         return encode_alaw(wave)
     if codec == "wav":
         return encode_wav(wave, sr_hz)
+    if codec == "flac":
+        return encode_flac_clip(wave, sr_hz)
     raise NotImplementedError(f"codec {codec!r}: encoder not available")
 
 
 def decode_pcm(raw: bytes, codec: str = "pcm16") -> np.ndarray:
     """Decode clip bytes to a float waveform in [-1, 1]. Implemented for
     real: ``pcm16`` (little-endian int16), ``mulaw``/``alaw`` (G.711,
-    table-driven) and ``wav`` (RIFF container with PCM16/G.711 payloads).
-    Perceptual codecs (opus/flac/mp3) are stubbed — the decode libraries
-    are not in this environment — but the Ray-side plumbing (binary
-    column in, float array out) is identical."""
+    table-driven), ``wav`` (RIFF container with PCM16/G.711 payloads)
+    and ``flac`` (from-scratch RFC 9639 codec, functions/flac.py, with
+    CRC-8/CRC-16/MD5 verification). Perceptual codecs (opus/mp3) remain
+    stubbed — lossy decode references are not reproducible without the
+    external libraries — but the Ray-side plumbing (binary column in,
+    float array out) is identical."""
     if codec == "pcm16":
         return np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32767.0
     if codec == "mulaw":
@@ -221,6 +235,10 @@ def decode_pcm(raw: bytes, codec: str = "pcm16") -> np.ndarray:
         return decode_alaw_bytes(np.frombuffer(raw, dtype=np.uint8))
     if codec == "wav":
         return parse_wav(raw)[0]
+    if codec == "flac":
+        from ..functions.flac import decode_flac
+        samples, _info = decode_flac(bytes(raw))
+        return samples.astype(np.float64) / 32767.0
     raise NotImplementedError(
         f"codec {codec!r}: decoder not available in this environment; "
         f"implemented codecs: {CODECS}")

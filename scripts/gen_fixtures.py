@@ -132,6 +132,40 @@ def gen_q60(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def gen_q103(sf_dir: str) -> pa.Table:
+    """Sequential mirror of q103: decode + lossless-verify the whole
+    five-codec table (incl. from-scratch FLAC) in one batch, aggregate
+    per codec. Asserts the codec invariants here so a silently-broken
+    codec fails fixture generation, not just the gate: lossless codecs
+    must be bit-exact on every clip, lossy G.711 must clear 30 dB, and
+    FLAC must actually compress (ratio < 1)."""
+    import glob
+    from dataflows_ray.pipelines.audio import CodecRoundtripQC
+    from dataflows_ray.pipelines.relational import _flac_audio_path
+    files = sorted(glob.glob(os.path.join(
+        _flac_audio_path(sf_dir), "*.parquet")))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    qc = CodecRoundtripQC()(tbl).to_pandas()
+    out = (qc.groupby("codec")
+           .agg(n_clips=("codec", "size"),
+                n_exact=("exact", "sum"),
+                total_samples=("n_samples", "sum"),
+                total_enc_bytes=("enc_bytes", "sum"),
+                min_snr=("snr_db", "min"))
+           .reset_index().sort_values("codec"))
+    out["min_snr"] = out["min_snr"].round(4)
+    out["ratio"] = (out["total_enc_bytes"]
+                    / (2.0 * out["total_samples"])).round(4)
+    by = out.set_index("codec")
+    for codec in ("pcm16", "wav", "flac"):
+        assert by.loc[codec, "n_exact"] == by.loc[codec, "n_clips"], \
+            f"{codec} round-trip not bit-exact"
+    assert (out["min_snr"] >= 30).all(), "SNR invariant violated"
+    assert by.loc["flac", "ratio"] < 1.0, "FLAC did not compress"
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def gen_q22(sf_dir: str) -> pa.Table:
     """Sequential mirror of functions.similarity.lsh_topk (bits=8, k=5,
     queries = vec_ids 0,1,2): bucket the corpus, multi-probe filter, exact
@@ -816,6 +850,9 @@ def main():
         print(f"{name}: q22 written")
         pq.write_table(gen_q60(sf_dir), f"{fdir}/q60_multicodec_decode.parquet")
         print(f"{name}: q60 written")
+        pq.write_table(gen_q103(sf_dir),
+                       f"{fdir}/q103_flac_lossless_qc.parquet")
+        print(f"{name}: q103 written")
         pq.write_table(gen_q28(sf_dir), f"{fdir}/q28_approx_ndv.parquet")
         print(f"{name}: q28 written")
         pq.write_table(gen_q41(sf_dir), f"{fdir}/q41_knn_ivf.parquet")
