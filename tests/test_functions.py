@@ -574,6 +574,70 @@ def test_video_rawvideo_frame_sampling():
         assert all(b >= a - 1e-3 for a, b in zip(fm, fm[1:]))
 
 
+def test_mjpeg_avi_roundtrip():
+    import numpy as np
+    from dataflows_ray.functions.multimodal import (
+        encode_mjpeg_avi, parse_mjpeg_avi)
+    from dataflows_ray.functions.jpeg import decode_jpeg
+    rng = np.random.Generator(np.random.PCG64(11))
+    nf, h, w = 7, 24, 40
+    t = np.arange(nf, dtype=np.float64)[:, None, None, None]
+    base = rng.integers(0, 128, size=(1, h, w, 3)).astype(np.float64)
+    clip = np.clip(base + t * (127.0 / (nf - 1)), 0, 255).astype(np.uint8)
+    avi = encode_mjpeg_avi(clip)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    jpegs, pw, ph = parse_mjpeg_avi(avi)
+    assert (pw, ph, len(jpegs)) == (w, h, nf)
+    for i, j in enumerate(jpegs):
+        dec = decode_jpeg(j)
+        assert dec.shape == (h, w, 3)
+        err = np.abs(dec.astype(np.int32)
+                     - clip[i].astype(np.int32)).mean()
+        assert err < 12.0, f"frame {i} JPEG error {err}"
+
+
+def test_mjpeg_avi_rejects_garbage():
+    import pytest
+    from dataflows_ray.functions.multimodal import parse_mjpeg_avi
+    with pytest.raises(ValueError):
+        parse_mjpeg_avi(b"not a riff stream at all......")
+
+
+def test_video_mixed_format_sampling():
+    import numpy as np
+    from dataflows_ray.functions.multimodal import (
+        synth_video_table, video_sample_stage)
+    tbl = synth_video_table(10, format_mix=("rawvideo", "mjpeg"))
+    fmts = set(tbl["format"].to_pylist())
+    assert fmts == {"rawvideo", "mjpeg"}
+    ds = ray.data.from_arrow(tbl)
+    out = video_sample_stage(ds, every_n=4, concurrency=1).to_pandas() \
+        .sort_values("video_id").reset_index(drop=True)
+    # content is container-independent: same clip index decoded from an
+    # MJPEG container must match the rawvideo layout within JPEG loss
+    raw_tbl = synth_video_table(10)  # all-rawvideo twin, same content
+    raw = video_sample_stage(ray.data.from_arrow(raw_tbl), every_n=4,
+                             concurrency=1).to_pandas() \
+        .sort_values("video_id").reset_index(drop=True)
+    for i in range(10):
+        assert out.loc[i, "sampled_frames"] == raw.loc[i, "sampled_frames"]
+        d = np.abs(np.asarray(out.loc[i, "frame_means"])
+                   - np.asarray(raw.loc[i, "frame_means"])).max()
+        tol = 0.0 if out.loc[i, "format"] == "rawvideo" else 12.0
+        assert d <= tol, (i, out.loc[i, "format"], d)
+
+
+def test_video_unknown_format_raises():
+    import pytest
+    from dataflows_ray.functions.multimodal import (
+        synth_video_table, VideoFrameSampler)
+    tbl = synth_video_table(2)
+    tbl = tbl.set_column(tbl.schema.get_field_index("format"), "format",
+                         pa.array(["h264", "rawvideo"]))
+    with pytest.raises(NotImplementedError):
+        VideoFrameSampler(every_n=4)(tbl)
+
+
 def test_tfidf_top_terms_small_corpus():
     import math
     from dataflows_ray.functions.text import tfidf_top_terms
