@@ -43,7 +43,8 @@ def run_benchmarks() -> dict:
         q49_term_doc_frequency, q60_multicodec_decode,
         q61_ngram_jaccard_dedup, q62_jpeg_image_features,
         q79_normalize_text, q82_sequence_packing, q87_duration_buckets,
-        q91_bpe_token_counts, q99_bm25_retrieval, _audio_path)
+        q91_bpe_token_counts, q99_bm25_retrieval,
+        q103_flac_lossless_qc, q104_mjpeg_frame_sampling, _audio_path)
     from dataflows_ray.pipelines.audio import decode_stage, windowed_speaker_aggregate
     from dataflows_ray.streaming.engine import StreamingJoinEngine
     from dataflows_ray.streaming.sink import ExactlyOnceSink
@@ -62,6 +63,11 @@ def run_benchmarks() -> dict:
     # the first audio leg doesn't absorb table generation into its timing
     ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
     _audio_path(SF_DIR)
+    from dataflows_ray.pipelines.relational import (
+        _multicodec_audio_path, _flac_audio_path, _video_path)
+    _multicodec_audio_path(SF_DIR)
+    _flac_audio_path(SF_DIR)
+    _video_path(SF_DIR)
 
     timed("q01_pricing_summary", lambda: q01_pricing_summary(SF_DIR).to_pandas())
     timed("q05_priority_counts", lambda: q05_priority_counts(SF_DIR).to_pandas())
@@ -88,6 +94,10 @@ def run_benchmarks() -> dict:
           lambda: len(q62_jpeg_image_features(SF_DIR)))
     timed("q99_bm25_retrieval",
           lambda: q99_bm25_retrieval(SF_DIR).count())
+    timed("q103_flac_lossless_qc",
+          lambda: len(q103_flac_lossless_qc(SF_DIR)))
+    timed("q104_mjpeg_frame_sampling",
+          lambda: len(q104_mjpeg_frame_sampling(SF_DIR)))
 
     # streaming windowed-aggregate engine (micro-batch epochs, watermark
     # emission, 2PC sink) over the same audio table — the engine-form

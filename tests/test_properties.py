@@ -283,7 +283,9 @@ def test_loudness_and_mixdown_bounds(data):
     if rms_in > 0:
         # clipping can only LOWER the output RMS below the target;
         # absent clipping the quantization error is at most 0.5/sample
-        if int(np.abs(y).max()) < 32767:
+        # int64 before abs: np.abs wraps at int16 -32768, which would
+        # hide exactly the clipped samples this guard is looking for
+        if int(np.abs(y.astype(np.int64)).max()) < 32767:
             assert abs(rms_out - target) <= 1.0
         else:
             assert rms_out <= target + 1.0
