@@ -64,10 +64,12 @@ def run_benchmarks() -> dict:
     ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
     _audio_path(SF_DIR)
     from dataflows_ray.pipelines.relational import (
-        _multicodec_audio_path, _flac_audio_path, _video_path)
+        _multicodec_audio_path, _flac_audio_path, _video_path,
+        _jpeg_image_path)
     _multicodec_audio_path(SF_DIR)
     _flac_audio_path(SF_DIR)
     _video_path(SF_DIR)
+    _jpeg_image_path(SF_DIR)
 
     timed("q01_pricing_summary", lambda: q01_pricing_summary(SF_DIR).to_pandas())
     timed("q05_priority_counts", lambda: q05_priority_counts(SF_DIR).to_pandas())

@@ -2727,6 +2727,73 @@ def q94_streaming_loudness(sf_dir: str):
         ["clip_id", "n_samples", "rms_in", "gain", "rms_out"])
 
 
+class _FlacTranscode:
+    """q105 transform: decode ANY source codec -> re-encode FLAC inside
+    the streaming engine's split tasks (picklable module-level class).
+    The transcode invariant is real: the FLAC payload must reproduce
+    the source's decoded int16 waveform bit-for-bit (`exact`), and the
+    emitted sha256 pins the encoder's determinism across partitions."""
+
+    def __init__(self, first_n: int = 500):
+        self.first_n = first_n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import hashlib
+        import numpy as np
+        from ..streaming.audio import decode_pcm
+        from ..functions.flac import encode_flac, decode_flac
+        t = _clip_index_filter(t, self.first_n)
+        rows = {"clip_id": t["clip_id"], "src_codec": t["codec"],
+                "event_ms": t["event_ms"]}
+        n_samples, src_bytes, flac_bytes, sha, exact = [], [], [], [], []
+        for raw, codec, sr in zip(t["bytes"].to_pylist(),
+                                  t["codec"].to_pylist(),
+                                  t["sr_hz"].to_pylist()):
+            # floor(x*32767+0.5) recovers the source's int16 samples
+            # exactly (every decode float is int/32767, error << 0.5)
+            pcm = np.floor(decode_pcm(raw, codec) * 32767.0
+                           + 0.5).astype(np.int64)
+            enc = encode_flac(pcm, sr)
+            dec, _info = decode_flac(enc)
+            n_samples.append(len(pcm))
+            src_bytes.append(len(raw))
+            flac_bytes.append(len(enc))
+            sha.append(hashlib.sha256(enc).hexdigest())
+            exact.append(int(np.array_equal(dec, pcm)))
+        return pa.table({**rows,
+                         "n_samples": pa.array(n_samples, pa.int64()),
+                         "src_bytes": pa.array(src_bytes, pa.int64()),
+                         "flac_bytes": pa.array(flac_bytes, pa.int64()),
+                         "flac_sha256": pa.array(sha, pa.string()),
+                         "exact": pa.array(exact, pa.int64())})
+
+
+def q105_streaming_flac_transcode(sf_dir: str):
+    """STREAMING exactly-once corpus transcode ETL: normalize a mixed
+    PCM16/G.711/WAV corpus to ONE lossless codec (the from-scratch FLAC,
+    functions/flac.py) inside micro-batch split tasks with idempotent
+    staging, 2PC commit and crash resume. Every clip's FLAC payload
+    must reproduce the source's decoded int16 waveform exactly, and its
+    sha256 must match the sequential fixture — pinning both the
+    streaming topology and the encoder's cross-partition determinism."""
+    import shutil
+    from ..streaming.map_engine import StreamingMapEngine
+    from ..streaming.sink import ExactlyOnceSink
+
+    path = _multicodec_audio_path(sf_dir)
+    out = (f"/tmp/dataflows_ray_transcode_sink/"
+           f"{os.path.basename(sf_dir.rstrip('/'))}")
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = StreamingMapEngine(path, out, transform=_FlacTranscode(500),
+                             key="clip_id", ts_col="event_ms",
+                             num_partitions=4, rowgroups_per_epoch=2)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["clip_id", "src_codec", "n_samples", "src_bytes",
+         "flac_bytes", "flac_sha256", "exact"])
+
+
 def q95_changelog_compaction(sf_dir: str):
     """CDC changelog compaction — the upsert-materialization step of an
     incremental pipeline: events form a per-user changelog (version =
@@ -3112,6 +3179,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q102_content_fingerprint": q102_content_fingerprint,
     "q103_flac_lossless_qc": q103_flac_lossless_qc,
     "q104_mjpeg_frame_sampling": q104_mjpeg_frame_sampling,
+    "q105_streaming_flac_transcode": q105_streaming_flac_transcode,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3520,4 +3588,15 @@ ORACLES["q104_mjpeg_frame_sampling"] = f"""
 SELECT video_id, format, n_frames, sampled_frames, mean_brightness
 FROM read_parquet('{_FIX}/q104_mjpeg_frame_sampling.parquet')
 ORDER BY video_id
+"""
+
+# q105: sequential single-process mirror (scripts/gen_fixtures.py
+# gen_q105) — transcode is per-clip independent and the FLAC encoder is
+# deterministic, so the streaming-engine run must reproduce the
+# fixture's per-clip payload sha256 exactly at any partitioning.
+ORACLES["q105_streaming_flac_transcode"] = f"""
+SELECT clip_id, src_codec, n_samples, src_bytes, flac_bytes,
+       flac_sha256, exact
+FROM read_parquet('{_FIX}/q105_streaming_flac_transcode.parquet')
+ORDER BY clip_id
 """

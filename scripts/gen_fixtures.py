@@ -193,6 +193,28 @@ def gen_q104(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def gen_q105(sf_dir: str) -> pa.Table:
+    """Sequential mirror of q105: FLAC-transcode the first-500-clip
+    subset of the multicodec table in one single-process pass. Asserts
+    the transcode invariants at fixture time: every clip's FLAC payload
+    reproduces the source's decoded int16 waveform exactly, and the
+    lossless normalization actually compresses the corpus."""
+    import glob
+    from dataflows_ray.pipelines.relational import (
+        _FlacTranscode, _multicodec_audio_path)
+    files = sorted(glob.glob(os.path.join(
+        _multicodec_audio_path(sf_dir), "*.parquet")))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    df = _FlacTranscode(500)(tbl).to_pandas()
+    assert (df["exact"] == 1).all(), "FLAC transcode not lossless"
+    assert df["flac_bytes"].sum() < 2 * df["n_samples"].sum(), \
+        "FLAC normalization did not compress vs raw PCM16"
+    out = (df[["clip_id", "src_codec", "n_samples", "src_bytes",
+               "flac_bytes", "flac_sha256", "exact"]]
+           .sort_values("clip_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def gen_q22(sf_dir: str) -> pa.Table:
     """Sequential mirror of functions.similarity.lsh_topk (bits=8, k=5,
     queries = vec_ids 0,1,2): bucket the corpus, multi-probe filter, exact
@@ -883,6 +905,9 @@ def main():
         pq.write_table(gen_q104(sf_dir),
                        f"{fdir}/q104_mjpeg_frame_sampling.parquet")
         print(f"{name}: q104 written")
+        pq.write_table(gen_q105(sf_dir),
+                       f"{fdir}/q105_streaming_flac_transcode.parquet")
+        print(f"{name}: q105 written")
         pq.write_table(gen_q28(sf_dir), f"{fdir}/q28_approx_ndv.parquet")
         print(f"{name}: q28 written")
         pq.write_table(gen_q41(sf_dir), f"{fdir}/q41_knn_ivf.parquet")

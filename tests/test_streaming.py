@@ -777,6 +777,51 @@ def test_streaming_map_engine_exactly_once_crash_resume(tmp_path):
     assert r["epochs_processed"] == 0 and r["committed_rows"] == 120
 
 
+def test_streaming_flac_transcode_crash_resume(tmp_path):
+    """q105's transcode transform through the exactly-once engine:
+    crash mid-run, resume — every clip transcoded exactly once, FLAC
+    payload hashes identical to a clean run (encoder determinism holds
+    across the resume boundary)."""
+    import pyarrow.parquet as pq
+    from dataflows_ray.streaming.audio import synth_clip_batch
+    from dataflows_ray.streaming.map_engine import StreamingMapEngine
+    from dataflows_ray.streaming.sink import ExactlyOnceSink
+    from dataflows_ray.pipelines.relational import _FlacTranscode
+
+    src = str(tmp_path / "clips")
+    os.makedirs(src)
+    tbl = synth_clip_batch(0, 80, codec_mix=("pcm16", "mulaw", "wav"))
+    for i in range(0, 80, 20):
+        pq.write_table(tbl.slice(i, 20), os.path.join(src, f"p{i}.parquet"),
+                       row_group_size=10)
+
+    def run(out, crash=None):
+        eng = StreamingMapEngine(src, out, transform=_FlacTranscode(80),
+                                 key="clip_id", ts_col="event_ms",
+                                 num_partitions=2, rowgroups_per_epoch=3)
+        return eng.run(crash_after_stage_of_epoch=crash)
+
+    clean_out = str(tmp_path / "clean")
+    assert run(clean_out)["committed_rows"] == 80
+    clean = ExactlyOnceSink(clean_out).read_output().to_pandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    assert (clean["exact"] == 1).all()
+
+    out = str(tmp_path / "crash")
+    try:
+        run(out, crash=1)
+        assert False
+    except RuntimeError:
+        pass
+    assert run(out)["committed_rows"] == 80
+    got = ExactlyOnceSink(out).read_output().to_pandas() \
+        .sort_values("clip_id").reset_index(drop=True)
+    assert got["clip_id"].is_unique
+    assert (got["flac_sha256"] == clean["flac_sha256"]).all()
+    r = run(out)  # rerun over committed sink is a no-op
+    assert r["epochs_processed"] == 0 and r["committed_rows"] == 80
+
+
 def test_streaming_map_engine_incremental_append(tmp_path):
     """Growing input: files appended after a committed run become NEW
     epochs; a rerun processes only them (incremental backfill), totals
