@@ -42,6 +42,7 @@ ENGINES = {
     "ndv": ("dataflows_ray.streaming.ndv_engine", "StreamingNdvEngine"),
     "dedup": ("dataflows_ray.streaming.dedup_engine",
               "StreamingDedupEngine"),
+    "transcode": None,   # StreamingMapEngine + FLAC transcode (below)
 }
 
 
@@ -65,10 +66,21 @@ def main() -> None:
     parts = args.partitions or max(4, ncpu // 4)
 
     import importlib
-    mod, cls = ENGINES[args.engine]
-    Engine = getattr(importlib.import_module(mod), cls)
-    eng = Engine(args.input, args.output, num_partitions=parts,
-                 rowgroups_per_epoch=args.rowgroups_per_epoch)
+    if args.engine == "transcode":
+        # corpus normalization job: every clip (any source codec)
+        # re-encoded to FLAC through the exactly-once sink (q105 ETL)
+        from dataflows_ray.pipelines.relational import _FlacTranscode
+        from dataflows_ray.streaming.map_engine import StreamingMapEngine
+        eng = StreamingMapEngine(
+            args.input, args.output,
+            transform=_FlacTranscode(first_n=10**15),
+            key="clip_id", ts_col="event_ms", num_partitions=parts,
+            rowgroups_per_epoch=args.rowgroups_per_epoch)
+    else:
+        mod, cls = ENGINES[args.engine]
+        Engine = getattr(importlib.import_module(mod), cls)
+        eng = Engine(args.input, args.output, num_partitions=parts,
+                     rowgroups_per_epoch=args.rowgroups_per_epoch)
     t0 = time.time()
     metrics = eng.run()
     metrics.update({"sec": round(time.time() - t0, 3), "cpus": ncpu,
