@@ -90,18 +90,33 @@ def fingerprint_batch(batch: pa.Table, bytes_col: str = "bytes",
     col = batch[bytes_col].combine_chunks()
     off, data = _binary_offsets(col)
     n = len(col)
-    digests: Dict[str, List[str]] = {a: [] for a in algos}
+    # hoisted constructors: hashlib.new() re-resolves the algo by name
+    # per call, a per-row tax over millions of clips
+    ctors = [getattr(hashlib, a) for a in algos]
+    digests: Dict[str, List[Optional[str]]] = {a: [] for a in algos}
+    valid = col.is_valid().to_pylist() if col.null_count else None
     for i in range(n):
+        if valid is not None and not valid[i]:
+            # NULL payload: propagate null (SQL semantics — hashing a
+            # NULL must not conflate it with genuinely empty content)
+            for a in algos:
+                digests[a].append(None)
+            continue
         seg = data[off[i]:off[i + 1]]
         if hex_form:
             seg = bytes(seg).hex().upper().encode("ascii")
-        for a in algos:
-            digests[a].append(hashlib.new(a, seg).hexdigest())
+        for a, ctor in zip(algos, ctors):
+            digests[a].append(ctor(seg).hexdigest())
     out = batch.drop_columns([bytes_col]) if drop_bytes else batch
     for a in algos:
         out = out.append_column(f"{a}_hex", pa.array(digests[a],
                                                      type=pa.string()))
-    out = out.append_column("n_bytes", pa.array(np.diff(off)))
+    n_bytes = np.diff(off)
+    out = out.append_column(
+        "n_bytes",
+        pa.array(n_bytes, type=pa.int64()) if valid is None else
+        pa.array([int(v) if ok else None
+                  for v, ok in zip(n_bytes, valid)], type=pa.int64()))
     return out
 
 
@@ -208,14 +223,24 @@ def verify_integrity_many(roots: Iterable, algos:
     files = []
     missing = []
     expected: Dict[str, Dict] = {}
-    algos_seen: Tuple[str, ...] = ()
+    # manifests may carry different algo sets per root: verify each
+    # file against ITS OWN manifest's algos (a last-manifest-wins
+    # global would silently skip checks or KeyError on mixed roots)
+    file_algos: Dict[str, Tuple[str, ...]] = {}
     for item in roots:
         root, manifest_path = item if isinstance(item, tuple) \
             else (item, None)
         manifest_path = manifest_path or os.path.join(root, MANIFEST_NAME)
         with open(manifest_path) as f:
             manifest = json.load(f)
-        algos_seen = tuple(manifest["algos"])
+        m_algos = tuple(manifest["algos"])
+        if algos:
+            absent = [a for a in algos if a not in m_algos]
+            if absent:
+                raise ValueError(
+                    f"manifest {manifest_path} lacks requested "
+                    f"algos {absent}; it records {list(m_algos)}")
+            m_algos = tuple(algos)
         for rel, exp in sorted(manifest["files"].items()):
             full = os.path.join(root, rel)
             if not os.path.exists(full):
@@ -223,10 +248,13 @@ def verify_integrity_many(roots: Iterable, algos:
             else:
                 files.append({"path": full, "rel": rel})
                 expected[full] = exp
-    algos = tuple(algos or algos_seen)
-    entries = _hash_files_distributed(files, algos)
+                file_algos[full] = m_algos
+    union_algos = tuple(sorted({a for t in file_algos.values()
+                                for a in t}))
+    entries = _hash_files_distributed(files, union_algos)
     mismatched = [e["rel"] for e in entries
-                  if any(e[a] != expected[e["path"]][a] for a in algos)
+                  if any(e[a] != expected[e["path"]][a]
+                         for a in file_algos[e["path"]])
                   or e["bytes"] != expected[e["path"]]["bytes"]]
     return {"ok": not mismatched and not missing,
             "n_files": len(files),

@@ -660,6 +660,13 @@ def encode_flac(samples: np.ndarray, sr_hz: int, bps: int = 16,
         raise ValueError("1..8 channels supported")
     if not (4 <= bps <= 24):
         raise ValueError("bps 4..24 supported")
+    if not (16 <= blocksize <= 65535):
+        # STREAMINFO's min/max blocksize fields are 16 bits and RFC
+        # 9639 %9.1.1 reserves <16; larger values would silently
+        # truncate in write_uint and emit an undecodable stream
+        raise ValueError("blocksize 16..65535 supported")
+    if not (1 <= sr_hz < (1 << 20)):
+        raise ValueError("sample rate must fit STREAMINFO's 20 bits")
     x = x.astype(np.int64)
     lim = 1 << (bps - 1)
     if n and (x.min() < -lim or x.max() >= lim):

@@ -282,7 +282,8 @@ def _block_tokens(zz: np.ndarray, dc_prev: int):
 
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                dc_interleaved: bool = True) -> bytes:
     """(h, w, 3) uint8 RGB -> JFIF JPEG bytes.
 
     ``subsampling``: '444' (one 8x8 Y/Cb/Cr block per MCU) or '420'
@@ -353,7 +354,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         sof += bytes([2, 0x11, 1])
         sof += bytes([3, 0x11, 1])
         out += pseg(0xFFC2, sof)
-        out += _encode_progressive_body(specs)
+        out += _encode_progressive_body(specs, dc_interleaved)
         out += b"\xff\xd9"
         return bytes(out)
 
@@ -640,11 +641,19 @@ def _decode_dc_scan(reader, scan, by_id, htabs, coef, preds, sof,
     (Ah>0): one raw bit per block appended at position Al."""
     h, w, comps = sof
     _, _, _, _, mcus_y, mcus_x = _comp_dims(sof, comps[0])
-    n_mcus = mcus_y * mcus_x
     interleaved = len(scan) > 1
+    if interleaved:
+        total = mcus_y * mcus_x
+    else:
+        # non-interleaved scan (Ns=1): the "MCU" is ONE data unit of
+        # that component, so the scan covers its real block grid —
+        # which is larger than the interleaved MCU grid for any
+        # subsampled SOF (e.g. 4x for 4:2:0 luma)
+        _pb, _pw, hb0, wb0, _, _ = _comp_dims(sof, by_id[scan[0]["id"]])
+        total = hb0 * wb0
     mcu = restart_next[0]
-    limit = restart_next[1] or n_mcus
-    stop = min(n_mcus, mcu + limit)
+    limit = restart_next[1] or total
+    stop = min(total, mcu + limit)
     while mcu < stop:
         my, mx = divmod(mcu, mcus_x)
         for sc in scan:
@@ -877,6 +886,25 @@ class _WriteSink:
             self.bw.write(v, n)
 
 
+def _emit_dc_scan_ni(sink, c: Dict, ah: int, al: int) -> None:
+    """Non-interleaved DC scan (Ns=1, legal per T.81): one component's
+    REAL block grid in row-major order — each data unit is its own
+    'MCU', so the scan covers hb_real x wb_real units (larger than the
+    interleaved MCU grid for subsampled components)."""
+    pred = 0
+    for by in range(c["hb_real"]):
+        for bx in range(c["wb_real"]):
+            dc = int(c["zz"][by * c["wb_pad"] + bx][0])
+            if ah == 0:
+                v = dc >> al
+                size, bits = _magnitude(v - pred)
+                pred = v
+                sink.sym(0, c["tc"], size)
+                sink.bits(bits, size)
+            else:
+                sink.bits((dc >> al) & 1, 1)
+
+
 def _emit_dc_scan(sink, comps, ah: int, al: int) -> None:
     """Interleaved DC scan: comps = [{zz, wb_pad, h, v, tc}...] in MCU
     order over the shared grid (mcus_y, mcus_x)."""
@@ -989,10 +1017,14 @@ class _AcScanEmitter:
         self._flush_eob()
 
 
-def _encode_progressive_body(comp_specs: List[Dict]) -> bytes:
+def _encode_progressive_body(comp_specs: List[Dict],
+                             dc_interleaved: bool = True) -> bytes:
     """Everything after SOF2: per-scan DHT + SOS + entropy data, for the
     standard 10-scan script (libjpeg's default simple progression).
-    ``comp_specs``: [{id, zz, wb_pad, hb_real, wb_real, h, v, tc, mcus}]."""
+    ``comp_specs``: [{id, zz, wb_pad, hb_real, wb_real, h, v, tc, mcus}].
+    ``dc_interleaved=False`` emits one Ns=1 DC scan per component
+    instead of the interleaved scan — same coefficients, legal per
+    T.81, used as the decoder's conformance partner."""
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
@@ -1010,6 +1042,22 @@ def _encode_progressive_body(comp_specs: List[Dict]) -> bytes:
     out = bytearray()
 
     def run_dc(ah: int, al: int) -> None:
+        if not dc_interleaved:
+            # one Ns=1 scan per component (T.81-legal; exercises the
+            # decoder's non-interleaved DC data-unit count)
+            for c in comp_specs:
+                sink = _FreqSink()
+                _emit_dc_scan_ni(sink, c, ah, al)
+                codes = {}
+                for key, freq in sink.freq.items():
+                    tab = _optimal_table(freq)
+                    out.extend(seg(0xFFC4, dht(key[0], key[1], *tab)))
+                    codes[key] = _build_codes(*tab)
+                out.extend(sos([(c["id"], c["tc"], 0)], 0, 0, ah, al))
+                ws = _WriteSink(codes)
+                _emit_dc_scan_ni(ws, c, ah, al)
+                out.extend(ws.bw.flush())
+            return
         sink = _FreqSink()
         _emit_dc_scan(sink, comp_specs, ah, al)
         codes = {}

@@ -76,6 +76,16 @@ def pca_fit(ds: ray.data.Dataset, col: str = "embedding",
         if max_abs == 0:
             chunk = len(q)
         else:
+            if max_abs * max_abs > (1 << 62):
+                # even a single q_i*q_j product would overflow int64 —
+                # no chunk size can make the partial exact, so fail
+                # LOUDLY instead of wrapping (|x| >= ~2147 quantized at
+                # 1e6; real embeddings are O(1), so this is input
+                # corruption, not scale)
+                raise ValueError(
+                    f"pca_fit: |quantized value| {max_abs} too large "
+                    "for the exact int64 moment path; rescale the "
+                    "embedding column")
             chunk = max(1, (1 << 62) // (max_abs * max_abs))
         ns, ss, xs = [], [], []
         for start in range(0, len(q), chunk):

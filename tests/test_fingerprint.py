@@ -37,6 +37,54 @@ def test_fingerprint_batch_matches_hashlib():
         assert out["n_bytes"][i].as_py() == len(payload)
 
 
+def test_fingerprint_null_payloads_propagate_null():
+    """NULL binary values must fingerprint as NULL (SQL semantics) —
+    not as the empty-content digest, which would conflate NULL with
+    genuinely empty clips in exact dedup."""
+    t = pa.table({
+        "clip_id": ["a", "b", "c"],
+        "bytes": pa.array([b"xy", None, b""], type=pa.binary()),
+    })
+    out = fingerprint_batch(t)
+    assert out["sha256_hex"][0].as_py() == hashlib.sha256(b"xy").hexdigest()
+    assert out["sha256_hex"][1].as_py() is None
+    assert out["md5_hex"][1].as_py() is None
+    assert out["n_bytes"][1].as_py() is None
+    # empty-but-present content still gets the empty digest
+    assert out["sha256_hex"][2].as_py() == hashlib.sha256(b"").hexdigest()
+    assert out["n_bytes"][2].as_py() == 0
+
+
+def test_verify_integrity_many_mixed_algo_manifests(tmp_path):
+    """Roots whose manifests record DIFFERENT algo sets must each be
+    verified against their own set — and a tamper under the algo only
+    one root records must still be caught whichever order the roots
+    are passed in."""
+    from dataflows_ray.functions.fingerprint import verify_integrity_many
+    roots = []
+    for i, algos in enumerate([("sha256", "md5"), ("sha256",)]):
+        root = str(tmp_path / f"root{i}")
+        os.makedirs(root)
+        pq.write_table(_clip_table(n=4, seed=i),
+                       os.path.join(root, "part-0.parquet"))
+        build_integrity_manifest(root, algos=algos)
+        roots.append(root)
+    for order in (roots, roots[::-1]):
+        assert verify_integrity_many(order)["ok"]
+    # tamper root0's file: its manifest has md5, root1's does not —
+    # the sweep must flag it regardless of root order
+    victim = os.path.join(roots[0], "part-0.parquet")
+    blob = bytearray(open(victim, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(blob))
+    for order in (roots, roots[::-1]):
+        rep = verify_integrity_many(order)
+        assert not rep["ok"] and rep["mismatched"] == ["part-0.parquet"]
+    # requesting an algo a manifest lacks is a loud error, not a skip
+    with pytest.raises(ValueError):
+        verify_integrity_many(roots, algos=("md5",))
+
+
 def test_fingerprint_hex_form_matches_duckdb():
     """hex_form digests must equal DuckDB's md5(hex(col)) / sha256(hex(col))
     — the canonical form the oracle-checked catalog query relies on."""

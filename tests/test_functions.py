@@ -824,6 +824,24 @@ def test_jpeg_progressive_matches_baseline():
                     assert np.array_equal(base, prog), (h, w, sub, q)
 
 
+def test_jpeg_progressive_noninterleaved_dc_scans():
+    """T.81-legal variant: one Ns=1 DC scan PER COMPONENT instead of
+    the interleaved DC scan. For subsampled SOFs the luma DC scan then
+    covers ceil(h/8)*ceil(w/8) data units — 4x the interleaved MCU
+    count at 4:2:0 — which a decoder capping at the MCU grid would
+    silently truncate (the round-5 review finding). Decode must equal
+    baseline bit-for-bit."""
+    from dataflows_ray.functions.jpeg import encode_jpeg, decode_jpeg
+    rng = np.random.Generator(np.random.PCG64(29))
+    for (h, w) in [(16, 16), (24, 40), (17, 23), (33, 31)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for sub in ("420", "444"):
+            base = decode_jpeg(encode_jpeg(img, 90, sub))
+            ni = decode_jpeg(encode_jpeg(img, 90, sub, progressive=True,
+                                         dc_interleaved=False))
+            assert np.array_equal(base, ni), (h, w, sub)
+
+
 def test_jpeg_quality_ladder_and_errors():
     from dataflows_ray.functions.jpeg import encode_jpeg, decode_jpeg
     rng = np.random.Generator(np.random.PCG64(11))

@@ -37,6 +37,22 @@ def test_pca_fit_exact_on_million_row_block():
     assert np.isclose(vals[1], 0.0, atol=1e-9)
 
 
+def test_pca_fit_rejects_unchunkable_magnitudes():
+    """|x| large enough that a SINGLE quantized product q_i*q_j exceeds
+    2^62 cannot be made exact by chunking — pca_fit must raise instead
+    of silently wrapping (round-5 review finding)."""
+    import pytest
+    import ray.data
+    from dataflows_ray.functions.pca import pca_fit
+
+    flat = np.full(8, 5000.0, dtype=np.float32)  # q = 5e9; q^2 > 2^62
+    arr = pa.FixedSizeListArray.from_arrays(pa.array(flat), 2)
+    tbl = pa.table({"vec_id": pa.array(np.arange(4)), "embedding": arr})
+    with pytest.raises(Exception) as ei:
+        pca_fit(ray.data.from_arrow(tbl), col="embedding", k=1)
+    assert "rescale" in str(ei.value)
+
+
 def test_bm25_score_u_partition_invariant():
     """score_u is an integer sum of per-term floors — identical at any
     parallelism (no float summation-order hazard)."""
