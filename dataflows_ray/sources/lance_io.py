@@ -43,36 +43,45 @@ def read_table_auto(path: str, columns: Optional[List[str]] = None):
     return ray.data.read_parquet(path, columns=columns)
 
 
-def plan_stream_epochs(input_path: str, units_per_epoch: int
-                       ) -> List[List[Dict]]:
-    """Plan micro-batch epochs over a table path.
+def plan_stream_units(input_path: str) -> List[Dict]:
+    """The flat, ordered list of stream units for a table path.
 
     - Lance dataset: one unit per FRAGMENT (``{"path", "fragment"}``) —
-      fragments are Lance's append unit, so epoch order is ingest order.
+      fragments are Lance's append unit, so unit order is ingest order.
     - Parquet file/dir: one unit per row group (``{"path", "row_group"}``)
       in (file, row group) order.
+
+    Appends extend the list; existing units keep their positions — the
+    property the engines' committed-unit accounting relies on.
     """
     if _is_lance_path(input_path):
         if not lance_available():
             raise ImportError("Lance dataset requires the 'lance' package")
         import lance
         ds = lance.dataset(input_path)
-        units = [{"path": input_path, "fragment": f.fragment_id}
-                 for f in ds.get_fragments()]
+        return [{"path": input_path, "fragment": f.fragment_id}
+                for f in ds.get_fragments()]
+    paths = []
+    if os.path.isdir(input_path):
+        for root, _d, files in os.walk(input_path):
+            paths.extend(os.path.join(root, f)
+                         for f in sorted(files) if f.endswith(".parquet"))
+        paths.sort()
     else:
-        paths = []
-        if os.path.isdir(input_path):
-            for root, _d, files in os.walk(input_path):
-                paths.extend(os.path.join(root, f)
-                             for f in sorted(files) if f.endswith(".parquet"))
-            paths.sort()
-        else:
-            paths = [input_path]
-        units = []
-        for p in paths:
-            meta = pq.read_metadata(p)
-            units.extend({"path": p, "row_group": rg}
-                         for rg in range(meta.num_row_groups))
+        paths = [input_path]
+    units: List[Dict] = []
+    for p in paths:
+        meta = pq.read_metadata(p)
+        units.extend({"path": p, "row_group": rg}
+                     for rg in range(meta.num_row_groups))
+    return units
+
+
+def plan_stream_epochs(input_path: str, units_per_epoch: int
+                       ) -> List[List[Dict]]:
+    """Plan micro-batch epochs over a table path (positional chunking
+    of :func:`plan_stream_units`)."""
+    units = plan_stream_units(input_path)
     return [units[i:i + units_per_epoch]
             for i in range(0, len(units), units_per_epoch)]
 

@@ -34,7 +34,7 @@ import pyarrow as pa
 import ray
 
 from .join_state import _serialize, _deserialize
-from .sink import ExactlyOnceSink
+from .sink import sink_for
 from .window_engine import MicroBatchEngine
 
 
@@ -160,7 +160,7 @@ class CepStateActor:
             keep = self.a["__ts__"] + self.within > watermark_ms
             self.a = self.a[keep].reset_index(drop=True)
 
-        sink = ExactlyOnceSink(sink_dir)
+        sink = sink_for(sink_dir)
         if len(emitted):
             stats = sink.stage(epoch, self.partition,
                                pa.Table.from_pandas(emitted,

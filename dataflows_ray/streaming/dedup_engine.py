@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .sink import ExactlyOnceSink
+from .sink import sink_for
 from .window_engine import MicroBatchEngine
 
 _HA, _HB = "__ch_a__", "__ch_b__"
@@ -127,7 +127,7 @@ class DedupStateActor:
             emitted = df[~dup] if n_dup else df
             self._insert(np.sort(keys[~dup]))
 
-        sink = ExactlyOnceSink(sink_dir)
+        sink = sink_for(sink_dir)
         if len(emitted):
             out = pa.Table.from_pandas(
                 emitted.drop(columns=[_HA, _HB]), preserve_index=False)

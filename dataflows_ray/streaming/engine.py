@@ -87,9 +87,12 @@ def _split_rowgroup(path: str, row_group, num_partitions: int,
             ["clip_id", "transcript", "event_ms"])
         max_ms = -1
         if len(sub):
-            max_ms = max(
-                pa.compute.max(sub["event_ms"]).as_py(),
-                pa.compute.max(sub["transcript_event_ms"]).as_py())
+            # pc.max over an all-null column yields None — rows with no
+            # event time contribute nothing to the watermark
+            cands = [pa.compute.max(sub["event_ms"]).as_py(),
+                     pa.compute.max(sub["transcript_event_ms"]).as_py()]
+            cands = [c for c in cands if c is not None]
+            max_ms = max(cands) if cands else -1
         out.append((clips, transcripts, max_ms))
     return tuple(out) if num_partitions > 1 else out[0]
 
@@ -128,16 +131,34 @@ class StreamingJoinEngine:
         actors = [JoinStateActor.remote(
             p, emit_unmatched=self.emit_unmatched) for p in range(P)]
         tracker = WatermarkTracker.remote(P, self.allowed_lateness_ms)
+        try:
+            return self._run(P, actors, tracker, max_epochs,
+                             crash_after_stage_of_epoch)
+        finally:
+            # kill on EVERY exit (incl. injected crashes): repeated
+            # crash/resume cycles must not accumulate leaked actors
+            for a in actors:
+                ray.kill(a)
+            ray.kill(tracker)
 
+    def _run(self, P, actors, tracker, max_epochs,
+             crash_after_stage_of_epoch) -> Dict:
         # -- resume: restore state + watermark from the committed manifest
-        committed = set(self.sink.committed_epochs())
+        manifest_epochs = self.sink.read_manifest()["epochs"]
+        committed = {x for e in manifest_epochs
+                     for x in e.get("compacted_from", [e["epoch"]])}
         state = self.sink.latest_state()
         if state is not None:
+            if len(state["actors"]) != P:
+                raise ValueError(
+                    f"resume with num_partitions={P} but the committed "
+                    f"snapshot has {len(state['actors'])} partitions — "
+                    "state is hash-partitioned; resume with the same "
+                    "num_partitions")
             ray.get([actors[p].restore.remote(state["actors"][p])
                      for p in range(P)])
             ray.get(tracker.restore.remote(state["watermark"]))
 
-        epochs = self.plan_epochs()
         total_rows = 0
         n_done = 0
 
@@ -145,11 +166,12 @@ class StreamingJoinEngine:
         # MicroBatchEngine.run (window_engine.py): split tasks prefetch
         # PREFETCH_EPOCHS ahead; epoch N's commit is deferred until after
         # epoch N+1's ingest is submitted (per-caller FIFO actor ordering
-        # keeps snapshot(N) pre-N+1)
-        from .window_engine import MicroBatchEngine
+        # keeps snapshot(N) pre-N+1). Epoch planning (incl. grown-input
+        # committed-unit accounting) is shared with MicroBatchEngine.
+        from .window_engine import MicroBatchEngine, plan_pending_epochs
         prefetch = MicroBatchEngine.PREFETCH_EPOCHS
-        pending = [(eid, tasks) for eid, tasks in enumerate(epochs)
-                   if eid not in committed]
+        pending, flush_epoch = plan_pending_epochs(
+            self.input_path, self.rowgroups_per_epoch, manifest_epochs)
         if max_epochs is not None:
             pending = pending[:max_epochs]
 
@@ -172,7 +194,7 @@ class StreamingJoinEngine:
         for j in range(min(prefetch + 1, len(pending))):
             inflight[j] = launch_split(pending[j][1])
 
-        deferred = None  # (epoch_id, stats, snap_refs, wm_snap_ref, wm)
+        deferred = None  # (epoch_id, n_units, stats, snaps, wm_snap, wm)
         for i, (epoch_id, tasks) in enumerate(pending):
             split_refs = inflight.pop(i)
             nxt = i + prefetch + 1
@@ -190,29 +212,33 @@ class StreamingJoinEngine:
                     epoch_id, per_part[p], wm, self.out_dir)
                 for p in range(P)]
             if deferred is not None:  # commit N-1 while N ingests
-                d_eid, d_stats, d_snaps, d_wm_snap, d_wm = deferred
+                d_eid, d_nu, d_stats, d_snaps, d_wm_snap, d_wm = deferred
                 self.sink.commit(
                     d_eid, lineage(d_stats), d_wm,
                     state_snapshots={"actors": ray.get(d_snaps),
-                                     "watermark": ray.get(d_wm_snap)})
+                                     "watermark": ray.get(d_wm_snap)},
+                    n_units=d_nu)
                 total_rows += sum(s["rows"] for s in d_stats)
                 n_done += 1
                 deferred = None
             stats = ray.get(stage_refs)
             # watermark advance from per-partition maxima
-            for s in stats:
-                ray.get(tracker.report.remote(s["partition"], s["max_event_ms"]))
+            ray.get([tracker.report.remote(s["partition"],
+                                           s["max_event_ms"])
+                     for s in stats])
             new_wm = ray.get(tracker.watermark.remote())
             if crash_after_stage_of_epoch == epoch_id:
                 raise RuntimeError(f"injected crash after staging epoch {epoch_id}")
             snap_refs = [a.snapshot.remote() for a in actors]
             wm_snap_ref = tracker.snapshot.remote()
-            deferred = (epoch_id, stats, snap_refs, wm_snap_ref, new_wm)
+            deferred = (epoch_id, len(tasks), stats, snap_refs,
+                        wm_snap_ref, new_wm)
         if deferred is not None:
-            d_eid, d_stats, d_snaps, d_wm_snap, d_wm = deferred
+            d_eid, d_nu, d_stats, d_snaps, d_wm_snap, d_wm = deferred
             self.sink.commit(d_eid, lineage(d_stats), d_wm,
                              state_snapshots={"actors": ray.get(d_snaps),
-                                              "watermark": ray.get(d_wm_snap)})
+                                              "watermark": ray.get(d_wm_snap)},
+                             n_units=d_nu)
             total_rows += sum(s["rows"] for s in d_stats)
             n_done += 1
 
@@ -220,12 +246,10 @@ class StreamingJoinEngine:
         # Gated ONLY on the flush epoch not being committed — a resumed run
         # whose data epochs were all already committed (crash between the
         # last commit and the flush) must still flush buffered unmatched
-        # rows, or they are permanently lost.
+        # rows, or they are permanently lost. The flush id lives in its
+        # own range (FLUSH_BASE + #units, from plan_pending_epochs) so a
+        # grown input's new data epochs never collide with it.
         if max_epochs is None:
-            # own id range: a grown input's new data epochs must never
-            # collide with an earlier run's committed flush (see
-            # window_engine.MicroBatchEngine.FLUSH_BASE)
-            flush_epoch = (1 << 40) + len(epochs)
             if flush_epoch not in committed:
                 stats = ray.get([
                     actors[p].process_and_stage.remote(
@@ -237,8 +261,5 @@ class StreamingJoinEngine:
                     flush_epoch, lineage(stats),
                     2**62, state_snapshots={"actors": snaps, "watermark": wm_snap})
                 total_rows += sum(s["rows"] for s in stats)
-        for a in actors:
-            ray.kill(a)
-        ray.kill(tracker)
         return {"epochs_processed": n_done, "rows_emitted": total_rows,
                 "committed_rows": self.sink.committed_row_count()}

@@ -164,8 +164,9 @@ class JoinStateActor:
 
         n_expired = 0
         if watermark_ms >= 0:
-            for parts, ts_col in ((self.left_parts, self.left_ts),
-                                  (self.right_parts, self.right_ts)):
+            for parts, ts_col, is_right in (
+                    (self.left_parts, self.left_ts, False),
+                    (self.right_parts, self.right_ts, True)):
                 buf = self._buf(parts)
                 if buf is None or not len(buf):
                     continue
@@ -177,6 +178,22 @@ class JoinStateActor:
                     expired = buf.filter(mask)
                     n_expired += len(expired)
                     if self.emit_unmatched:
+                        if is_right and self.left_schema is not None:
+                            # unmatched RIGHT rows carry right-side
+                            # columns whose names collide with left's
+                            # (the engine renames the transcript ts to
+                            # event_ms) — suffix them so _canonicalize
+                            # puts the value in the '_r' column, not in
+                            # the LEFT column it was never part of.
+                            # Keyed on the SIDE, not the ts name: both
+                            # sides' ts columns are usually 'event_ms',
+                            # and renaming a LEFT row would null out
+                            # every left value in the canonical output.
+                            lnames = set(self.left_schema.names)
+                            expired = expired.rename_columns([
+                                n if n == self.key or n not in lnames
+                                else f"{n}_r"
+                                for n in expired.column_names])
                         out_tables.append(expired)
                     parts[:] = [buf.filter(pc.invert(mask))]
 
@@ -196,7 +213,7 @@ class JoinStateActor:
         """Engine entry point: ingest this partition's split objects for one
         epoch, join/expire against the watermark, and STAGE the output
         parquet (phase 1 of the 2PC sink). Returns lineage metrics."""
-        from .sink import ExactlyOnceSink
+        from .sink import sink_for
 
         tuples = ray.get(list(refs)) if refs else []
         lefts = [t[0] for t in tuples if t[0] is not None and len(t[0])]
@@ -205,7 +222,7 @@ class JoinStateActor:
         left = pa.concat_tables(lefts) if lefts else None
         right = pa.concat_tables(rights) if rights else None
         out, metrics = self._process(left, right, watermark_ms)
-        sink = ExactlyOnceSink(sink_dir)
+        sink = sink_for(sink_dir)
         if out is not None and len(out):
             stats = sink.stage(epoch, self.partition, out)
         else:

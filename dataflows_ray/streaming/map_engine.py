@@ -23,7 +23,7 @@ from typing import Callable, Dict, List, Optional
 import pyarrow as pa
 import ray
 
-from .sink import ExactlyOnceSink
+from .sink import sink_for
 from .window_engine import MicroBatchEngine
 
 
@@ -41,7 +41,7 @@ class StageOnlyActor:
         tuples = ray.get(list(refs)) if refs else []
         tables = [t[0] for t in tuples if t[0] is not None and len(t[0])]
         max_ms = max([t[1] for t in tuples], default=-1)
-        sink = ExactlyOnceSink(sink_dir)
+        sink = sink_for(sink_dir)
         if tables:
             stats = sink.stage(epoch, self.partition,
                                pa.concat_tables(tables))

@@ -31,7 +31,7 @@ import pyarrow as pa
 import ray
 
 from ..functions.sketch import _estimate, _hash_column, _registers
-from .sink import ExactlyOnceSink
+from .sink import sink_for
 from .topk_engine import _WIDX, _add_window_idx
 from .window_engine import MicroBatchEngine
 
@@ -88,7 +88,7 @@ class NdvStateActor:
 
         closed = sorted(ws for ws in self.state
                         if ws + self.window_ms <= watermark_ms)
-        sink = ExactlyOnceSink(sink_dir)
+        sink = sink_for(sink_dir)
         if closed:
             out = pa.table({
                 "window_start": pa.array(closed, type=pa.int64()),

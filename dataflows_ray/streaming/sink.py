@@ -44,6 +44,28 @@ import pyarrow as pa
 from .storage import SinkStorage
 
 
+def sink_for(out_dir: str) -> "ExactlyOnceSink":
+    """Per-process cached sink handle for STATE ACTORS.
+
+    An actor's ``sink_dir`` never varies over its lifetime, but its
+    ``ingest_and_stage`` runs once per epoch — constructing a fresh
+    ``ExactlyOnceSink`` there re-runs compaction recovery plus three
+    ``makedirs`` and storage resolution per epoch per partition (pure
+    repeated I/O locally; several LIST/HEAD round trips each on an
+    object-store backend). Actors only ever call ``stage``/``stage_side``
+    (idempotent, stateless), so one handle per (process, out_dir) is
+    safe. Drivers keep constructing their own sink directly: they own
+    manifest commits and must observe recovery at startup.
+    """
+    s = _SINK_CACHE.get(out_dir)
+    if s is None:
+        s = _SINK_CACHE[out_dir] = ExactlyOnceSink(out_dir)
+    return s
+
+
+_SINK_CACHE: Dict[str, "ExactlyOnceSink"] = {}
+
+
 class ExactlyOnceSink:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
@@ -58,19 +80,48 @@ class ExactlyOnceSink:
         self.state_dir = self.st.local_path("state")
         self.manifest_path = self.st.local_path("manifest.json")
 
+    _COMPACT_MANIFEST = "manifest.json.compact"
+
+    def _promote_compact_manifest(self) -> None:
+        if self.st.exists(self._COMPACT_MANIFEST):
+            self.st.write_bytes_atomic(
+                "manifest.json", self.st.read_bytes(self._COMPACT_MANIFEST))
+            self.st.delete(self._COMPACT_MANIFEST)
+
     def _recover_compaction(self) -> None:
         """Roll a compact() interrupted mid-swap forward or back BEFORE
         the empty data dir would be recreated: a crash can only leave
         (a) ``data.new`` fully written and ``data`` renamed away — roll
         FORWARD by promoting data.new; or (b) ``data`` renamed to
         ``data.old`` with no data.new promoted — roll BACK by restoring
-        data.old. Either way no committed row is ever lost."""
+        data.old. Either way no committed row is ever lost.
+
+        The manifest rides the same protocol: compact() STAGES its
+        rewritten manifest (``manifest.json.compact``) before touching
+        the data dirs, so recovery can pair the surviving data layout
+        with the MATCHING manifest — data.old still present after a
+        completed swap means the manifest rewrite may not have landed
+        (promote the staged one); no swap started means roll the staged
+        manifest back. Without this, a crash between the swap and the
+        manifest write would leave per-epoch lineage digests pointing at
+        compacted files that no longer exist."""
         if not self.st.isdir("data"):
             if self.st.isdir("data.new"):
-                self.st.replace("data.new", "data")
+                self.st.replace("data.new", "data")   # roll FORWARD
+                self._promote_compact_manifest()
             elif self.st.isdir("data.old"):
-                self.st.replace("data.old", "data")
+                self.st.replace("data.old", "data")   # roll BACK
+                self.st.delete(self._COMPACT_MANIFEST)
         if self.st.isdir("data"):
+            if self.st.exists(self._COMPACT_MANIFEST):
+                if self.st.isdir("data.old"):
+                    # swap completed (old layout renamed away): data IS
+                    # the compacted layout — finish the manifest write
+                    self._promote_compact_manifest()
+                else:
+                    # swap never started: data is the pre-compaction
+                    # layout — discard the staged manifest
+                    self.st.delete(self._COMPACT_MANIFEST)
             for leftover in ("data.new", "data.old"):
                 if self.st.isdir(leftover):
                     self.st.rmtree(leftover)
@@ -128,7 +179,13 @@ class ExactlyOnceSink:
     # -- phase 2: commit ---------------------------------------------------
     def commit(self, epoch: int, partition_stats: List[Dict],
                watermark_ms: int,
-               state_snapshots: Optional[Dict[int, Dict]] = None) -> None:
+               state_snapshots: Optional[Dict[int, Dict]] = None,
+               n_units: Optional[int] = None) -> None:
+        """``n_units``: how many source units (row groups / fragments)
+        this epoch consumed — recorded so a later run over a GROWN input
+        can plan new epochs from the uncommitted unit suffix instead of
+        re-chunking positionally (which silently drops units that land
+        in an already-committed epoch id)."""
         manifest = self.read_manifest()
         if any(e["epoch"] == epoch for e in manifest["epochs"]):
             return  # already committed — idempotent
@@ -145,13 +202,16 @@ class ExactlyOnceSink:
             self.st.replace(staged, final)
         else:
             self.st.makedirs(final)        # empty epoch
-        manifest["epochs"].append({
+        entry = {
             "epoch": epoch,
             "watermark_ms": watermark_ms,
             "partitions": sorted(partition_stats, key=lambda s: s["partition"]),
             "rows": sum(s["rows"] for s in partition_stats),
             "state_snapshot": state_key,
-        })
+        }
+        if n_units is not None:
+            entry["n_units"] = n_units
+        manifest["epochs"].append(entry)
         self._write_manifest(manifest)
 
     # -- resume ------------------------------------------------------------
@@ -275,7 +335,7 @@ class ExactlyOnceSink:
         # commit: swap data dirs + rewrite manifest atomically
         new_epochs = []
         for grp in groups:
-            new_epochs.append({
+            entry = {
                 "epoch": grp[0]["epoch"],
                 "watermark_ms": max(e["watermark_ms"] for e in grp),
                 "partitions": [{"partition": 0,
@@ -283,21 +343,32 @@ class ExactlyOnceSink:
                                 **group_digests.get(grp[0]["epoch"], {})}],
                 "rows": sum(e["rows"] for e in grp),
                 "state_snapshot": grp[-1].get("state_snapshot"),
-                "compacted_from": [e["epoch"] for e in grp],
-            })
-        # crash-safe swap: promote via data.new so every intermediate
-        # state is recoverable by _recover_compaction (roll forward when
-        # data.new is complete, roll back otherwise) — at no point is
-        # the only copy of committed data in a directory the next
-        # startup would delete
+                # expand nested coverage: re-compacting compacted
+                # entries must keep EVERY original epoch id, or a
+                # resumed run reprocesses the dropped ids (duplicates)
+                "compacted_from": [x for e in grp for x in
+                                   e.get("compacted_from", [e["epoch"]])],
+            }
+            if all("n_units" in e for e in grp):
+                entry["n_units"] = sum(e["n_units"] for e in grp)
+            new_epochs.append(entry)
+        # crash-safe swap: STAGE the rewritten manifest first, then
+        # promote via data.new — every intermediate state is
+        # recoverable by _recover_compaction (roll forward when the
+        # swap completed, roll back otherwise), and the surviving data
+        # layout is always paired with its matching manifest. At no
+        # point is the only copy of committed data in a directory the
+        # next startup would delete.
         for leftover in ("data.new", "data.old"):
             if self.st.exists(leftover):
                 self.st.rmtree(leftover)
+        manifest["epochs"] = new_epochs
+        self.st.write_bytes_atomic(
+            self._COMPACT_MANIFEST, json.dumps(manifest, indent=1).encode())
         self.st.replace(staged_new, "data.new")
         self.st.replace("data", "data.old")
         self.st.replace("data.new", "data")
-        manifest["epochs"] = new_epochs
-        self._write_manifest(manifest)
+        self._promote_compact_manifest()
         self.st.rmtree("data.old")
         return {"files_before": files_before,
                 "files_after": len(self._committed_files("")),

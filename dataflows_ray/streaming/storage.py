@@ -86,6 +86,13 @@ class SinkStorage:
     def rmtree(self, key: str) -> None:
         shutil.rmtree(self.local_path(key))
 
+    def delete(self, key: str) -> None:
+        """Remove one small object (file); no-op if absent."""
+        try:
+            os.remove(self.local_path(key))
+        except FileNotFoundError:
+            pass
+
     def getsize(self, key: str) -> int:
         return os.path.getsize(self.local_path(key))
 

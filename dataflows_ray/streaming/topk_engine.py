@@ -41,7 +41,7 @@ import pyarrow as pa
 import ray
 
 from .join_state import _serialize, _deserialize
-from .sink import ExactlyOnceSink
+from .sink import sink_for
 from .window_engine import MicroBatchEngine
 
 _WIDX = "__window_idx__"
@@ -116,7 +116,7 @@ class TopKStateActor:
                     rank=(pos[pos < self.k] + 1).to_numpy())
                 self.state = self.state[~closed].reset_index(drop=True)
 
-        sink = ExactlyOnceSink(sink_dir)
+        sink = sink_for(sink_dir)
         if len(emitted):
             out = emitted[["window_start", self.key, "n_clips", "rank"]]
             stats = sink.stage(epoch, self.partition,

@@ -31,7 +31,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from .sink import ExactlyOnceSink
+from .sink import sink_for
 from .window_engine import MicroBatchEngine
 
 _FLUSH_WM = 2 ** 61  # watermark at/above this means "stream drained"
@@ -69,7 +69,7 @@ class UpsertStateActor:
             self.state = _keep_latest(pd.concat(frames, ignore_index=True),
                                       self.key, self.order)
 
-        sink = ExactlyOnceSink(sink_dir)
+        sink = sink_for(sink_dir)
         if watermark_ms >= _FLUSH_WM and self.state is not None \
                 and len(self.state):
             # Kleene semantics to match the batch path (pc.not_equal ->

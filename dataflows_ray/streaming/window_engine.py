@@ -46,7 +46,7 @@ import ray
 
 from .engine import _hash_partition
 from .join_state import _serialize, _deserialize
-from .sink import ExactlyOnceSink
+from .sink import ExactlyOnceSink, sink_for
 from .watermark import WatermarkTracker
 
 
@@ -94,11 +94,54 @@ def _split_by_key(path: str, row_group: int, num_partitions: int,
     out = []
     for p in range(num_partitions):
         sub = tbl.filter(pa.array(parts == p))
-        max_ms = int(pa.compute.max(sub[ts_col]).as_py()) if len(sub) else -1
+        # pc.max of an all-null column is a null scalar (None) — rows
+        # with no event time contribute nothing to the watermark
+        m = pa.compute.max(sub[ts_col]).as_py() if len(sub) else None
+        max_ms = -1 if m is None else int(m)
         if precombine is not None and len(sub):
             sub = precombine(sub)
         out.append((sub, max_ms))
     return tuple(out) if num_partitions > 1 else out[0]
+
+
+def plan_pending_epochs(input_path: str, units_per_epoch: int,
+                        manifest_epochs: List[Dict]):
+    """Plan the UNCOMMITTED epochs over a possibly-grown input.
+
+    Committed data-epoch manifest entries record ``n_units`` (how many
+    source units each consumed), so new epochs are chunked from the
+    uncommitted unit SUFFIX with fresh ids. Positional re-chunking —
+    the pre-round-5 scheme — silently dropped units that the grown
+    chunking re-assigned into an already-committed epoch id (e.g.
+    rowgroups_per_epoch=2 over 5 units commits epoch 2 = [unit4];
+    appending 2 units re-chunks epoch 2 to [unit4, unit5], and unit5
+    was never processed by any run).
+
+    Manifests whose data epochs lack ``n_units`` (pre-fix commits) fall
+    back to positional chunking — exactly the old behavior, correct for
+    unchanged inputs. Returns ``(pending, flush_epoch_id)`` where
+    ``pending`` is ``[(epoch_id, unit_tasks)]`` for uncommitted data
+    epochs in order.
+    """
+    from ..sources.lance_io import plan_stream_units
+    units = plan_stream_units(input_path)
+    u = units_per_epoch
+    flush_epoch = MicroBatchEngine.FLUSH_BASE + len(units)
+    data_entries = [e for e in manifest_epochs
+                    if e["epoch"] < MicroBatchEngine.FLUSH_BASE]
+    committed_ids = {x for e in data_entries
+                     for x in e.get("compacted_from", [e["epoch"]])}
+    if data_entries and all("n_units" in e for e in data_entries):
+        consumed = min(sum(e["n_units"] for e in data_entries), len(units))
+        next_id = max(committed_ids) + 1
+        tail = units[consumed:]
+        pending = [(next_id + j, tail[j * u:(j + 1) * u])
+                   for j in range(-(-len(tail) // u))]
+    else:
+        chunks = [units[i:i + u] for i in range(0, len(units), u)]
+        pending = [(eid, tasks) for eid, tasks in enumerate(chunks)
+                   if eid not in committed_ids]
+    return pending, flush_epoch
 
 
 class MicroBatchEngine:
@@ -170,15 +213,36 @@ class MicroBatchEngine:
         cols = self.columns()
         actors = [self.make_actor(p) for p in range(P)]
         tracker = WatermarkTracker.remote(P, self.allowed_lateness_ms)
+        try:
+            return self._run(P, cols, actors, tracker,
+                             crash_after_stage_of_epoch)
+        finally:
+            # kill on EVERY exit (incl. injected crashes / errors): a
+            # driver that catches and re-runs must not leak P+1 actors
+            # holding buffered Arrow state per failed attempt
+            for a in actors:
+                ray.kill(a)
+            ray.kill(tracker)
 
-        committed = set(self.sink.committed_epochs())
+    def _run(self, P, cols, actors, tracker,
+             crash_after_stage_of_epoch) -> Dict:
+        manifest_epochs = self.sink.read_manifest()["epochs"]
+        committed = {x for e in manifest_epochs
+                     for x in e.get("compacted_from", [e["epoch"]])}
         state = self.sink.latest_state()
         if state is not None:
+            if len(state["actors"]) != P:
+                raise ValueError(
+                    f"resume with num_partitions={P} but the committed "
+                    f"snapshot has {len(state['actors'])} partitions — "
+                    "state is hash-partitioned; resume with the same "
+                    "num_partitions")
             ray.get([actors[p].restore.remote(state["actors"][p])
                      for p in range(P)])
             ray.get(tracker.restore.remote(state["watermark"]))
 
-        epochs = self.plan_epochs()
+        pending, flush_epoch = plan_pending_epochs(
+            self.input_path, self.rowgroups_per_epoch, manifest_epochs)
         total_rows = 0
         n_done = 0
 
@@ -195,9 +259,6 @@ class MicroBatchEngine:
         #   post-N/pre-N+1 state — and a crash between commit(N) and
         #   commit(N+1) resumes from N's snapshot and replays N+1's
         #   idempotent staging, exactly as in the serial loop.
-        pending = [(eid, tasks) for eid, tasks in enumerate(epochs)
-                   if eid not in committed]
-
         def launch_split(tasks):
             return [
                 _split_by_key.options(num_returns=P if P > 1 else 1).remote(
@@ -209,7 +270,7 @@ class MicroBatchEngine:
         for j in range(min(self.PREFETCH_EPOCHS + 1, len(pending))):
             inflight[j] = launch_split(pending[j][1])
 
-        deferred = None  # (epoch_id, stats, snap_refs, wm_snap_ref, wm)
+        deferred = None  # (epoch_id, n_units, stats, snaps, wm_snap, wm)
         for i, (epoch_id, tasks) in enumerate(pending):
             split_refs = inflight.pop(i)
             nxt = i + self.PREFETCH_EPOCHS + 1
@@ -221,35 +282,38 @@ class MicroBatchEngine:
             stage_refs = [actors[p].ingest_and_stage.remote(
                 epoch_id, per_part[p], wm, self.out_dir) for p in range(P)]
             if deferred is not None:  # commit N-1 while N ingests
-                d_eid, d_stats, d_snaps, d_wm_snap, d_wm = deferred
+                d_eid, d_nu, d_stats, d_snaps, d_wm_snap, d_wm = deferred
                 self.sink.commit(
                     d_eid, self._lineage(d_stats), d_wm,
                     state_snapshots={"actors": ray.get(d_snaps),
-                                     "watermark": ray.get(d_wm_snap)})
+                                     "watermark": ray.get(d_wm_snap)},
+                    n_units=d_nu)
                 total_rows += sum(s["rows"] for s in d_stats)
                 n_done += 1
                 deferred = None
             stats = ray.get(stage_refs)
-            for s in stats:
-                ray.get(tracker.report.remote(s["partition"],
-                                              s["max_event_ms"]))
+            ray.get([tracker.report.remote(s["partition"],
+                                           s["max_event_ms"])
+                     for s in stats])
             new_wm = ray.get(tracker.watermark.remote())
             if crash_after_stage_of_epoch == epoch_id:
                 raise RuntimeError(
                     f"injected crash after staging epoch {epoch_id}")
             snap_refs = [a.snapshot.remote() for a in actors]
             wm_snap_ref = tracker.snapshot.remote()
-            deferred = (epoch_id, stats, snap_refs, wm_snap_ref, new_wm)
+            deferred = (epoch_id, len(tasks), stats, snap_refs,
+                        wm_snap_ref, new_wm)
         if deferred is not None:
-            d_eid, d_stats, d_snaps, d_wm_snap, d_wm = deferred
+            d_eid, d_nu, d_stats, d_snaps, d_wm_snap, d_wm = deferred
             self.sink.commit(d_eid, self._lineage(d_stats), d_wm,
                              state_snapshots={"actors": ray.get(d_snaps),
-                                              "watermark": ray.get(d_wm_snap)})
+                                              "watermark": ray.get(d_wm_snap)},
+                             n_units=d_nu)
             total_rows += sum(s["rows"] for s in d_stats)
             n_done += 1
 
         # final flush: +inf watermark drains all remaining state. The
-        # flush id lives in its own range (FLUSH_BASE + #epochs) so a
+        # flush id lives in its own range (FLUSH_BASE + #units) so a
         # GROWN input's new data epochs can never collide with a
         # previously committed flush — appended files become new epochs
         # on the next run and only they are processed (incremental
@@ -257,7 +321,6 @@ class MicroBatchEngine:
         # map/dedup. A windowed engine re-run after its final flush
         # treats post-flush data as a fresh stream for still-open
         # windows).
-        flush_epoch = self.FLUSH_BASE + len(epochs)
         if flush_epoch not in committed:
             stats = ray.get([actors[p].ingest_and_stage.remote(
                 flush_epoch, [], 2 ** 62, self.out_dir) for p in range(P)])
@@ -267,9 +330,6 @@ class MicroBatchEngine:
                              state_snapshots={"actors": snaps,
                                               "watermark": wm_snap})
             total_rows += sum(s["rows"] for s in stats)
-        for a in actors:
-            ray.kill(a)
-        ray.kill(tracker)
         return {"epochs_processed": n_done, "rows_emitted": total_rows,
                 "committed_rows": self.sink.committed_row_count()}
 
@@ -349,7 +409,7 @@ class WindowStateActor:
                 emitted = self.state[closed].reset_index(drop=True)
                 self.state = self.state[~closed].reset_index(drop=True)
 
-        sink = ExactlyOnceSink(sink_dir)
+        sink = sink_for(sink_dir)
         if len(emitted):
             stats = sink.stage(epoch, self.partition,
                                pa.Table.from_pandas(emitted,
@@ -529,7 +589,7 @@ class SessionStateActor:
         self.state = (merged[~closed].reset_index(drop=True)
                       if len(merged) else None)
 
-        sink = ExactlyOnceSink(sink_dir)
+        sink = sink_for(sink_dir)
         if len(emitted):
             out = pd.DataFrame({
                 self.key: emitted["__key__"].to_numpy(),
