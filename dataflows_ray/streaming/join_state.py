@@ -208,8 +208,8 @@ class JoinStateActor:
                if out_tables else None)
         return self._canonicalize(out), metrics
 
-    def process_and_stage(self, epoch: int, refs: List, watermark_ms: int,
-                          sink_dir: str) -> Dict:
+    def ingest_and_stage(self, epoch: int, refs: List, watermark_ms: int,
+                         sink_dir: str) -> Dict:
         """Engine entry point: ingest this partition's split objects for one
         epoch, join/expire against the watermark, and STAGE the output
         parquet (phase 1 of the 2PC sink). Returns lineage metrics."""

@@ -44,10 +44,18 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
-from .engine import _hash_partition
 from .join_state import _serialize, _deserialize
 from .sink import ExactlyOnceSink, sink_for
 from .watermark import WatermarkTracker
+from ..core.strhash import hash_string_array
+
+
+def _hash_partition(keys: pa.Array, num_partitions: int) -> np.ndarray:
+    """Deterministic hash partitioning of a string key column — fully
+    vectorized over the Arrow buffers (``core.strhash``), no Python per
+    row, stable across processes (unlike Python's seeded ``hash()``)."""
+    return (hash_string_array(keys)
+            % np.uint64(num_partitions)).astype(np.int64)
 
 
 def _partition_on(keys: pa.ChunkedArray, num_partitions: int) -> np.ndarray:
@@ -208,14 +216,29 @@ class MicroBatchEngine:
     # footprint: PREFETCH x rowgroups_per_epoch x combined-partial size)
     PREFETCH_EPOCHS = int(os.environ.get("STREAM_PREFETCH_EPOCHS", "2"))
 
-    def run(self, crash_after_stage_of_epoch: Optional[int] = None) -> Dict:
+    def _launch_split(self, tasks: List[Dict], P: int, cols) -> List:
+        """Launch the SPLIT tasks for one epoch (overridable: the join
+        engine substitutes its two-substream splitter)."""
+        return [
+            _split_by_key.options(num_returns=P if P > 1 else 1).remote(
+                t["path"], t, P, self.key, cols,
+                self.ts_col, self.precombine(), self.derive())
+            for t in tasks]
+
+    def run(self, crash_after_stage_of_epoch: Optional[int] = None,
+            max_epochs: Optional[int] = None) -> Dict:
+        """Process all (or ``max_epochs``) uncommitted epochs; returns
+        metrics. ``crash_after_stage_of_epoch``: test hook — raise after
+        phase 1 of that epoch, before commit, to exercise exactly-once
+        recovery. With ``max_epochs`` set the final flush is skipped
+        (the stream is treated as still open)."""
         P = self.num_partitions
         cols = self.columns()
         actors = [self.make_actor(p) for p in range(P)]
         tracker = WatermarkTracker.remote(P, self.allowed_lateness_ms)
         try:
             return self._run(P, cols, actors, tracker,
-                             crash_after_stage_of_epoch)
+                             crash_after_stage_of_epoch, max_epochs)
         finally:
             # kill on EVERY exit (incl. injected crashes / errors): a
             # driver that catches and re-runs must not leak P+1 actors
@@ -225,7 +248,7 @@ class MicroBatchEngine:
             ray.kill(tracker)
 
     def _run(self, P, cols, actors, tracker,
-             crash_after_stage_of_epoch) -> Dict:
+             crash_after_stage_of_epoch, max_epochs=None) -> Dict:
         manifest_epochs = self.sink.read_manifest()["epochs"]
         committed = {x for e in manifest_epochs
                      for x in e.get("compacted_from", [e["epoch"]])}
@@ -243,6 +266,8 @@ class MicroBatchEngine:
 
         pending, flush_epoch = plan_pending_epochs(
             self.input_path, self.rowgroups_per_epoch, manifest_epochs)
+        if max_epochs is not None:
+            pending = pending[:max_epochs]
         total_rows = 0
         n_done = 0
 
@@ -259,23 +284,16 @@ class MicroBatchEngine:
         #   post-N/pre-N+1 state — and a crash between commit(N) and
         #   commit(N+1) resumes from N's snapshot and replays N+1's
         #   idempotent staging, exactly as in the serial loop.
-        def launch_split(tasks):
-            return [
-                _split_by_key.options(num_returns=P if P > 1 else 1).remote(
-                    t["path"], t, P, self.key, cols,
-                    self.ts_col, self.precombine(), self.derive())
-                for t in tasks]
-
         inflight: Dict[int, List] = {}
         for j in range(min(self.PREFETCH_EPOCHS + 1, len(pending))):
-            inflight[j] = launch_split(pending[j][1])
+            inflight[j] = self._launch_split(pending[j][1], P, cols)
 
         deferred = None  # (epoch_id, n_units, stats, snaps, wm_snap, wm)
         for i, (epoch_id, tasks) in enumerate(pending):
             split_refs = inflight.pop(i)
             nxt = i + self.PREFETCH_EPOCHS + 1
             if nxt < len(pending):
-                inflight[nxt] = launch_split(pending[nxt][1])
+                inflight[nxt] = self._launch_split(pending[nxt][1], P, cols)
             per_part = ([split_refs] if P == 1 else
                         [[r[p] for r in split_refs] for p in range(P)])
             wm = ray.get(tracker.watermark.remote())
@@ -320,8 +338,9 @@ class MicroBatchEngine:
         # backfill; exact for engines whose state survives the flush —
         # map/dedup. A windowed engine re-run after its final flush
         # treats post-flush data as a fresh stream for still-open
-        # windows).
-        if flush_epoch not in committed:
+        # windows). With max_epochs the stream is still OPEN: buffered
+        # state must survive for the next run, so no flush.
+        if max_epochs is None and flush_epoch not in committed:
             stats = ray.get([actors[p].ingest_and_stage.remote(
                 flush_epoch, [], 2 ** 62, self.out_dir) for p in range(P)])
             snaps = ray.get([a.snapshot.remote() for a in actors])

@@ -179,6 +179,41 @@ def test_all_null_event_time_does_not_crash_split(tmp_path):
     assert df["transcript"].notna().all()
 
 
+def test_join_engine_grown_input_incremental(tmp_path):
+    """The stream-stream join engine (now on the shared MicroBatchEngine
+    loop) over a GROWN input: appended clips become new epochs, process
+    incrementally, and every clip still emits exactly once."""
+    from dataflows_ray.streaming.audio import synth_clip_batch
+    from dataflows_ray.streaming.engine import StreamingJoinEngine
+
+    src = str(tmp_path / "audio")
+    os.makedirs(src)
+    pq.write_table(synth_clip_batch(0, 30),
+                   os.path.join(src, "p000.parquet"), row_group_size=10)
+    out = str(tmp_path / "sink")
+
+    def make():
+        return StreamingJoinEngine(src, out, num_partitions=2,
+                                   rowgroups_per_epoch=2,
+                                   allowed_lateness_ms=0,
+                                   emit_unmatched=True)
+
+    r1 = make().run()
+    assert ExactlyOnceSink(out).read_output().to_pandas()[
+        "clip_id"].nunique() == 30
+
+    # growth: 20 more clips, misaligned with rowgroups_per_epoch
+    pq.write_table(synth_clip_batch(30, 20),
+                   os.path.join(src, "p001.parquet"), row_group_size=10)
+    r2 = make().run()
+    assert r2["epochs_processed"] >= 1
+    df = ExactlyOnceSink(out).read_output().to_pandas()
+    # every clip surfaces; matched rows are unique per clip
+    assert df["clip_id"].nunique() == 50
+    matched = df[df["transcript"].notna() & df["speaker"].notna()]
+    assert matched["clip_id"].is_unique
+
+
 def test_unmatched_rows_canonical_side_placement(tmp_path):
     """Expired-unmatched LEFT rows keep their left columns; expired
     RIGHT rows land in transcript/event_ms_r with left columns null —
