@@ -44,7 +44,8 @@ def run_benchmarks() -> dict:
         q61_ngram_jaccard_dedup, q62_jpeg_image_features,
         q79_normalize_text, q82_sequence_packing, q87_duration_buckets,
         q91_bpe_token_counts, q99_bm25_retrieval,
-        q103_flac_lossless_qc, q104_mjpeg_frame_sampling, _audio_path)
+        q103_flac_lossless_qc, q104_mjpeg_frame_sampling,
+        q106_adpcm_qc, _audio_path)
     from dataflows_ray.pipelines.audio import decode_stage, windowed_speaker_aggregate
     from dataflows_ray.streaming.engine import StreamingJoinEngine
     from dataflows_ray.streaming.sink import ExactlyOnceSink
@@ -65,9 +66,10 @@ def run_benchmarks() -> dict:
     _audio_path(SF_DIR)
     from dataflows_ray.pipelines.relational import (
         _multicodec_audio_path, _flac_audio_path, _video_path,
-        _jpeg_image_path)
+        _jpeg_image_path, _adpcm_audio_path)
     _multicodec_audio_path(SF_DIR)
     _flac_audio_path(SF_DIR)
+    _adpcm_audio_path(SF_DIR)
     _video_path(SF_DIR)
     _jpeg_image_path(SF_DIR)
 
@@ -100,6 +102,7 @@ def run_benchmarks() -> dict:
           lambda: len(q103_flac_lossless_qc(SF_DIR)))
     timed("q104_mjpeg_frame_sampling",
           lambda: len(q104_mjpeg_frame_sampling(SF_DIR)))
+    timed("q106_adpcm_qc", lambda: len(q106_adpcm_qc(SF_DIR)))
 
     # streaming windowed-aggregate engine (micro-batch epochs, watermark
     # emission, 2PC sink) over the same audio table — the engine-form

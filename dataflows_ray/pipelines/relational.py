@@ -1765,6 +1765,56 @@ def q103_flac_lossless_qc(sf_dir: str):
     return df.sort_values("codec").reset_index(drop=True)
 
 
+def _adpcm_audio_path(sf_dir: str) -> str:
+    """Six-codec synthetic audio table adding IMA ADPCM
+    (functions/adpcm.py) to the q103 five — same deterministic clip
+    content, per-clip codec drawn last. Cached in /tmp."""
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n = max(400, int(float(sf) * 40_000))
+    path = f"/tmp/dataflows_ray_audio_adpcm/sf{sf}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from ..streaming.audio import write_audio_dataset
+        write_audio_dataset(
+            path, n, rows_per_file=max(100, n // 8),
+            codec_mix=("pcm16", "mulaw", "alaw", "wav", "flac", "adpcm"))
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+    return path
+
+
+def q106_adpcm_qc(sf_dir: str):
+    """Codec QC over the six-codec table including IMA ADPCM (from
+    scratch, functions/adpcm.py — 4-bit DVI4, the ubiquitous compressed
+    WAV codec). Same shape as q103: one elastic decode+verify
+    map_batches stage, order-independent per-codec aggregates, so the
+    distributed result is bit-identical to the sequential fixture. Bars
+    (asserted at fixture generation): lossless codecs bit-exact, G.711
+    SNR>=30dB, ADPCM SNR>=20dB at ratio 0.25 — 4:1 lossy compression
+    cannot reach the 30dB corpus invariant on wideband content, so it
+    carries its own documented bar."""
+    import ray.data
+    from .audio import CodecRoundtripQC
+    from ..stages.agg import grouped_aggregate
+
+    ds = ray.data.read_parquet(_adpcm_audio_path(sf_dir))
+    qc = ds.map_batches(CodecRoundtripQC(), batch_format="pyarrow",
+                        batch_size=32)
+    out = grouped_aggregate(qc, ["codec"], [
+        {"target": "n_clips", "aggregate": "count"},
+        {"target": "n_exact", "source": "exact", "aggregate": "sum"},
+        {"target": "total_samples", "source": "n_samples",
+         "aggregate": "sum"},
+        {"target": "total_enc_bytes", "source": "enc_bytes",
+         "aggregate": "sum"},
+        {"target": "min_snr", "source": "snr_db", "aggregate": "min"},
+    ], input_columns=["codec", "exact", "n_samples", "enc_bytes",
+                      "snr_db"])
+    df = out.to_pandas()
+    df["min_snr"] = df["min_snr"].round(4)
+    df["ratio"] = (df["total_enc_bytes"]
+                   / (2.0 * df["total_samples"])).round(4)
+    return df.sort_values("codec").reset_index(drop=True)
+
+
 def _video_path(sf_dir: str) -> str:
     """Deterministic synthetic video table sized by sf (cached): mixed
     real containers — per-clip draw between ffmpeg-style rawvideo and
@@ -3180,6 +3230,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q103_flac_lossless_qc": q103_flac_lossless_qc,
     "q104_mjpeg_frame_sampling": q104_mjpeg_frame_sampling,
     "q105_streaming_flac_transcode": q105_streaming_flac_transcode,
+    "q106_adpcm_qc": q106_adpcm_qc,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3599,4 +3650,14 @@ SELECT clip_id, src_codec, n_samples, src_bytes, flac_bytes,
        flac_sha256, exact
 FROM read_parquet('{_FIX}/q105_streaming_flac_transcode.parquet')
 ORDER BY clip_id
+"""
+
+# q106: sequential single-process mirror (scripts/gen_fixtures.py
+# gen_q106) — decode+verify is per-clip independent and the per-codec
+# aggregates are order-independent, so distributed == sequential.
+ORACLES["q106_adpcm_qc"] = f"""
+SELECT codec, n_clips, n_exact, total_samples, total_enc_bytes,
+       min_snr, ratio
+FROM read_parquet('{_FIX}/q106_adpcm_qc.parquet')
+ORDER BY codec
 """

@@ -191,7 +191,7 @@ def parse_wav(raw: bytes):
     return wave, sr_hz
 
 
-CODECS = ("pcm16", "mulaw", "alaw", "wav", "flac")
+CODECS = ("pcm16", "mulaw", "alaw", "wav", "flac", "adpcm")
 
 
 def encode_flac_clip(wave: np.ndarray, sr_hz: int) -> bytes:
@@ -215,6 +215,9 @@ def encode_clip(wave: np.ndarray, codec: str, sr_hz: int = 16000) -> bytes:
         return encode_wav(wave, sr_hz)
     if codec == "flac":
         return encode_flac_clip(wave, sr_hz)
+    if codec == "adpcm":
+        from ..functions.adpcm import encode_ima_adpcm
+        return encode_ima_adpcm((wave * 32767.0).astype("<i2"))
     raise NotImplementedError(f"codec {codec!r}: encoder not available")
 
 
@@ -223,7 +226,10 @@ def decode_pcm(raw: bytes, codec: str = "pcm16") -> np.ndarray:
     real: ``pcm16`` (little-endian int16), ``mulaw``/``alaw`` (G.711,
     table-driven), ``wav`` (RIFF container with PCM16/G.711 payloads)
     and ``flac`` (from-scratch RFC 9639 codec, functions/flac.py, with
-    CRC-8/CRC-16/MD5 verification). Perceptual codecs (opus/mp3) remain
+    CRC-8/CRC-16/MD5 verification), plus ``adpcm`` (IMA/DVI4 4-bit,
+    functions/adpcm.py — lossy 4:1, holds ~20-32 dB SNR on wideband
+    content, so it carries its OWN QC bar in q106 rather than the
+    corpus 30 dB invariant). Perceptual codecs (opus/mp3) remain
     stubbed — lossy decode references are not reproducible without the
     external libraries — but the Ray-side plumbing (binary column in,
     float array out) is identical."""
@@ -239,6 +245,9 @@ def decode_pcm(raw: bytes, codec: str = "pcm16") -> np.ndarray:
         from ..functions.flac import decode_flac
         samples, _info = decode_flac(bytes(raw))
         return samples.astype(np.float64) / 32767.0
+    if codec == "adpcm":
+        from ..functions.adpcm import decode_ima_adpcm
+        return decode_ima_adpcm(bytes(raw)).astype(np.float64) / 32767.0
     raise NotImplementedError(
         f"codec {codec!r}: decoder not available in this environment; "
         f"implemented codecs: {CODECS}")

@@ -166,6 +166,45 @@ def gen_q103(sf_dir: str) -> pa.Table:
                                 preserve_index=False)
 
 
+def gen_q106(sf_dir: str) -> pa.Table:
+    """Sequential mirror of q106: decode + verify the six-codec table
+    (q103's five plus IMA ADPCM) in one batch, aggregate per codec.
+    Asserts the codec bars at fixture time: lossless codecs bit-exact on
+    every clip, G.711 >= 30 dB, ADPCM >= 20 dB at 4:1 (ratio 0.25) —
+    IMA ADPCM's 4-bit quantization cannot reach the 30 dB corpus
+    invariant on wideband content, so it carries its own bar."""
+    import glob
+    from dataflows_ray.pipelines.audio import CodecRoundtripQC
+    from dataflows_ray.pipelines.relational import _adpcm_audio_path
+    files = sorted(glob.glob(os.path.join(
+        _adpcm_audio_path(sf_dir), "*.parquet")))
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    qc = CodecRoundtripQC()(tbl).to_pandas()
+    out = (qc.groupby("codec")
+           .agg(n_clips=("codec", "size"),
+                n_exact=("exact", "sum"),
+                total_samples=("n_samples", "sum"),
+                total_enc_bytes=("enc_bytes", "sum"),
+                min_snr=("snr_db", "min"))
+           .reset_index().sort_values("codec"))
+    out["min_snr"] = out["min_snr"].round(4)
+    out["ratio"] = (out["total_enc_bytes"]
+                    / (2.0 * out["total_samples"])).round(4)
+    by = out.set_index("codec")
+    assert set(by.index) == {"pcm16", "mulaw", "alaw", "wav", "flac",
+                             "adpcm"}, "codec draw missing a codec"
+    for codec in ("pcm16", "wav", "flac"):
+        assert by.loc[codec, "n_exact"] == by.loc[codec, "n_clips"], \
+            f"{codec} round-trip not bit-exact"
+    for codec in ("mulaw", "alaw"):
+        assert by.loc[codec, "min_snr"] >= 30, f"{codec} below 30 dB"
+    assert by.loc["adpcm", "min_snr"] >= 20, "ADPCM below its 20 dB bar"
+    assert abs(by.loc["adpcm", "ratio"] - 0.25) < 0.01, \
+        "ADPCM is a fixed 4:1 codec"
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def gen_q104(sf_dir: str) -> pa.Table:
     """Sequential mirror of q104: every-4th-frame sampling over the
     mixed rawvideo + MJPEG/AVI table in one single-process pass.
@@ -905,6 +944,8 @@ def main():
         pq.write_table(gen_q104(sf_dir),
                        f"{fdir}/q104_mjpeg_frame_sampling.parquet")
         print(f"{name}: q104 written")
+        pq.write_table(gen_q106(sf_dir), f"{fdir}/q106_adpcm_qc.parquet")
+        print(f"{name}: q106 written")
         pq.write_table(gen_q105(sf_dir),
                        f"{fdir}/q105_streaming_flac_transcode.parquet")
         print(f"{name}: q105 written")
