@@ -19,9 +19,10 @@ mostly vectorized: nibble unpack, the (step,nibble)->diff lookup, and
 the predictor reconstruction run as numpy kernels; the one per-sample
 Python loop is the 3-ops/sample step-index walk (its state adaptation
 depends only on the nibble stream, not the samples). The cumulative-sum
-fast path is exact whenever the predictor never clamps — the encoder
-only emits in-range predictors, so the sequential fallback triggers
-only on hostile/corrupt input.
+fast path is exact whenever the UNCLAMPED predictor trajectory stays in
+int16 range; frames where the encoder clamped (near-full-scale content,
+corrupt input) take an exact per-sample fallback. Typical corpus clips
+(synth_clip_batch peaks well under full scale) stay on the fast path.
 """
 
 from __future__ import annotations
@@ -119,10 +120,15 @@ def encode_ima_adpcm(samples: np.ndarray) -> bytes:
 
 def decode_ima_adpcm(raw: bytes) -> np.ndarray:
     """IMA ADPCM frame -> int16 PCM. Vectorized except the step-index
-    walk (see module docstring)."""
+    walk (see module docstring). Corrupt frames (bad magic, truncated
+    header/body, out-of-range step index) raise ValueError."""
     if raw[:4] != _MAGIC:
         raise ValueError("not an IMA ADPCM frame (bad magic)")
+    if len(raw) < 12:
+        raise ValueError("truncated IMA ADPCM frame (header)")
     n, pred0, index0 = struct.unpack_from("<IhBx", raw, 4)
+    if index0 > 88:
+        raise ValueError(f"corrupt IMA ADPCM frame: step index {index0} > 88")
     if n == 0:
         return np.empty(0, dtype=np.int16)
     body = np.frombuffer(raw, dtype=np.uint8, offset=12)

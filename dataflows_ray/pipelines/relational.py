@@ -1732,20 +1732,16 @@ def _flac_audio_path(sf_dir: str) -> str:
     return path
 
 
-def q103_flac_lossless_qc(sf_dir: str):
-    """FLAC round-trip conformance over a five-codec table: every clip
-    decodes in one elastic map_batches stage (CodecRoundtripQC); the
-    lossless codecs (pcm16/wav/flac) must reproduce the reference int16
-    samples EXACTLY (`exact` = 1 per clip), the lossy G.711 pair is held
-    to SNR>=30dB. Per-codec aggregate adds the measured compression
-    ratio — FLAC's must be < 1.0 (it actually compresses). All
-    aggregates are order-independent, so the distributed result is
-    bit-identical to the sequential fixture."""
+def _codec_qc(table_path: str):
+    """Shared body of the codec round-trip QC queries (q103/q106): one
+    elastic decode+verify map_batches stage over ``table_path``, then
+    order-independent per-codec aggregates — the distributed result is
+    bit-identical to each query's sequential fixture."""
     import ray.data
     from .audio import CodecRoundtripQC
     from ..stages.agg import grouped_aggregate
 
-    ds = ray.data.read_parquet(_flac_audio_path(sf_dir))
+    ds = ray.data.read_parquet(table_path)
     qc = ds.map_batches(CodecRoundtripQC(), batch_format="pyarrow",
                         batch_size=32)
     out = grouped_aggregate(qc, ["codec"], [
@@ -1763,6 +1759,18 @@ def q103_flac_lossless_qc(sf_dir: str):
     df["ratio"] = (df["total_enc_bytes"]
                    / (2.0 * df["total_samples"])).round(4)
     return df.sort_values("codec").reset_index(drop=True)
+
+
+def q103_flac_lossless_qc(sf_dir: str):
+    """FLAC round-trip conformance over a five-codec table: every clip
+    decodes in one elastic map_batches stage (CodecRoundtripQC); the
+    lossless codecs (pcm16/wav/flac) must reproduce the reference int16
+    samples EXACTLY (`exact` = 1 per clip), the lossy G.711 pair is held
+    to SNR>=30dB. Per-codec aggregate adds the measured compression
+    ratio — FLAC's must be < 1.0 (it actually compresses). All
+    aggregates are order-independent, so the distributed result is
+    bit-identical to the sequential fixture."""
+    return _codec_qc(_flac_audio_path(sf_dir))
 
 
 def _adpcm_audio_path(sf_dir: str) -> str:
@@ -1791,28 +1799,7 @@ def q106_adpcm_qc(sf_dir: str):
     SNR>=30dB, ADPCM SNR>=20dB at ratio 0.25 — 4:1 lossy compression
     cannot reach the 30dB corpus invariant on wideband content, so it
     carries its own documented bar."""
-    import ray.data
-    from .audio import CodecRoundtripQC
-    from ..stages.agg import grouped_aggregate
-
-    ds = ray.data.read_parquet(_adpcm_audio_path(sf_dir))
-    qc = ds.map_batches(CodecRoundtripQC(), batch_format="pyarrow",
-                        batch_size=32)
-    out = grouped_aggregate(qc, ["codec"], [
-        {"target": "n_clips", "aggregate": "count"},
-        {"target": "n_exact", "source": "exact", "aggregate": "sum"},
-        {"target": "total_samples", "source": "n_samples",
-         "aggregate": "sum"},
-        {"target": "total_enc_bytes", "source": "enc_bytes",
-         "aggregate": "sum"},
-        {"target": "min_snr", "source": "snr_db", "aggregate": "min"},
-    ], input_columns=["codec", "exact", "n_samples", "enc_bytes",
-                      "snr_db"])
-    df = out.to_pandas()
-    df["min_snr"] = df["min_snr"].round(4)
-    df["ratio"] = (df["total_enc_bytes"]
-                   / (2.0 * df["total_samples"])).round(4)
-    return df.sort_values("codec").reset_index(drop=True)
+    return _codec_qc(_adpcm_audio_path(sf_dir))
 
 
 def _video_path(sf_dir: str) -> str:

@@ -48,15 +48,14 @@ TRANSCRIPT_COLS = ["clip_id", "transcript", "transcript_event_ms"]
 
 @ray.remote
 def _split_rowgroup(path: str, row_group, num_partitions: int,
-                    include_audio_bytes: bool):
+                    cols: List[str]):
     """Read one epoch unit (parquet row group, or Lance fragment via
     ``sources.lance_io``) and split into per-partition (clips,
     transcripts, max_event_ms) tuples — one return value per
-    partition."""
-    cols = CLIP_COLS + TRANSCRIPT_COLS[1:]
-    if include_audio_bytes:
-        cols = ["bytes"] + cols
-    cols = list(dict.fromkeys(cols))
+    partition. ``cols`` comes from the engine's ``columns()`` hook
+    (single source of truth for the read set; contains ``bytes`` when
+    the engine ships audio payloads)."""
+    include_audio_bytes = "bytes" in cols
     if isinstance(row_group, dict):
         from ..sources.lance_io import read_stream_unit
         tbl = read_stream_unit(row_group, columns=cols)
@@ -106,7 +105,10 @@ class StreamingJoinEngine(MicroBatchEngine):
 
     # -- MicroBatchEngine hooks --------------------------------------------
     def columns(self) -> List[str]:
-        return list(dict.fromkeys(CLIP_COLS + TRANSCRIPT_COLS[1:]))
+        cols = CLIP_COLS + TRANSCRIPT_COLS[1:]
+        if self.include_audio_bytes:
+            cols = ["bytes"] + cols
+        return list(dict.fromkeys(cols))
 
     def make_actor(self, partition: int):
         return JoinStateActor.remote(partition,
@@ -117,7 +119,7 @@ class StreamingJoinEngine(MicroBatchEngine):
         # per partition, so it replaces the generic single-table one
         return [
             _split_rowgroup.options(num_returns=P if P > 1 else 1).remote(
-                t["path"], t, P, self.include_audio_bytes)
+                t["path"], t, P, cols)
             for t in tasks]
 
     _LINEAGE_KEYS = ("partition", "rows", "bytes", "matched", "expired",

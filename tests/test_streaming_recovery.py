@@ -214,6 +214,23 @@ def test_join_engine_grown_input_incremental(tmp_path):
     assert matched["clip_id"].is_unique
 
 
+def test_join_engine_ships_audio_bytes_when_asked(tmp_path):
+    """include_audio_bytes=True threads 'bytes' through the columns()
+    hook into the split read — every committed row carries its payload."""
+    from dataflows_ray.streaming.audio import synth_clip_batch
+    from dataflows_ray.streaming.engine import StreamingJoinEngine
+
+    src = str(tmp_path / "audio")
+    os.makedirs(src)
+    pq.write_table(synth_clip_batch(0, 20),
+                   os.path.join(src, "p000.parquet"), row_group_size=10)
+    out = str(tmp_path / "sink")
+    StreamingJoinEngine(src, out, num_partitions=2, rowgroups_per_epoch=2,
+                        include_audio_bytes=True).run()
+    df = ExactlyOnceSink(out).read_output().to_pandas()
+    assert len(df) == 20 and df["bytes"].notna().all()
+
+
 def test_unmatched_rows_canonical_side_placement(tmp_path):
     """Expired-unmatched LEFT rows keep their left columns; expired
     RIGHT rows land in transcript/event_ms_r with left columns null —
