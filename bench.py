@@ -103,6 +103,9 @@ def run_benchmarks() -> dict:
     timed("q104_mjpeg_frame_sampling",
           lambda: len(q104_mjpeg_frame_sampling(SF_DIR)))
     timed("q106_adpcm_qc", lambda: len(q106_adpcm_qc(SF_DIR)))
+    from dataflows_ray.pipelines.relational import q107_two_stream_join
+    timed("q107_two_stream_join",
+          lambda: q107_two_stream_join(SF_DIR).count())
 
     # streaming windowed-aggregate engine (micro-batch epochs, watermark
     # emission, 2PC sink) over the same audio table — the engine-form

@@ -1898,6 +1898,76 @@ def q24_audio_stream_join(sf_dir: str):
         ["clip_id", "speaker", "event_ms", "transcript"])
 
 
+def _two_stream_paths(sf_dir: str):
+    """Deterministic clip + transcript SOURCE tables for the two-source
+    stream-stream join (q107): the same synthetic corpus split into two
+    independent streams, each written in ITS OWN event-time order (clips
+    by event_ms, transcripts by their lagged timestamp), so a row's
+    partner usually lands in a different micro-batch epoch — the state
+    buffers and watermark expiry do real cross-epoch work. Cached in
+    /tmp."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from ..streaming.audio import synth_clip_batch
+
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    n = max(500, int(float(sf) * 200_000))
+    base = f"/tmp/dataflows_ray_two_stream/sf{sf}"
+    clips_dir, tr_dir = f"{base}/clips", f"{base}/transcripts"
+    if not os.path.exists(os.path.join(base, "_SUCCESS")):
+        os.makedirs(clips_dir, exist_ok=True)
+        os.makedirs(tr_dir, exist_ok=True)
+        rows_per_file = max(250, n // 8)
+        # neither stream table carries audio bytes, so the full corpus
+        # metadata fits comfortably — synth in batches, drop the payload,
+        # then GLOBALLY time-order each stream (a real ingest log arrives
+        # roughly time-ordered end to end; per-file-only ordering would
+        # jump the watermark backward at every file boundary)
+        batches = [synth_clip_batch(s, min(rows_per_file, n - s))
+                   .drop_columns(["bytes"])
+                   for s in range(0, n, rows_per_file)]
+        full = pa.concat_tables(batches)
+        clips = full.select(["clip_id", "sr_hz", "dur_ms", "codec",
+                             "speaker", "event_ms"])
+        tr = full.select(["clip_id", "transcript",
+                          "transcript_event_ms"]).rename_columns(
+            ["clip_id", "transcript", "event_ms"])
+        for table, dest in ((clips, clips_dir), (tr, tr_dir)):
+            table = table.take(pc.sort_indices(
+                table, sort_keys=[("event_ms", "ascending")]))
+            for i, s in enumerate(range(0, n, rows_per_file)):
+                pq.write_table(
+                    table.slice(s, rows_per_file),
+                    f"{dest}/part-{i:05d}.parquet",
+                    row_group_size=max(50, rows_per_file // 4))
+        open(os.path.join(base, "_SUCCESS"), "w").close()
+    return clips_dir, tr_dir
+
+
+def q107_two_stream_join(sf_dir: str):
+    """TWO-SOURCE stateful stream-stream join: clip and transcript
+    streams arrive from separate tables in divergent event-time orders;
+    partners meet across epochs in the per-partition Arrow state
+    buffers. allowed_lateness (120s) exceeds the max transcript lag
+    (30s), so — exactly as in production watermark tuning — every pair
+    matches before expiry and the result equals the batch inner join
+    the SQL oracle computes."""
+    import shutil
+    from ..streaming.engine import TwoStreamJoinEngine
+    from ..streaming.sink import ExactlyOnceSink
+    clips_dir, tr_dir = _two_stream_paths(sf_dir)
+    out = f"/tmp/dataflows_ray_sink_2s/{os.path.basename(sf_dir.rstrip('/'))}"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    eng = TwoStreamJoinEngine(clips_dir, tr_dir, out, num_partitions=4,
+                              rowgroups_per_epoch=2,
+                              allowed_lateness_ms=120_000)
+    eng.run()
+    return ExactlyOnceSink(out).read_output().select_columns(
+        ["clip_id", "speaker", "event_ms", "transcript", "event_ms_r"])
+
+
 def q25_audio_decode(sf_dir: str):
     import ray.data
     from .audio import decode_stage
@@ -3218,6 +3288,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
     "q104_mjpeg_frame_sampling": q104_mjpeg_frame_sampling,
     "q105_streaming_flac_transcode": q105_streaming_flac_transcode,
     "q106_adpcm_qc": q106_adpcm_qc,
+    "q107_two_stream_join": q107_two_stream_join,
 }
 
 # -- fixture / synthetic-table oracles for the engine-defined queries ------
@@ -3231,6 +3302,7 @@ QUERIES: Dict[str, Callable[[str], Any]] = {
 
 _FIX = "/root/repo/fixtures/sf0.01"
 _AUDIO = "/tmp/dataflows_ray_audio/sf0.01/*.parquet"
+_TWO_STREAM = "/tmp/dataflows_ray_two_stream/sf0.01"
 
 Q19_SQL = f"""
 SELECT doc_id, lang_pred, quality, n_tokens, fingerprint
@@ -3255,6 +3327,16 @@ GROUP BY 1, 2
 
 Q24_SQL = f"""
 SELECT clip_id, speaker, event_ms, transcript FROM read_parquet('{_AUDIO}')
+"""
+
+# q107: the two-source streaming join must equal the batch inner join of
+# its two source tables (lateness > max transcript lag => nothing expires)
+Q107_SQL = f"""
+SELECT c.clip_id, c.speaker, c.event_ms, t.transcript,
+       t.event_ms AS event_ms_r
+FROM read_parquet('{_TWO_STREAM}/clips/*.parquet') c
+JOIN read_parquet('{_TWO_STREAM}/transcripts/*.parquet') t
+  ON c.clip_id = t.clip_id
 """
 
 Q25_SQL = f"""
@@ -3347,6 +3429,7 @@ ORACLES: Dict[str, str] = {
     "q22_knn_lsh": Q22_SQL,
     "q23_audio_windowed_agg": Q23_SQL,
     "q24_audio_stream_join": Q24_SQL,
+    "q107_two_stream_join": Q107_SQL,
     "q25_audio_decode": Q25_SQL,
     "q26_embedding_neardup": Q26_SQL,
     "q27_set_type_clear": Q27_SQL,

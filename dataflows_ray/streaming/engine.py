@@ -138,3 +138,144 @@ class StreamingJoinEngine(MicroBatchEngine):
         return super().run(
             crash_after_stage_of_epoch=crash_after_stage_of_epoch,
             max_epochs=max_epochs)
+
+
+# -- two-source stream-stream join ------------------------------------------
+
+@ray.remote
+def _split_side(path: str, row_group, num_partitions: int, side: str,
+                cols: List[str], ts_col: str):
+    """Split one unit of ONE substream source into per-partition
+    (clips, transcripts, max_event_ms) tuples — the other side of each
+    tuple is None. Shares the JoinStateActor ingest protocol with
+    ``_split_rowgroup`` so the actor never knows which topology fed it."""
+    if isinstance(row_group, dict):
+        from ..sources.lance_io import read_stream_unit
+        tbl = read_stream_unit(row_group, columns=cols)
+    else:
+        pf = pq.ParquetFile(path)
+        tbl = pf.read_row_group(row_group, columns=cols)
+    parts = _hash_partition(tbl["clip_id"].combine_chunks(), num_partitions)
+    out = []
+    for p in range(num_partitions):
+        sub = tbl.filter(pa.array(parts == p))
+        m = pa.compute.max(sub[ts_col]).as_py() if len(sub) else None
+        max_ms = -1 if m is None else int(m)
+        out.append((sub, None, max_ms) if side == "left"
+                   else (None, sub, max_ms))
+    return tuple(out) if num_partitions > 1 else out[0]
+
+
+def plan_pending_epochs_two(left_path: str, right_path: str,
+                            units_per_epoch: int,
+                            manifest_epochs: List[Dict]):
+    """Two-source analogue of ``window_engine.plan_pending_epochs``:
+    each epoch zips up to ``units_per_epoch`` units from EACH source.
+    Consumption is tracked PER SOURCE (``n_units = [left, right]``), so
+    either source can grow independently — new epochs are chunked from
+    each source's uncommitted suffix, never re-assigned into committed
+    epoch ids."""
+    from ..sources.lance_io import plan_stream_units
+    from .window_engine import MicroBatchEngine
+    lunits = plan_stream_units(left_path)
+    runits = plan_stream_units(right_path)
+    u = units_per_epoch
+    flush_epoch = MicroBatchEngine.FLUSH_BASE + len(lunits) + len(runits)
+    data_entries = [e for e in manifest_epochs
+                    if e["epoch"] < MicroBatchEngine.FLUSH_BASE]
+    committed_ids = {x for e in data_entries
+                     for x in e.get("compacted_from", [e["epoch"]])}
+
+    def chunk(ltail, rtail, first_id):
+        n_ep = max(-(-len(ltail) // u), -(-len(rtail) // u))
+        return [(first_id + j, {"left": ltail[j * u:(j + 1) * u],
+                                "right": rtail[j * u:(j + 1) * u]})
+                for j in range(n_ep)]
+
+    if data_entries and all(
+            isinstance(e.get("n_units"), list) and len(e["n_units"]) == 2
+            for e in data_entries):
+        consumed_l = min(sum(e["n_units"][0] for e in data_entries),
+                         len(lunits))
+        consumed_r = min(sum(e["n_units"][1] for e in data_entries),
+                         len(runits))
+        pending = chunk(lunits[consumed_l:], runits[consumed_r:],
+                        max(committed_ids) + 1)
+    else:
+        pending = [(eid, tasks)
+                   for eid, tasks in chunk(lunits, runits, 0)
+                   if eid not in committed_ids]
+    return pending, flush_epoch
+
+
+class TwoStreamJoinEngine(StreamingJoinEngine):
+    """Stateful stream-stream join over TWO independent sources — a clip
+    table and a transcript table with their own files, arrival order and
+    event-time distributions. Unlike ``StreamingJoinEngine`` (whose two
+    substreams co-arrive row-for-row from one table), a row's partner
+    here typically lands in a DIFFERENT epoch, so the per-partition
+    Arrow state buffers, watermark expiry, and allowed-lateness policy
+    do real cross-epoch work on every run.
+
+    The transcript source must carry its event time in ``event_ms``
+    (the engine-canonical name both substreams share).
+    """
+
+    def __init__(self, left_path: str, right_path: str, out_dir: str,
+                 num_partitions: int = 8, rowgroups_per_epoch: int = 4,
+                 allowed_lateness_ms: int = 60_000,
+                 emit_unmatched: bool = True):
+        super().__init__(left_path, out_dir, num_partitions,
+                         rowgroups_per_epoch, allowed_lateness_ms,
+                         include_audio_bytes=False,
+                         emit_unmatched=emit_unmatched)
+        self.right_path = right_path
+
+    RIGHT_COLS = ["clip_id", "transcript", "event_ms"]
+
+    def _schema_hint(self, path: str, cols: List[str]) -> Optional[bytes]:
+        """Serialized Arrow schema of one source's selected columns (one
+        metadata read per run) — lets every JoinStateActor canonicalize
+        output from epoch 0, before it has ingested both sides."""
+        from ..sources.lance_io import plan_stream_units
+        units = plan_stream_units(path)
+        if not units:
+            return None
+        unit = units[0]
+        if "row_group" in unit:
+            full = pq.ParquetFile(unit["path"]).schema_arrow
+        else:                           # Lance fragment
+            import lance
+            full = lance.dataset(unit["path"]).schema
+        fields = [full.field(c) for c in cols]
+        return pa.schema(fields).serialize().to_pybytes()
+
+    def make_actor(self, partition: int):
+        if not hasattr(self, "_hints"):
+            self._hints = (self._schema_hint(self.input_path, CLIP_COLS),
+                           self._schema_hint(self.right_path,
+                                             self.RIGHT_COLS))
+        return JoinStateActor.remote(
+            partition, emit_unmatched=self.emit_unmatched,
+            left_schema_ipc=self._hints[0], right_schema_ipc=self._hints[1])
+
+    def plan_pending(self, manifest_epochs):
+        return plan_pending_epochs_two(
+            self.input_path, self.right_path,
+            self.rowgroups_per_epoch, manifest_epochs)
+
+    @staticmethod
+    def _n_units(tasks) -> List[int]:
+        return [len(tasks["left"]), len(tasks["right"])]
+
+    def _launch_split(self, tasks, P, cols):
+        opts = {"num_returns": P if P > 1 else 1}
+        return [
+            _split_side.options(**opts).remote(
+                t["path"], t, P, "left", CLIP_COLS, "event_ms")
+            for t in tasks["left"]
+        ] + [
+            _split_side.options(**opts).remote(
+                t["path"], t, P, "right", self.RIGHT_COLS, "event_ms")
+            for t in tasks["right"]
+        ]

@@ -73,7 +73,15 @@ class JoinStateActor:
 
     def __init__(self, partition: int, key: str = "clip_id",
                  left_ts: str = "event_ms", right_ts: str = "event_ms",
-                 emit_unmatched: bool = False):
+                 emit_unmatched: bool = False,
+                 left_schema_ipc: Optional[bytes] = None,
+                 right_schema_ipc: Optional[bytes] = None):
+        """``left_schema_ipc``/``right_schema_ipc``: optional serialized
+        Arrow schemas of the two substreams. The two-source engine passes
+        them so the canonical output projection is known from epoch 0 —
+        without hints, a row expiring unmatched BEFORE this partition has
+        seen both sides would emit with a partial (one-side) schema,
+        giving the sink mixed file schemas."""
         self.partition = partition
         self.key = key
         self.left_ts = left_ts
@@ -83,8 +91,12 @@ class JoinStateActor:
         # concat happens lazily (and collapses the list) at probe time
         self.left_parts: List[pa.Table] = []
         self.right_parts: List[pa.Table] = []
-        self.left_schema: Optional[pa.Schema] = None
-        self.right_schema: Optional[pa.Schema] = None
+        self.left_schema: Optional[pa.Schema] = (
+            None if left_schema_ipc is None
+            else pa.ipc.read_schema(pa.py_buffer(left_schema_ipc)))
+        self.right_schema: Optional[pa.Schema] = (
+            None if right_schema_ipc is None
+            else pa.ipc.read_schema(pa.py_buffer(right_schema_ipc)))
 
     @staticmethod
     def _buf(parts: List[pa.Table]) -> Optional[pa.Table]:

@@ -350,7 +350,15 @@ class ExactlyOnceSink:
                                    e.get("compacted_from", [e["epoch"]])],
             }
             if all("n_units" in e for e in grp):
-                entry["n_units"] = sum(e["n_units"] for e in grp)
+                vals = [e["n_units"] for e in grp]
+                if all(isinstance(v, list) for v in vals):
+                    # multi-source engines record per-source consumption
+                    # ([left, right]); sum element-wise
+                    entry["n_units"] = [sum(col) for col in zip(*vals)]
+                elif not any(isinstance(v, list) for v in vals):
+                    entry["n_units"] = sum(vals)
+                # mixed int/list (different engines wrote one sink):
+                # drop n_units — planners fall back positionally
             new_epochs.append(entry)
         # crash-safe swap: STAGE the rewritten manifest first, then
         # promote via data.new — every intermediate state is

@@ -139,7 +139,8 @@ def plan_pending_epochs(input_path: str, units_per_epoch: int,
                     if e["epoch"] < MicroBatchEngine.FLUSH_BASE]
     committed_ids = {x for e in data_entries
                      for x in e.get("compacted_from", [e["epoch"]])}
-    if data_entries and all("n_units" in e for e in data_entries):
+    if data_entries and all(isinstance(e.get("n_units"), int)
+                            for e in data_entries):
         consumed = min(sum(e["n_units"] for e in data_entries), len(units))
         next_id = max(committed_ids) + 1
         tail = units[consumed:]
@@ -225,6 +226,18 @@ class MicroBatchEngine:
                 self.ts_col, self.precombine(), self.derive())
             for t in tasks]
 
+    def plan_pending(self, manifest_epochs: List[Dict]):
+        """Plan the uncommitted epochs (overridable: the two-source join
+        engine zips units from both of its inputs)."""
+        return plan_pending_epochs(
+            self.input_path, self.rowgroups_per_epoch, manifest_epochs)
+
+    @staticmethod
+    def _n_units(tasks) -> object:
+        """Source-unit consumption recorded with each epoch's commit
+        (overridable: multi-source engines record a per-source list)."""
+        return len(tasks)
+
     def run(self, crash_after_stage_of_epoch: Optional[int] = None,
             max_epochs: Optional[int] = None) -> Dict:
         """Process all (or ``max_epochs``) uncommitted epochs; returns
@@ -264,8 +277,7 @@ class MicroBatchEngine:
                      for p in range(P)])
             ray.get(tracker.restore.remote(state["watermark"]))
 
-        pending, flush_epoch = plan_pending_epochs(
-            self.input_path, self.rowgroups_per_epoch, manifest_epochs)
+        pending, flush_epoch = self.plan_pending(manifest_epochs)
         if max_epochs is not None:
             pending = pending[:max_epochs]
         total_rows = 0
@@ -319,7 +331,7 @@ class MicroBatchEngine:
                     f"injected crash after staging epoch {epoch_id}")
             snap_refs = [a.snapshot.remote() for a in actors]
             wm_snap_ref = tracker.snapshot.remote()
-            deferred = (epoch_id, len(tasks), stats, snap_refs,
+            deferred = (epoch_id, self._n_units(tasks), stats, snap_refs,
                         wm_snap_ref, new_wm)
         if deferred is not None:
             d_eid, d_nu, d_stats, d_snaps, d_wm_snap, d_wm = deferred
