@@ -25,12 +25,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from dataflows_ray.pipelines.relational import ORACLES, _audio_path
+    from dataflows_ray.pipelines.relational import (
+        ORACLES, _audio_path, _two_stream_paths)
 
     # the q23/q24 oracles read the deterministic synthetic audio table in
-    # /tmp; make sure it exists even if the oracle runs before the query
+    # /tmp, and the q107 oracle reads the two-stream source tables; make
+    # sure they exist even if the oracle runs before the query
     try:
         _audio_path("/root/testdata/sf0.01")
+        _two_stream_paths("/root/testdata/sf0.01")
     except Exception:
         pass
     return dict(ORACLES)

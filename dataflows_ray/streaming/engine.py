@@ -17,8 +17,12 @@ Topology per epoch:
 2. JOIN (reduce): partition p's ``JoinStateActor`` ingests its objects,
    emits matches + expirations against the current watermark, and stages
    its output parquet for the epoch (phase 1 of 2PC).
-3. WATERMARK: actors report per-partition max event time; the tracker
-   computes min-of-maxes - allowed_lateness for the NEXT epoch.
+3. WATERMARK: actors report per-partition frontiers; the tracker
+   computes min-of-maxes - allowed_lateness for the NEXT epoch. A join
+   actor's frontier is min over its two SOURCES' running maxes, so the
+   global rule is the multi-input min(min_p L_p, min_p R_p) — a
+   fast/denser source can never race the watermark past a slower one
+   (Flink/Dataflow multi-input semantics).
 4. COMMIT: the driver commits the epoch (phase 2) with partition metrics
    and the actors' state snapshots.
 
@@ -33,6 +37,7 @@ two-phase salted plans (``stages/dedup.py`` ``salt_buckets``).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import pyarrow as pa
@@ -143,18 +148,16 @@ class StreamingJoinEngine(MicroBatchEngine):
 # -- two-source stream-stream join ------------------------------------------
 
 @ray.remote
-def _split_side(path: str, row_group, num_partitions: int, side: str,
+def _split_side(unit: Dict, num_partitions: int, side: str,
                 cols: List[str], ts_col: str):
     """Split one unit of ONE substream source into per-partition
     (clips, transcripts, max_event_ms) tuples — the other side of each
     tuple is None. Shares the JoinStateActor ingest protocol with
-    ``_split_rowgroup`` so the actor never knows which topology fed it."""
-    if isinstance(row_group, dict):
-        from ..sources.lance_io import read_stream_unit
-        tbl = read_stream_unit(row_group, columns=cols)
-    else:
-        pf = pq.ParquetFile(path)
-        tbl = pf.read_row_group(row_group, columns=cols)
+    ``_split_rowgroup`` so the actor never knows which topology fed it.
+    Units are always the dicts ``plan_stream_units`` produces, so the
+    read dispatch is exactly ``read_stream_unit``."""
+    from ..sources.lance_io import read_stream_unit
+    tbl = read_stream_unit(unit, columns=cols)
     parts = _hash_partition(tbl["clip_id"].combine_chunks(), num_partitions)
     out = []
     for p in range(num_partitions):
@@ -219,6 +222,19 @@ class TwoStreamJoinEngine(StreamingJoinEngine):
 
     The transcript source must carry its event time in ``event_ms``
     (the engine-canonical name both substreams share).
+
+    Watermarking follows the multi-input rule (see ``join_state``): each
+    partition's frontier is the min of its two per-source running maxes,
+    so sources with different rows-per-unit densities cannot race the
+    watermark past each other's pending matches.
+
+    Independent growth: appended units plan into NEW epochs from each
+    source's uncommitted suffix. Appended rows whose event time is below
+    the RESTORED watermark follow standard late-data semantics — they
+    match partners that arrive in the same epoch (join runs before
+    expiry within an epoch) but expire null-padded if the partner lands
+    in a later epoch. Appends whose event times exceed the old maximum
+    (the normal log-ingest case) are unaffected.
     """
 
     def __init__(self, left_path: str, right_path: str, out_dir: str,
@@ -233,20 +249,34 @@ class TwoStreamJoinEngine(StreamingJoinEngine):
 
     RIGHT_COLS = ["clip_id", "transcript", "event_ms"]
 
+    def columns(self) -> List[str]:
+        """Read set of the LEFT source only — this engine's two sources
+        have different schemas, so the inherited single-table read set
+        (which fabricates ``transcript_event_ms``) does not apply;
+        ``_launch_split`` passes each side its own column list
+        (``CLIP_COLS`` / ``RIGHT_COLS``)."""
+        return list(CLIP_COLS)
+
     def _schema_hint(self, path: str, cols: List[str]) -> Optional[bytes]:
-        """Serialized Arrow schema of one source's selected columns (one
-        metadata read per run) — lets every JoinStateActor canonicalize
-        output from epoch 0, before it has ingested both sides."""
-        from ..sources.lance_io import plan_stream_units
-        units = plan_stream_units(path)
-        if not units:
-            return None
-        unit = units[0]
-        if "row_group" in unit:
-            full = pq.ParquetFile(unit["path"]).schema_arrow
-        else:                           # Lance fragment
+        """Serialized Arrow schema of one source's selected columns (ONE
+        footer/manifest read — not a full ``plan_stream_units`` metadata
+        sweep) — lets every JoinStateActor canonicalize output from
+        epoch 0, before it has ingested both sides."""
+        from ..sources.lance_io import _is_lance_path
+        if _is_lance_path(path):
             import lance
-            full = lance.dataset(unit["path"]).schema
+            full = lance.dataset(path).schema
+        else:
+            first = path
+            if os.path.isdir(path):
+                files = []
+                for root, _d, names in os.walk(path):
+                    files.extend(os.path.join(root, n)
+                                 for n in names if n.endswith(".parquet"))
+                if not files:
+                    return None
+                first = min(files)
+            full = pq.ParquetFile(first).schema_arrow
         fields = [full.field(c) for c in cols]
         return pa.schema(fields).serialize().to_pybytes()
 
@@ -272,10 +302,10 @@ class TwoStreamJoinEngine(StreamingJoinEngine):
         opts = {"num_returns": P if P > 1 else 1}
         return [
             _split_side.options(**opts).remote(
-                t["path"], t, P, "left", CLIP_COLS, "event_ms")
+                t, P, "left", CLIP_COLS, "event_ms")
             for t in tasks["left"]
         ] + [
             _split_side.options(**opts).remote(
-                t["path"], t, P, "right", self.RIGHT_COLS, "event_ms")
+                t, P, "right", self.RIGHT_COLS, "event_ms")
             for t in tasks["right"]
         ]

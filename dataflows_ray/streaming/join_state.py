@@ -91,6 +91,16 @@ class JoinStateActor:
         # concat happens lazily (and collapses the list) at probe time
         self.left_parts: List[pa.Table] = []
         self.right_parts: List[pa.Table] = []
+        # running per-SOURCE event-time frontiers [left_max, right_max].
+        # The partition reports min(frontier) to the WatermarkTracker, so
+        # min-of-maxes across partitions yields the multi-input rule
+        # min(min_p L_p, min_p R_p) (Flink/Dataflow semantics): a source
+        # whose units carry more rows per epoch cannot race the watermark
+        # past the slower source and expire its pending matches. For the
+        # single-table engine both sides co-arrive in every split tuple,
+        # so the two frontiers advance together and min(frontier) equals
+        # the old per-epoch max — behavior there is unchanged.
+        self.frontier: List[int] = [-1, -1]
         self.left_schema: Optional[pa.Schema] = (
             None if left_schema_ipc is None
             else pa.ipc.read_schema(pa.py_buffer(left_schema_ipc)))
@@ -230,7 +240,16 @@ class JoinStateActor:
         tuples = ray.get(list(refs)) if refs else []
         lefts = [t[0] for t in tuples if t[0] is not None and len(t[0])]
         rights = [t[1] for t in tuples if t[1] is not None and len(t[1])]
-        max_ms = max([t[2] for t in tuples], default=-1)
+        # advance each SOURCE's frontier only from tuples that carry that
+        # side (two-source split tuples carry exactly one; single-table
+        # tuples carry both and advance both with their shared max)
+        for t in tuples:
+            if t[2] is not None and t[2] >= 0:
+                if t[0] is not None:
+                    self.frontier[0] = max(self.frontier[0], t[2])
+                if t[1] is not None:
+                    self.frontier[1] = max(self.frontier[1], t[2])
+        max_ms = min(self.frontier)
         left = pa.concat_tables(lefts) if lefts else None
         right = pa.concat_tables(rights) if rights else None
         out, metrics = self._process(left, right, watermark_ms)
@@ -247,6 +266,7 @@ class JoinStateActor:
     def snapshot(self) -> Dict:
         return {"left": _serialize_table(self._buf(self.left_parts)),
                 "right": _serialize_table(self._buf(self.right_parts)),
+                "frontier": list(self.frontier),
                 "left_schema": (None if self.left_schema is None
                                 else self.left_schema.serialize().to_pybytes()),
                 "right_schema": (None if self.right_schema is None
@@ -257,6 +277,11 @@ class JoinStateActor:
         right = _deserialize_table(snap.get("right"))
         self.left_parts = [left] if left is not None else []
         self.right_parts = [right] if right is not None else []
+        # older snapshots carry no frontier: [-1, -1] makes the partition
+        # report -1, which tracker.report treats as no-advance (the
+        # restored tracker snapshot still holds the committed watermark,
+        # and a watermark never regresses)
+        self.frontier = [int(x) for x in snap.get("frontier", [-1, -1])]
         ls, rs = snap.get("left_schema"), snap.get("right_schema")
         self.left_schema = (pa.ipc.read_schema(pa.py_buffer(ls))
                             if ls is not None else None)

@@ -8,6 +8,12 @@ allowed_lateness``. The min-of-maxes rule makes the watermark a lower
 bound on what any partition may still produce, so state keyed below the
 watermark is safe to finalize/expire (standard structured-streaming
 semantics — public Dataflow/Flink model, no reference equivalent).
+
+Multi-input operators (the stream-stream join) report min over their
+PER-SOURCE running maxes as the partition value (``join_state``), so the
+min-of-maxes here realizes the multi-input rule min over sources of min
+over partitions — one source can never advance the watermark past data
+the other source has yet to deliver.
 """
 
 from __future__ import annotations

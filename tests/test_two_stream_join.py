@@ -127,3 +127,29 @@ def test_tight_watermark_uniform_schema(tmp_path):
         # the clip-side event_ms column
         assert unmatched_right["event_ms_r"].notna().all()
         assert unmatched_right["event_ms"].isna().all()
+
+
+def test_dense_source_cannot_race_watermark(tmp_path):
+    """Multi-input watermark rule: the transcript source packs 500 rows
+    per unit while clips carry 50, so ALL transcripts ingest within the
+    first two epochs and clips trickle over twenty. With a single
+    conflated frontier the transcript max would drag the watermark ~1h
+    ahead of the clip frontier and expire nearly every pending match
+    despite lateness (120s) >> lag (30s); the per-source min-frontier
+    rule must hold the watermark back until the clips arrive."""
+    src = str(tmp_path / "src")
+    clips_dir, tr_dir = _write_streams(src, 1000, rows_per_file=50)
+    # rewrite the transcript side alone at 10x unit density (same rows)
+    tr = pa.concat_tables([
+        pq.read_table(f"{tr_dir}/{f}")
+        for f in sorted(os.listdir(tr_dir))])
+    for f in os.listdir(tr_dir):
+        os.remove(f"{tr_dir}/{f}")
+    for i, s in enumerate(range(0, 1000, 500)):
+        pq.write_table(tr.slice(s, 500), f"{tr_dir}/part-{i:05d}.parquet",
+                       row_group_size=500)
+    out = str(tmp_path / "sink")
+    _engine(clips_dir, tr_dir, out).run()
+    df = ExactlyOnceSink(out).read_output().to_pandas()
+    assert len(df) == 1000 and df["clip_id"].is_unique
+    assert df["transcript"].notna().all() and df["speaker"].notna().all()
