@@ -66,12 +66,13 @@ def run_benchmarks() -> dict:
     _audio_path(SF_DIR)
     from dataflows_ray.pipelines.relational import (
         _multicodec_audio_path, _flac_audio_path, _video_path,
-        _jpeg_image_path, _adpcm_audio_path)
+        _jpeg_image_path, _adpcm_audio_path, _two_stream_paths)
     _multicodec_audio_path(SF_DIR)
     _flac_audio_path(SF_DIR)
     _adpcm_audio_path(SF_DIR)
     _video_path(SF_DIR)
     _jpeg_image_path(SF_DIR)
+    _two_stream_paths(SF_DIR)
 
     timed("q01_pricing_summary", lambda: q01_pricing_summary(SF_DIR).to_pandas())
     timed("q05_priority_counts", lambda: q05_priority_counts(SF_DIR).to_pandas())
